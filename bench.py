@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query and total wall-clock seconds.
+
+Each query is executed to completion via a count() action (full plan runs,
+nothing collected to the driver). A warmup pass on the flagship query
+amortizes JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from seisdb_spark.queries import REGISTRY
+    from seisdb_spark.session import get_spark
+
+    spark = get_spark(app_name="seisdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+
+    # warmup: JVM + codegen + parquet footer caches
+    bench_specs["sgt_flagship_encode"].spark(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name, spec in sorted(bench_specs.items()):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

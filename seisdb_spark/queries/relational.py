@@ -1,0 +1,821 @@
+"""SURVEY.md §2 operator inventory, expressed as oracle-checkable queries
+over the driver's parquet tables.
+
+Each query re-expresses one reference operator's *semantics* on the driver
+testdata (the reference's own tables are seismic binaries; the driver oracle
+runs on the TPC-H-ish tables, so each operator shape is demonstrated there).
+The real seismic pipeline composition lives in ``seisdb_spark.pipeline``.
+
+Scale notes are in each docstring: every query here is shuffle-minimal and
+collect-free; dimension sides of joins are broadcast; ordered computations
+are partitioned by a key (never a global sort) unless the operator itself is
+inherently sequential — those are flagged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seisdb_spark.queries.registry import query
+from seisdb_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# P3 — temporal stride + existence predicate (DDBbase.py:55-84)
+# ---------------------------------------------------------------------------
+@query(
+    "p3_stride_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE event_id % 50 = 0
+    """,
+    doc="Temporal sub-sampling: keep every dstep-th snapshot "
+    "(reference DDBbase.py:55-84, the 98%-reduction stage). Stride predicate "
+    "is pushed to the parquet scan; no shuffle.",
+    bench=False,
+)
+def p3_stride_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 50 == 0).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# J3 — 3-way step alignment ("present in N and E and Z", DDBbase.py:71-80)
+# ---------------------------------------------------------------------------
+@query(
+    "j3_step_alignment",
+    oracle="""
+        SELECT user_id
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+        GROUP BY user_id
+        HAVING count(DISTINCT event_type) = 3
+    """,
+    doc="A step is valid only if present in all 3 force directories "
+    "(DDBbase.py:71-80) — 3-way inner-join semantics expressed as "
+    "groupBy + count(distinct)==3. One shuffle on the key; partial "
+    "aggregation map-side.",
+)
+def j3_step_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") == 3)
+        .select("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — positional projection (27-of-125 GLL sub-sampling,
+#      DSEM_Utils/__init__.py:6-8 applied at ibool_reader.py:163-167)
+# ---------------------------------------------------------------------------
+@query(
+    "p1_positional_projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_linenumber IN (1, 3, 5, 7)
+    """,
+    doc="Spatial sub-sampling: select fixed positions from each element "
+    "(INDEX27 isin-filter; reference ibool_reader.py:163-167). The IN-list "
+    "is a pushed-down predicate — no shuffle, rows never leave the scan.",
+)
+def p1_positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber").isin(1, 3, 5, 7)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 — first-occurrence dedup (ibool_reader.py:116-173), order-independent
+#      window form (SURVEY §2.4: canonical semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "d1_first_occurrence_dedup",
+    oracle="""
+        SELECT l_partkey, l_orderkey, l_linenumber
+        FROM (
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        )
+        WHERE rn = 1
+    """,
+    doc="Keep the first (i_spec,i_gll) occurrence of each gll_id "
+    "(reference ibool_reader.py:116-141). Window row_number==1 per key — "
+    "one shuffle on the dedup key; at 100 TB this is the "
+    "min_by(struct(...)) groupBy form, which partial-aggregates map-side.",
+)
+def d1_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1b — the reference's *literal* running-max semantics
+#       (ibool_reader.py:136: keep a cell only if its id exceeds the running
+#       max — a strictly-increasing-subsequence scan)
+# ---------------------------------------------------------------------------
+@query(
+    "d1_running_max_dedup",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   max(l_partkey) OVER (
+                       ORDER BY l_orderkey, l_linenumber, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM lineitem
+        )
+        WHERE prev_max IS NULL OR l_partkey > prev_max
+    """,
+    doc="The reference's literal dedup: running-max scan in row-major order "
+    "(ibool_reader.py:136,168). Order-dependent by design. NOTE: the global "
+    "ORDER BY makes this inherently sequential — the real pipeline partitions "
+    "it per proc (Window.partitionBy('proc')); shown unpartitioned here to "
+    "match the reference's single-slice semantics exactly.",
+)
+def d1_running_max_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        li.withColumn("prev_max", F.max("l_partkey").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("l_partkey") > F.col("prev_max")))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — index-gather as broadcast equi-join (DSGT.py:109-111)
+# ---------------------------------------------------------------------------
+@query(
+    "j1_gather_join",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+               round(l.l_extendedprice - p.p_retailprice, 2) AS price_delta
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="numpy fancy-index gather == equi-join of the small selected-points "
+    "dimension against the fact stream (DSGT.py:109-111). The dimension side "
+    "is broadcast() — at 100 TB the fact side streams through unshuffled.",
+    bench=True,
+)
+def j1_gather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        F.round(F.col("l_extendedprice") - F.col("p_retailprice"), 2).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — id-gather as semi-join (DDGF.py:107-108)
+# ---------------------------------------------------------------------------
+@query(
+    "j2_semi_gather",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+    doc="DGF id-gather: keep displacement rows whose gll_id is in the "
+    "selected set (DDGF.py:107-108) — a left-semi join; the id set is "
+    "broadcast, fact side unshuffled.",
+)
+def j2_semi_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ids = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return orders.join(
+        F.broadcast(ids), orders.o_orderkey == ids.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — per-group min-offset / max-scale normalization
+#         (DSGT.py:138-146; zero-scale guard per SURVEY §2.5 A2)
+# ---------------------------------------------------------------------------
+@query(
+    "a1a2_group_normalize",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               (l_extendedprice - mn) /
+                   (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) AS norm_price
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+                   min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mn,
+                   max(l_extendedprice) OVER (PARTITION BY l_partkey) AS mx
+            FROM lineitem
+        )
+    """,
+    doc="Offset-min then scale-max normalization per gll point "
+    "(DSGT.py:138-146), with the scale==0 constant-series guard the "
+    "reference lacks (SURVEY §2.5 A2). Single window over the group key — "
+    "one shuffle, no self-join. Pure float64 arithmetic: bit-identical to "
+    "the oracle, no rounding needed.",
+)
+def a1a2_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    mn = F.min("l_extendedprice").over(w)
+    mx = F.max("l_extendedprice").over(w)
+    rng = F.when(mx == mn, F.lit(1.0)).otherwise(mx - mn)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        ((F.col("l_extendedprice") - mn) / rng).alias("norm_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — linear quantization (DSGT.py:148-152: truncating encode, L=8)
+# ---------------------------------------------------------------------------
+@query(
+    "e1_quantize",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(((l_extendedprice - mn) /
+                   (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END)) * 255) AS INTEGER
+               ) AS code
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mn,
+                   max(l_extendedprice) OVER (PARTITION BY l_partkey) AS mx
+            FROM lineitem
+        )
+    """,
+    doc="8-bit truncating quantization: code = trunc(v * (2^L - 1)) "
+    "(DSGT.py:148-152 — astype truncation, not rounding; error bound one "
+    "full LSB). Pure column math, whole-stage-codegen'd; Spark has no "
+    "unsigned types so codes ride as INT (packed to binary in the pipeline).",
+)
+def e1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    mn = F.min("l_extendedprice").over(w)
+    mx = F.max("l_extendedprice").over(w)
+    rng = F.when(mx == mn, F.lit(1.0)).otherwise(mx - mn)
+    norm = (F.col("l_extendedprice") - mn) / rng
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(norm * 255).cast("int").alias("code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — prefix-sum byte-offset index (DSGT.py:161-170: start[i] = running sum
+#      of prior compressed lengths)
+# ---------------------------------------------------------------------------
+@query(
+    "a4_prefix_sum",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(coalesce(sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0), 2) AS start_offset
+        FROM lineitem
+    """,
+    doc="Blob start-offset index: cumulative sum of prior lengths "
+    "(DSGT.py:161-170). Exclusive-prefix window sum, partitioned per proc in "
+    "the real pipeline (here per suppkey) so no global sort.",
+)
+def a4_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0)), 2).alias("start_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — count aggregates (DSGT.py:81-84)
+# ---------------------------------------------------------------------------
+@query(
+    "a3_counts",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Shape-driving counts (n_gll, n_step; DSGT.py:81-84) as "
+    "count / count-distinct aggregates with map-side partial aggregation.",
+)
+def a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1 — point lookup (extract_element_125, ibool_reader.py:37-54)
+# ---------------------------------------------------------------------------
+@query(
+    "l1_point_lookup",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+    """,
+    doc="Read-side point query: one element's rows by key "
+    "(ibool_reader.py:37-54). The equality predicate reaches the parquet "
+    "scan (PushedFilters + row-group min/max pruning) — no shuffle.",
+)
+def l1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    minkey = li.agg(F.min("l_orderkey").alias("lookup_key"))
+    return li.join(
+        F.broadcast(minkey), li.l_orderkey == F.col("lookup_key")
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# R1 — ordered series assembly (DSGT.py:86-115): order-sensitive checksum
+# ---------------------------------------------------------------------------
+@query(
+    "r1_series_assembly",
+    oracle="""
+        SELECT l_suppkey,
+               count(*) AS n_samples,
+               round(sum(l_quantity * rn), 2) AS ordered_checksum
+        FROM (
+            SELECT l_suppkey, l_quantity,
+                   row_number() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey
+                   ) AS rn
+            FROM lineitem
+        )
+        GROUP BY l_suppkey
+    """,
+    doc="4-D tensor assembly (DSGT.py:86-115) = per-key time-ordered array "
+    "build; verified via an order-sensitive checksum (sum of value x "
+    "position). In the pipeline this is "
+    "sort_array(collect_list(struct(step,value))) — deterministic order is "
+    "the top silent-wrongness risk (SURVEY §7) and this query guards it.",
+    bench=True,
+)
+def r1_series_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_partkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum(F.col("l_quantity") * F.col("rn")), 2).alias("ordered_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — canonical fixed-order flatten (DSGT.py:128-135 / DDGF.py:125-132):
+#      per key, channels emitted in one fixed order
+# ---------------------------------------------------------------------------
+@query(
+    "r2_canonical_flatten",
+    oracle="""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Per-point channel flatten in a fixed canonical (force, para) order "
+    "(SURVEY §2.6 R2 — the reference's SGT/DGF disagree on axis order; we fix "
+    "one). Expressed as a fixed-column conditional pivot — single shuffle.",
+)
+def r2_canonical_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return events.groupBy("user_id").agg(*aggs)
+
+
+# ===========================================================================
+# Standard relational surface the reference lacks (SURVEY §2.3/§2.5/§2.10
+# "absent" statements) — exposed via built-in Spark, zero custom code.
+# ===========================================================================
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter + multi-aggregate groupBy. Two-phase "
+    "hash aggregation (map-side partial) — the canonical 100 TB agg plan.",
+    bench=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "multi_join_revenue_by_nation",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 5-way join + agg. Catalyst reorders; customer/"
+    "supplier/nation are broadcast (dimension tables), so only the "
+    "orders-lineitem join shuffles — one big shuffle at 100 TB.",
+    bench=True,
+)
+def multi_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+    doc="Top-k per group via ranking window (absent in reference, "
+    "SURVEY §2.10). row_number<=k avoids a global sort; one shuffle on the "
+    "group key.",
+    bench=True,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets machinery the reference lacks (SURVEY §2.5 absent "
+    "list): ROLLUP with coalesced grouping columns. Spark expands grouping "
+    "sets into a single shuffle.",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_base_price",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "setop_customers_without_orders",
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="Set operations (absent in reference, SURVEY §2.10): EXCEPT "
+    "(distinct). Spark plans this as a left-anti aggregate join.",
+)
+def setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@query(
+    "date_monthly_revenue",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="Date/time functions (absent in reference — its time is an integer "
+    "step + dt scalar, SURVEY §2.9): date_trunc bucketing + agg.",
+)
+def date_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+        SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+               count(*) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc="JSON functions (absent in reference, SURVEY §2.9): "
+    "get_json_object on the events.props JSON column (oracle uses a regexp "
+    "twin so it stays ANSI).",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.get_json_object("props", "$.k").cast("int").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "asof_last_click_before_purchase",
+    oracle="""
+        SELECT event_id, user_id, ts AS purchase_ts, last_click_ts
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS last_click_ts
+            FROM (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts
+                  FROM events)
+        )
+        WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (absent in reference, SURVEY §2.3): for each purchase, "
+    "the most recent strictly-prior click by the same user — the window-merge "
+    "formulation (no pairwise join), which scales as one shuffle on user_id.",
+    bench=True,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        events.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                              OR ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM (SELECT user_id, event_id,
+                             CAST(ts AS TIMESTAMP) AS ts
+                      FROM events)
+            )
+        )
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows in batch form (streaming variant in "
+    "seisdb_spark.streaming): gap>30min starts a new session; lag + running "
+    "sum per user. One shuffle on user_id.",
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 30 * 60),
+        1,
+    ).otherwise(0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregation (batch twin of the "
+    "Structured Streaming query in seisdb_spark.streaming): F.window 1-hour "
+    "buckets == date_trunc('hour').",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the SGT encode pipeline shape as ONE query over lineitem
+# (stride filter -> group normalize -> quantize -> ordered assembly),
+# mirroring SURVEY §7's minimum end-to-end slice on driver data.
+# ---------------------------------------------------------------------------
+@query(
+    "sgt_flagship_encode",
+    oracle="""
+        SELECT l_partkey,
+               count(*) AS n_samples,
+               min(l_extendedprice) AS offset_min,
+               max(l_extendedprice) - min(l_extendedprice) AS scale_factor,
+               CAST(sum(code * rn) AS BIGINT) AS ordered_code_checksum
+        FROM (
+            SELECT l_partkey, l_extendedprice,
+                   CAST(floor(((l_extendedprice - mn) /
+                       (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END)) * 255) AS INTEGER) AS code,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                   ) AS rn
+            FROM (
+                SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+                       min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mn,
+                       max(l_extendedprice) OVER (PARTITION BY l_partkey) AS mx
+                FROM lineitem
+                WHERE l_orderkey % 2 = 0
+            )
+        )
+        GROUP BY l_partkey
+    """,
+    doc="Flagship: the reference's whole encode path as one declarative "
+    "query — temporal stride (P3) -> per-key min/max normalize (A1/A2, with "
+    "zero-scale guard) -> truncating 8-bit quantize (E1) -> order-sensitive "
+    "assembly checksum (R1/R2). One scan, one shuffle on the group key, all "
+    "whole-stage-codegen.",
+    bench=True,
+)
+def sgt_flagship_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    w = Window.partitionBy("l_partkey")
+    mn = F.min("l_extendedprice").over(w)
+    mx = F.max("l_extendedprice").over(w)
+    rng = F.when(mx == mn, F.lit(1.0)).otherwise(mx - mn)
+    code = F.floor(((F.col("l_extendedprice") - mn) / rng) * 255).cast("int")
+    w_rn = Window.partitionBy("l_partkey").orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return (
+        li.select(
+            "l_partkey",
+            "l_extendedprice",
+            code.alias("code"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("l_extendedprice").alias("offset_min"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("scale_factor"),
+            F.sum(F.col("code") * F.col("rn")).alias("ordered_code_checksum"),
+        )
+    )

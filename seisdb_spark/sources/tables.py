@@ -1,0 +1,43 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — Parquet scans give predicate pushdown,
+column pruning and min/max row-group pruning for free; nothing custom here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet timestamp[ns], which Spark's reader rejects
+        # (Spark timestamps are microsecond precision). Read the raw int64
+        # nanos and truncate to microseconds — the oracle casts its
+        # TIMESTAMP_NS to TIMESTAMP, which truncates identically.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
