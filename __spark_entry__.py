@@ -20,10 +20,12 @@ from seisdb_spark.queries import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's full SGT
-    encode path (stride filter -> group min/max normalize -> truncating
-    8-bit quantize -> order-sensitive assembly) as one declarative plan."""
-    return REGISTRY["sgt_flagship_encode"].spark(spark, "/root/testdata/sf0.001")
+    """Flagship: the REAL SGT create_db (DSGT.py:40-196) end-to-end on a
+    deterministic SPECFEM fixture — distributed Fortran-binary decode,
+    27-point dedup selection, broadcast gather join, ordered array assembly,
+    float32 quantize + zlib encode, start offsets — returning the record
+    table (blob reduced to sha256 for a hash-stable schema)."""
+    return REGISTRY["sgt_pipeline_records"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

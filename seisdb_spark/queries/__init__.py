@@ -10,6 +10,7 @@ from seisdb_spark.queries.registry import REGISTRY, QuerySpec
 
 # Register all query modules (import side effects fill REGISTRY).
 from seisdb_spark.queries import relational  # noqa: F401,E402
+from seisdb_spark.queries import arrays  # noqa: F401,E402
 from seisdb_spark.queries import extensions  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]
