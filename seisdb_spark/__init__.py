@@ -13,11 +13,8 @@ Layout:
     session.py    SparkSession builder tuned for the target workload
     schemas.py    explicit schemas + reference constants (INDEX27, L=8)
     sources/      parquet table loaders, SPECFEM Fortran-binary decode
-    operators/    the §2 operator library (DataFrame -> DataFrame functions)
     pipeline/     end-to-end SGT/DGF build + decode (the reference's job)
     queries/      driver-facing query registry with DuckDB oracle SQL twins
-    functions/    text / similarity / dedup / multimodal expression library
-    streaming/    Structured Streaming ingest variant
 """
 
 __version__ = "0.1.0"

@@ -33,9 +33,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (Spark timestamps are microsecond precision). Read the raw int64
         # nanos and truncate to microseconds — the oracle casts its
         # TIMESTAMP_NS to TIMESTAMP, which truncates identically.
+        # The conf is scoped: saved and restored so other parquet reads in
+        # the same session are unaffected (a table carrying timestamp[ns]
+        # elsewhere would otherwise silently load as LongType).
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # force schema resolution while the conf is active; the scan
+            # itself re-reads the footer lazily, so pin the conf per-read via
+            # the DataFrame's analyzed schema (reader resolves eagerly here).
+            df.schema  # noqa: B018
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -80,8 +80,10 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
-    # stable schema
-    assert df.columns == df.columns
+    assert df.columns == [
+        "proc", "gll_id", "i_spec", "i_gll", "n_values",
+        "offset", "scale", "length", "start", "blob_sha",
+    ]
 
 
 def test_contract_shapes():
