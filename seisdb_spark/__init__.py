@@ -14,6 +14,7 @@ Layout:
     schemas.py    explicit schemas + reference constants (INDEX27, L=8)
     sources/      parquet table loaders, SPECFEM Fortran-binary decode
     pipeline/     end-to-end SGT/DGF build + decode (the reference's job)
+    functions/    text / similarity / dedup / multimodal expression library
     queries/      driver-facing query registry with DuckDB oracle SQL twins
 """
 

@@ -1,0 +1,30 @@
+"""Expression library for the LLM-data-pipeline surface (SURVEY §2.11).
+
+Pure column-expression builders — every function here returns Columns or
+DataFrames built from ``pyspark.sql.functions`` so the hot path stays inside
+whole-stage codegen; the single Python boundary (multimodal payload decode)
+is an Arrow-batched ``mapInPandas``.
+
+    text.py        shingling, MinHash, SimHash, token estimates, lang scoring
+    vectors.py     dot/norm chains, sign-bucket LSH keys for embeddings
+    multimodal.py  BinaryType payload + typed-metadata plumbing and decode
+"""
+
+from seisdb_spark.functions.text import (  # noqa: F401
+    lang_scores,
+    minhash_agg_exprs,
+    shingle_tokens,
+    simhash_agg,
+    word_tokens,
+)
+from seisdb_spark.functions.vectors import (  # noqa: F401
+    dot_chain_col,
+    dot_chain_sql,
+    sign_bits_cols,
+    sign_bits_sql,
+)
+from seisdb_spark.functions.multimodal import (  # noqa: F401
+    PAYLOAD_META_SCHEMA,
+    decode_payload_features,
+    documents_as_binary,
+)

@@ -1,0 +1,162 @@
+"""Behavioral tests for the LLM-pipeline extension surface beyond oracle
+parity: LSH candidate-rate + recall guarantees, ANN recall vs brute force,
+and planted-near-duplicate detection for both text and embeddings.
+
+Oracle parity (hash equality vs DuckDB) is covered in test_oracle_parity.py;
+these tests assert the *quality* properties the oracles can't express.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+from seisdb_spark.functions.text import SHINGLE_K
+from seisdb_spark.queries.registry import REGISTRY
+
+
+def _shingle_set(text: str, k: int = SHINGLE_K) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_lsh_candidate_rate_and_recall(spark, docs_pdf):
+    """The round-1 LSH emitted 74% of all pairs; the rebuilt one must emit
+    <1% AND still catch every truly-near-duplicate pair (J >= 0.8)."""
+    cand = (
+        REGISTRY["minhash_lsh_candidates"].spark(spark, SF_DIR).toPandas()
+    )
+    n = len(docs_pdf)
+    all_pairs = n * (n - 1) // 2
+    rate = len(cand) / all_pairs
+    assert rate < 0.01, f"candidate rate {rate:.2%} (must be <1%)"
+
+    # ground truth by brute force on the driver corpus (only feasible at
+    # test scale — which is exactly why the engine uses LSH)
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs_pdf.itertuples()}
+    true_neardups = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.8:
+            true_neardups.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in cand.itertuples()}
+    assert true_neardups, "corpus should contain planted near-dups"
+    missed = true_neardups - got
+    assert not missed, f"LSH missed {len(missed)} true near-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_jaccard_pairs_subset_of_candidates_and_correct(spark, docs_pdf):
+    """dedup_jaccard_pairs = exact Jaccard on LSH candidates only; every
+    emitted pair's Jaccard must match a brute-force recomputation."""
+    pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR).toPandas()
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs_pdf.itertuples()}
+    for r in pairs.itertuples():
+        sa, sb = sets[r.doc_a], sets[r.doc_b]
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        assert jac >= 0.7
+        assert abs(jac - r.jaccard) < 1e-4
+
+
+def test_lsh_planted_neardup_roundtrip(spark, tmp_path):
+    """End-to-end through the real query path on a planted corpus: a doc and
+    its one-word-edited copy must be LSH candidates AND pass the Jaccard
+    verification; unrelated docs must not."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, size=60))
+    edited = base.split(" ")
+    edited[30] = "XEDIT"
+    rows = [
+        (0, base, "en", "s0"),
+        (1, " ".join(edited), "en", "s0"),
+    ] + [
+        (i, " ".join(rng.choice(vocab, size=60)), "en", "s0")
+        for i in range(2, 40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    cand = REGISTRY["minhash_lsh_candidates"].spark(spark, str(tmp_path)).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in cand.itertuples()}
+    assert (0, 1) in got, "planted near-dup not an LSH candidate"
+
+    verified = REGISTRY["dedup_jaccard_pairs"].spark(spark, str(tmp_path)).toPandas()
+    vgot = {(r.doc_a, r.doc_b) for r in verified.itertuples()}
+    assert (0, 1) in vgot, "planted near-dup failed Jaccard verification"
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Sign-bucket ANN must recover most of the true top-10 while scanning
+    only the Hamming<=1 buckets (5/16 of the data)."""
+    exact = REGISTRY["similarity_topk_dot"].spark(spark, SF_DIR).toPandas()
+    approx = REGISTRY["ann_signbucket_topk"].spark(spark, SF_DIR).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
+    # the query vector itself (dot with self) is always in its own bucket,
+    # and sign-agreement correlates with dot — empirically 0.6 at sf0.01;
+    # assert a conservative floor so data regeneration can't flap the test
+    assert recall >= 0.4, f"ANN recall {recall} below floor"
+
+
+def test_embedding_neardup_planted(spark, tmp_path):
+    """A vector and its tiny-noise copy (cosine ~ 0.9996) must be found by
+    the sign-bucketed near-dup join; random pairs must not."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64).astype(np.float32)
+    near = (base + rng.normal(scale=0.01, size=64).astype(np.float32)).astype(np.float32)
+    others = rng.normal(size=(30, 64)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    pairs = REGISTRY["embedding_neardup_pairs"].spark(spark, str(tmp_path)).toPandas()
+    got = {(r.vec_a, r.vec_b) for r in pairs.itertuples()}
+    assert (0, 1) in got, "planted near-dup embedding pair not found"
+    a, b = np.asarray(base, dtype=np.float64), np.asarray(near, dtype=np.float64)
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    found = pairs[(pairs.vec_a == 0) & (pairs.vec_b == 1)].cosine.iloc[0]
+    assert abs(found - want) < 1e-4
+    for va, vb in got - {(0, 1)}:
+        x = np.asarray(vecs[va], dtype=np.float64)
+        y = np.asarray(vecs[vb], dtype=np.float64)
+        assert x @ y / (np.linalg.norm(x) * np.linalg.norm(y)) >= 0.95
+
+
+def test_simhash_neardups_close_in_hamming(spark, docs_pdf):
+    """Near-duplicate documents must land at small SimHash Hamming distance
+    relative to the corpus background."""
+    fp = REGISTRY["simhash_fingerprint"].spark(spark, SF_DIR).toPandas()
+    fpmap = dict(zip(fp.doc_id, fp.simhash, strict=True))
+    pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR).toPandas()
+    assert len(pairs) > 0
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    nd = [ham(fpmap[r.doc_a], fpmap[r.doc_b]) for r in pairs.itertuples()]
+    rng = np.random.default_rng(3)
+    ids = list(fpmap)
+    bg = [
+        ham(fpmap[a], fpmap[b])
+        for a, b in zip(rng.choice(ids, 300), rng.choice(ids, 300), strict=True)
+        if a != b
+    ]
+    assert np.mean(nd) < np.mean(bg), (np.mean(nd), np.mean(bg))

@@ -1,0 +1,82 @@
+"""Multimodal-column plumbing tests: BinaryType payload + typed metadata,
+Arrow-batched mapInPandas decode, and the explicitly-stubbed image decode."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seisdb_spark.functions.multimodal import (
+    _HAS_PIL,
+    decode_fake_image_headers,
+    decode_image,
+    decode_payload_features,
+    documents_as_binary,
+)
+from seisdb_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF_DIR
+
+
+def test_documents_as_binary_schema(spark):
+    mm = documents_as_binary(load_table(spark, SMOKE_SF_DIR, "documents"))
+    assert [f.name for f in mm.schema] == ["doc_id", "payload", "meta"]
+    assert isinstance(mm.schema["payload"].dataType, T.BinaryType)
+    meta = mm.schema["meta"].dataType
+    assert [f.name for f in meta.fields] == [
+        "kind", "n_bytes", "width", "height", "sample_rate",
+    ]
+    row = mm.filter(F.col("doc_id") == 0).head()
+    assert row.meta.kind == "text"
+    assert row.meta.n_bytes == len(bytes(row.payload))
+
+
+def test_decode_payload_features_matches_numpy(spark):
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    feats = (
+        decode_payload_features(documents_as_binary(docs))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    texts = {r.doc_id: r.text for r in docs.toPandas().itertuples()}
+    assert len(feats) == len(texts)
+    for doc_id, text in list(texts.items())[:20]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        row = feats.loc[doc_id]
+        assert row.n_bytes == b.size
+        assert row.byte_min == int(b.min())
+        assert row.byte_max == int(b.max())
+        assert row.distinct_bytes == int(np.unique(b).size)
+        assert abs(row.byte_mean - round(float(b.mean()), 6)) < 1e-9
+        assert row.head_hex == text.encode()[:8].hex()
+
+
+def test_fake_image_decode_plumbing(spark):
+    """The deterministic fake-header path: 8-byte (width,height) header +
+    pixel block, decoded per Arrow batch — the batch shape a real decoder
+    drops into."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, (w, h) in enumerate([(4, 3), (16, 2), (1, 1)]):
+        pix = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+        payload = struct.pack("<II", w, h) + pix.tobytes()
+        rows.append((i, bytearray(payload), float(pix.mean())))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], schema="doc_id long, payload binary"
+    )
+    out = decode_fake_image_headers(df).toPandas().set_index("doc_id").sort_index()
+    for i, _p, mean in rows:
+        r = out.loc[i]
+        assert (r.width, r.height) == ((4, 3), (16, 2), (1, 1))[i]
+        assert r.n_pixel_bytes == r.width * r.height
+        assert abs(r.pixel_mean - round(mean, 6)) < 1e-9
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: stub not in effect")
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="image decode needs PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
