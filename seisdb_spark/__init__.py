@@ -15,6 +15,7 @@ Layout:
     sources/      parquet table loaders, SPECFEM Fortran-binary decode
     pipeline/     end-to-end SGT/DGF build + decode (the reference's job)
     functions/    text / similarity / dedup / multimodal expression library
+    streaming/    Structured Streaming variants (events + snapshot ingest)
     queries/      driver-facing query registry with DuckDB oracle SQL twins
 """
 

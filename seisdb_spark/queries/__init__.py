@@ -12,5 +12,6 @@ from seisdb_spark.queries.registry import REGISTRY, QuerySpec
 from seisdb_spark.queries import relational  # noqa: F401,E402
 from seisdb_spark.queries import arrays  # noqa: F401,E402
 from seisdb_spark.queries import extensions  # noqa: F401,E402
+from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec"]

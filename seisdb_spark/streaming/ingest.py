@@ -1,0 +1,231 @@
+"""Structured Streaming ingest: watermarked event-time windows over the
+events stream, and a SPECFEM snapshot file stream feeding the batch encode
+tail via foreachBatch.
+
+Design notes (100 TB posture):
+  * Event aggregations keep state keyed by (window, event_type) /
+    (user_id, session) — the same shuffle keys as the batch twins, so state
+    distributes across executors; the watermark bounds state size.
+  * Snapshot ingest is decode-only per microbatch (narrow, no shuffle):
+    files land, are decoded by the SAME mapInPandas kernels as the batch
+    scan (sources/specfem.py), and append to a staging table. The wide
+    assembly/encode runs once at finalize over the staging table — the
+    correct split because SGT encoding needs each point's FULL time series
+    (a per-key sort over all steps), which a running stream cannot emit
+    incrementally without holding every sample in state anyway.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seisdb_spark.schemas import STRAIN_SCHEMA, STRAIN_PARAS
+from seisdb_spark.sources.specfem import N_GLL_PER_ELEMENT, SNAPSHOT_RE, decode_strain
+
+# events.parquet carries ts as parquet timestamp[ns]; a streaming source
+# needs the schema up front, and the nanosAsLong conf must stay set for the
+# lifetime of the stream (each microbatch re-reads footers) — so the events
+# stream reader sets it and leaves it set, documented here. Batch loaders
+# (sources/tables.py) scope it per-read instead.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+BINARYFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table with event-time ``ts``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source lists a DIRECTORY; pathGlobFilter narrows it to
+    # the events file (a single-file path is rejected: basePath must be a dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/relational.py::tumbling_window_counts —
+    1-hour tumbling event-time windows; the watermark lets append-mode sinks
+    finalize a window 2h after its end while bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via the built-in session_window: events
+    within ``gap`` of each other merge into one growing session per user.
+
+    Semantics note vs the batch twin (lag + running-sum, gap *strictly*
+    greater than 30 min starts a new session): session_window's interval is
+    half-open, so two events exactly 30:00.000000 apart are the same session
+    in batch but different sessions here — an edge that cannot occur at
+    microsecond resolution with the driver's generator and is asserted
+    equivalent in tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the result table — the test/driver harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def snapshot_ingest_stream(
+    spark: SparkSession,
+    force_dirs: list[str],
+    nspec: int,
+    staging_dir: str,
+    checkpoint_dir: str,
+    name_data: str = "strain_field",
+    max_files_per_trigger: int = 3,
+):
+    """Stream SPECFEM snapshot files as they land (S6 streaming variant):
+    binaryFile source per force dir -> the SAME strain decode kernel as the
+    batch scan -> append to a staging parquet table via foreachBatch.
+
+    Returns the started StreamingQuery; callers trigger availableNow (tests)
+    or leave it running (production). Decode is narrow — each microbatch is
+    files-in, long-rows-out, no shuffle, no state."""
+    force_by_dir = {os.path.normpath(d): i for i, d in enumerate(force_dirs)}
+
+    streams = []
+    for d in force_dirs:
+        glob = os.path.join(d, f"proc*_{name_data}_Step_*.bin")
+        streams.append(
+            spark.readStream.format("binaryFile")
+            .schema(BINARYFILE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(glob)
+            .select("path", "content")
+        )
+    binaries = streams[0]
+    for s in streams[1:]:
+        binaries = binaries.unionByName(s)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = SNAPSHOT_RE.search(os.path.basename(path))
+                if not m:
+                    continue
+                proc, step = int(m.group(1)), int(m.group(3))
+                force = force_by_dir[os.path.normpath(os.path.dirname(path.removeprefix("file:")))]
+                full = decode_strain(bytes(content), nspec)
+                nsp = full.shape[1]
+                ncell = nsp * N_GLL_PER_ELEMENT
+                cols = {
+                    "proc": np.full(ncell, proc, dtype=np.int32),
+                    "force": np.full(ncell, force, dtype=np.int32),
+                    "step": np.full(ncell, step, dtype=np.int32),
+                    "i_spec": np.repeat(np.arange(nsp, dtype=np.int32), N_GLL_PER_ELEMENT),
+                    "i_gll": np.tile(np.arange(N_GLL_PER_ELEMENT, dtype=np.int32), nsp),
+                }
+                for i, para in enumerate(STRAIN_PARAS):
+                    cols[para] = full[i].ravel()
+                yield pd.DataFrame(cols)
+
+    decoded = binaries.mapInPandas(decode, STRAIN_SCHEMA)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(staging_dir)
+
+    return (
+        decoded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_sgt_from_staging(
+    spark: SparkSession,
+    staging_dir: str,
+    model_glob: str,
+    nspec: int,
+    step0: int,
+    step1: int,
+    dstep: int,
+    points_per_element: int = 27,
+    encoding_level: int | None = None,
+):
+    """Run the batch assembly + encode tail over the streamed-in staging
+    table. Steps valid = present in all 3 forces *in the staged data* (the
+    staging table is the listing); otherwise identical to pipeline.sgt_build."""
+    from seisdb_spark.pipeline.build import (
+        add_start_offsets,
+        assemble_series,
+        encode_records,
+        select_gll_points,
+    )
+    from seisdb_spark.schemas import ENCODING_LEVEL_DEFAULT
+    from seisdb_spark.sources.specfem import read_ibool
+
+    snaps = spark.read.parquet(staging_dir)
+    candidates = list(range(step0, step1, dstep))
+    steps = (
+        snaps.select("proc", "step", "force")
+        .distinct()
+        .filter(F.col("step").isin(candidates))
+        .groupBy("proc", "step")
+        .agg(F.countDistinct("force").alias("nf"))
+        .filter(F.col("nf") == 3)
+        .select("proc", "step")
+    )
+    ibool = read_ibool(spark, model_glob, nspec)
+    points = select_gll_points(ibool, points_per_element)
+    series = assemble_series(snaps, points, steps, kind="SGT")
+    level = ENCODING_LEVEL_DEFAULT if encoding_level is None else encoding_level
+    return add_start_offsets(encode_records(series, level))

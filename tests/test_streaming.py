@@ -1,0 +1,78 @@
+"""Batch-equivalence tests for the Structured Streaming variants: the
+streamed result (availableNow over the same files) must equal the batch
+twin's result, and the streamed snapshot ingest must produce byte-identical
+SGT records to the batch build."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from seisdb_spark.pipeline import generate_fixture, sgt_build
+from seisdb_spark.queries.registry import REGISTRY
+from seisdb_spark.streaming import (
+    finalize_sgt_from_staging,
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    snapshot_ingest_stream,
+    tumbling_counts_stream,
+)
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = tumbling_counts_stream(read_events_stream(spark, SMOKE_SF_DIR))
+    got = _sorted(run_to_memory(stream, "t_tumbling").toPandas())
+    want = _sorted(
+        REGISTRY["tumbling_window_counts"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sessionize_stream_equals_batch(spark):
+    stream = sessionize_stream(read_events_stream(spark, SMOKE_SF_DIR))
+    got = run_to_memory(stream, "t_sessions").toPandas()
+    batch = REGISTRY["sessionize_events"].spark(spark, SMOKE_SF_DIR).toPandas()
+    # same session boundaries -> same (user, start, end, n_events) sets;
+    # the batch twin's session_id is a per-user ordinal the stream doesn't
+    # carry, so compare on the invariant columns
+    cols = ["user_id", "n_events", "session_start", "session_end"]
+    pd.testing.assert_frame_equal(_sorted(got[cols]), _sorted(batch[cols]))
+
+
+def test_snapshot_stream_ingest_encode_equals_batch(spark, tmp_path):
+    """Files stream in (binaryFile source, 3 per microbatch), decode via the
+    same kernel, land in staging; the finalize encode over staged rows must
+    produce byte-identical records to the batch sgt_build."""
+    m = generate_fixture(str(tmp_path / "fx"), nprocs=1, nspec=2, step1=40)
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = snapshot_ingest_stream(
+        spark, m["force_dirs"], m["nspec"], staging, ckpt
+    )
+    q.awaitTermination()
+
+    model_glob = f"{m['model_dir']}/proc*_ibool.bin"
+    streamed = finalize_sgt_from_staging(
+        spark, staging, model_glob, m["nspec"], m["step0"], m["step1"], m["dstep"]
+    ).toPandas().set_index(["proc", "gll_id"]).sort_index()
+
+    records, _meta, _steps = sgt_build(
+        spark, model_glob, m["force_dirs"], m["nspec"],
+        m["step0"], m["step1"], m["dstep"],
+    )
+    batch = records.toPandas().set_index(["proc", "gll_id"]).sort_index()
+
+    assert list(streamed.index) == list(batch.index)
+    for col in ("offset", "scale", "length", "start", "n_values"):
+        pd.testing.assert_series_equal(streamed[col], batch[col], obj=col)
+    for (idx, srow), (_bidx, brow) in zip(
+        streamed.iterrows(), batch.iterrows(), strict=True
+    ):
+        assert bytes(srow.blob) == bytes(brow.blob), f"blob mismatch at {idx}"
