@@ -37,19 +37,25 @@ def word_tokens(docs: DataFrame, *extra_cols: str) -> DataFrame:
     ).distinct()
 
 
-def shingle_tokens(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct (doc_id, sh) word k-shingle set per document.
+def shingle_tokens(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
+    """(doc_id, sh) word k-shingle rows per document.
 
     ``slice``+``concat_ws`` over a ``sequence`` of start positions — one
     narrow projection, no joins. Documents shorter than k words yield no
     shingles (guarded: Spark's ``sequence(1, 0)`` would count *down*).
+
+    ``distinct=True`` (a shuffle) is required wherever set semantics matter
+    (Jaccard counts); MinHash signatures pass ``distinct=False`` because
+    ``min()`` is insensitive to duplicates — partial aggregation absorbs
+    them map-side and the extra shuffle disappears.
     """
     w = F.split(F.col("text"), " ")
     starts = F.when(
         F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    return docs.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    out = docs.select("doc_id", F.explode(sh).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def minhash_agg_exprs(token_col: str = "sh", n: int = N_MINHASH) -> list[Column]:

@@ -19,8 +19,9 @@ Portability discipline for the oracles:
 
 Scale notes (the round-1 verdict's fix list, addressed):
   * MinHash-LSH is real LSH now: word 3-shingles, 12 hashes in 4 bands x 3
-    rows, ONE band-bucket self-join over an exploded+persisted band table —
-    candidate rate at sf0.01 drops from 74% of all pairs to ~0%.
+    rows, ONE band-bucket self-join over an exploded band table whose
+    lineage both join sides share via ReusedExchange — candidate rate at
+    sf0.01 drops from 74% of all pairs to 0.02%.
   * Jaccard verification runs ONLY on LSH candidate pairs (no quadratic
     token self-join).
   * top-k rankings use orderBy().limit(k) — Spark plans TakeOrderedAndProject
@@ -61,7 +62,7 @@ from seisdb_spark.functions.vectors import (
     sign_bits_sql,
 )
 from seisdb_spark.queries.registry import query
-from seisdb_spark.sources.tables import load_table
+from seisdb_spark.sources.tables import load_table, spread
 
 STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
 JACCARD_THRESHOLD = 0.7
@@ -127,16 +128,16 @@ _CAND_CTE = """
 
 
 def _lsh_candidates(docs: DataFrame) -> DataFrame:
-    """shingle -> minhash -> band -> ONE bucket self-join (persisted).
+    """shingle -> minhash -> band -> ONE bucket self-join.
 
-    The exploded band table is computed once and persisted so the self-join
-    reads the materialized (doc_id, band, bk) rows for both sides instead of
-    re-running tokenize+groupBy per side (round 1 recomputed it 4x)."""
-    sh = shingle_tokens(docs)
+    The self-join's two sides share one computation of the signature table:
+    both sides' plans end at identical Exchanges, which Spark de-duplicates
+    (ReusedExchange) — round 1 recomputed the signature lineage 4x."""
+    sh = shingle_tokens(spread(docs), distinct=False)  # min() absorbs dups
     sig = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
-    ).persist()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -322,7 +323,9 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = word_tokens(load_table(spark, sf_dir, "documents")).select("doc_id", "word")
+    tok = word_tokens(spread(load_table(spark, sf_dir, "documents"))).select(
+        "doc_id", "word"
+    )
     return simhash_agg(tok)
 
 
@@ -434,7 +437,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle explode + groupBy is one shuffle.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_tokens(load_table(spark, sf_dir, "documents"))
+    sh = shingle_tokens(spread(load_table(spark, sf_dir, "documents")), distinct=False)
     return sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
 
 
@@ -491,8 +494,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{JACCARD_THRESHOLD} threshold, so the inner-join shared-count is exact.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_tokens(docs).persist()
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingle_tokens(docs)
     cand = _lsh_candidates(docs)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ta, tb = sh.alias("ta"), sh.alias("tb")
@@ -542,7 +545,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def similarity_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id", dot_chain_col("embedding", "q_emb").alias("dot")
@@ -607,7 +610,7 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Broadcast query + streaming scan + TakeOrderedAndProject top-k.",
 )
 def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
         "vec_id", "label", "embedding",
         F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
@@ -667,7 +670,7 @@ def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asserted in tests/test_extensions.py.",
 )
 def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     sb = emb.select("vec_id", "embedding", *sign_bits_cols("embedding", ANN_SIGN_BITS))
     q = sb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"),
@@ -713,7 +716,7 @@ def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup recall is asserted in tests/test_extensions.py.",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     bits = [
         F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0")
         for d in range(1, NEARDUP_SIGN_BITS + 1)

@@ -353,15 +353,18 @@ def a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
     """,
     doc="Read-side point query: one element's rows by key "
-    "(ibool_reader.py:37-54). The equality predicate reaches the parquet "
-    "scan (PushedFilters + row-group min/max pruning) — no shuffle.",
+    "(ibool_reader.py:37-54). The lookup key is resolved first (a 1-row "
+    "scalar aggregate — the only driver-side fetch in the engine, and it is "
+    "one scalar), then applied as a LITERAL equality predicate so it "
+    "genuinely reaches the parquet scan: PushedFilters + row-group min/max "
+    "pruning, no shuffle, no full fact scan.",
 )
 def l1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    minkey = li.agg(F.min("l_orderkey").alias("lookup_key"))
-    return li.join(
-        F.broadcast(minkey), li.l_orderkey == F.col("lookup_key")
-    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    lookup_key = li.agg(F.min("l_orderkey")).head()[0]
+    return li.filter(F.col("l_orderkey") == F.lit(lookup_key)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
 
 
 # ---------------------------------------------------------------------------

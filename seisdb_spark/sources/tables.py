@@ -56,3 +56,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan would yield
+    fewer splits (a small single-file table serializes every downstream
+    narrow stage — explode, hash chains, pandas UDFs — onto one core).
+
+    For multi-file 100 TB inputs the scan already produces >=
+    defaultParallelism splits and this is a no-op — never an unconditional
+    full-corpus shuffle. The repartition Exchange doubles as the reuse
+    point: every downstream consumer of the table shares it
+    (ReusedExchange), so self-joins don't recompute the scan lineage and no
+    .persist() is needed."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
