@@ -1,0 +1,26 @@
+"""Tests for the standard-operator-surface queries that can't be (fully)
+oracle-checked: approx_count_distinct accuracy and theta-join plan shape."""
+
+from __future__ import annotations
+
+from seisdb_spark.queries.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_accuracy(spark, duck):
+    """HLL sketches differ across engines, so the driver check is rows-only;
+    the accuracy claim (rsd=0.01 -> a small relative error) is asserted here
+    against the exact count."""
+    got = REGISTRY["approx_distinct_parts"].spark(spark, SF_DIR).toPandas()
+    exact = duck.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    rel_err = abs(int(got.approx_parts[0]) - exact) / exact
+    assert rel_err < 0.02, f"approx_count_distinct rel err {rel_err:.3%}"
+    assert int(got.n_rows[0]) == duck.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+
+
+def test_range_join_broadcasts_band_side(spark):
+    """The 10-row band side of the theta join must broadcast (never a
+    shuffled nested-loop over the fact table)."""
+    df = REGISTRY["range_join_value_bands"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
