@@ -738,3 +738,166 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, sampling, filtering, skew handling
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # 10-word overlap between consecutive chunks
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+        WITH starts AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_id,
+               CAST((i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               len(list_slice(w, i, least(i + {CHUNK_SIZE} - 1, len(w))))
+                   AS chunk_words,
+               md5(array_to_string(
+                   list_slice(w, i, least(i + {CHUNK_SIZE} - 1, len(w))), ' '))
+                   AS chunk_hash
+        FROM starts
+    """,
+    doc=f"Document chunking for training windows: {CHUNK_SIZE}-word chunks "
+    f"every {CHUNK_STRIDE} words (overlapping), emitted by exploding a "
+    "start-position sequence and slicing the token array — one narrow "
+    "projection per doc, no shuffle, no Python. The md5 chunk hash is the "
+    "chunk-level dedup key downstream.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    exploded = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(w), F.lit(CHUNK_STRIDE))
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("w"), F.col("i"), F.lit(CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        ((F.col("i") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("chunk_words"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )
+
+
+SAMPLE_RATES = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+_HEX_ALPHA = "0123456789abcdef"
+
+
+def _hash_bucket_sql(expr: str) -> str:
+    """First 4 hex digits of md5 -> integer in [0, 65536), DuckDB side."""
+    digits = [
+        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {k}, 1)) - 1)"
+        for k in (1, 2, 3, 4)
+    ]
+    return f"({digits[0]} * 4096 + {digits[1]} * 256 + {digits[2]} * 16 + {digits[3]})"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
+              < 65536 * (CASE lang
+                  {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
+                  ELSE 0.5 END)
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates applied "
+    "via a content-stable hash bucket (md5(doc_id) -> [0, 65536)), so the "
+    "sample is reproducible across runs and engines — the rebalancing "
+    "primitive of corpus curation. Pure pushed-down predicate, no shuffle, "
+    "and at 100 TB the sample never materializes the rejected rows.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    rate = F.lit(0.5)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(bucket < 65536 * rate).select("doc_id", "lang")
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+        SELECT doc_id,
+               CASE
+                   WHEN length(text) - length(replace(text, ' ', '')) + 1 < 20
+                       THEN 'drop:too_short'
+                   WHEN length(text) - length(replace(text, ' ', '')) + 1 > 1000
+                       THEN 'drop:too_long'
+                   WHEN CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}'))
+                             AS DOUBLE)
+                        / (length(text) - length(replace(text, ' ', '')) + 1) > 0.5
+                       THEN 'drop:stopword_heavy'
+                   ELSE 'keep'
+               END AS verdict
+        FROM documents
+    """,
+    doc="Composite quality gate (the filter stage of a curation pipeline): "
+    "length window + stopword-density ceiling, emitting keep/drop with the "
+    "first failing reason — a deterministic CASE cascade, fully JVM-side; "
+    "downstream stages filter on verdict = 'keep' as a pushed predicate.",
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
+    ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)).cast(
+            "double"
+        )
+        / n_words
+    )
+    verdict = (
+        F.when(n_words < 20, "drop:too_short")
+        .when(n_words > 1000, "drop:too_long")
+        .when(ratio > 0.5, "drop:stopword_heavy")
+        .otherwise("keep")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
+N_SALT = 8
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=f"Skew-safe two-phase aggregation: phase 1 groups by (key, salt) "
+    f"with salt = event_id % {N_SALT} so one hot key spreads over "
+    f"{N_SALT} reducers; phase 2 merges the partials per key. The oracle is "
+    "the plain GROUP BY (identical result) — the salting only changes the "
+    "shuffle layout. events has ~5 heavy keys over millions of rows: the "
+    "exact shape where an unsalted agg at 100 TB sends each key's entire "
+    "volume through one reducer. (Spark's partial aggregation already "
+    "map-side combines; explicit salting is for when combiners can't keep "
+    "up or the agg state is large.)",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    phase1 = (
+        events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+    )
