@@ -17,3 +17,6 @@ from seisdb_spark.streaming.ingest import (  # noqa: F401
     snapshot_ingest_stream,
     tumbling_counts_stream,
 )
+from seisdb_spark.streaming.stateful import (  # noqa: F401
+    running_user_totals_stream,
+)

@@ -76,3 +76,55 @@ def test_snapshot_stream_ingest_encode_equals_batch(spark, tmp_path):
         streamed.iterrows(), batch.iterrows(), strict=True
     ):
         assert bytes(srow.blob) == bytes(brow.blob), f"blob mismatch at {idx}"
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must accumulate across
+    microbatches (state carries over), and the final update per user must
+    equal the batch groupBy totals."""
+    import pyspark.sql.functions as F
+
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming.ingest import EVENTS_RAW_SCHEMA
+    from seisdb_spark.streaming.stateful import running_user_totals_stream
+
+    # split events into 4 files so availableNow + maxFilesPerTrigger=1
+    # yields 4 microbatches
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    src = tmp_path / "events_split"
+    # ts re-written as a plain int64 nanos column, so no nanosAsLong conf is
+    # needed to stream it back
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = running_user_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("t_running_totals").toPandas()
+
+    n_users = ev.select("user_id").distinct().count()
+    assert len(updates) > n_users, "expected multiple updates per user (multi-batch)"
+
+    # final update per user = the row with that user's max cumulative count
+    final = updates.loc[updates.groupby("user_id").n_events.idxmax()].set_index("user_id")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    final = final.sort_index()
+    batch = batch.sort_index()
+    assert (final.n_events == batch.n_events).all()
+    assert (abs(final.sum_value - batch.sum_value) < 1e-6).all()
