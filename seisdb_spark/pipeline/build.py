@@ -281,7 +281,9 @@ def db_meta(
     nspec: int,
     forder: str = CANONICAL_FORDER,
 ) -> DataFrame:
-    """The HDF5 scalar attrs (DSGT.py:186-194) as a per-proc metadata table."""
+    """The HDF5 scalar attrs (DSGT.py:186-194) as a per-proc metadata table.
+    ``proc_name`` is the reference's zero-padded processor prefix
+    (L4, DWidgets.py:9-11) so consumers can resolve original filenames."""
     per_proc = records.groupBy("proc").agg(F.count(F.lit(1)).alias("ngll"))
     nstep = steps.groupBy("proc").agg(F.count(F.lit(1)).alias("nstep"))
     return (
@@ -290,6 +292,7 @@ def db_meta(
             F.lit(network).alias("network"),
             F.lit(station).alias("station"),
             "proc",
+            F.format_string("proc%06d", F.col("proc")).alias("proc_name"),
             F.col("ngll").cast("long"),
             F.col("nstep").cast("long"),
             F.lit(n_force).alias("nforce"),

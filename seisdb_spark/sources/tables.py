@@ -58,6 +58,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view so the whole operator
+    surface is also reachable through ``spark.sql(...)`` (SURVEY §7: the SQL
+    string path is free once plans are declarative — same Catalyst plans,
+    same pushdowns, as the DataFrame API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan would yield
     fewer splits (a small single-file table serializes every downstream

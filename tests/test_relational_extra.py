@@ -24,3 +24,22 @@ def test_range_join_broadcasts_band_side(spark):
     df = REGISTRY["range_join_value_bands"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sql_surface_over_registered_views(spark, duck):
+    """The spark.sql(...) path: DuckDB-oracle SQL shapes run against the
+    registered views and agree with the oracle (same ANSI semantics)."""
+    from seisdb_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    sql = """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority
+    """
+    got = {
+        (r.o_orderpriority, r.n) for r in spark.sql(sql).collect()
+    }
+    want = set(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want

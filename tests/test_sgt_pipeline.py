@@ -301,6 +301,7 @@ def test_write_read_db_partitioned(spark, fixture_meta, sgt_records, tmp_path):
     got_records, got_meta = read_db(spark, out)
     assert got_records.count() == len(pdf)
     mrow = got_meta.filter("proc = 0").collect()[0]
+    assert mrow["proc_name"] == "proc000000"  # L4, DWidgets.py:9-11
     assert mrow["kind"] == "SGT" and mrow["forder"] == "NEZ"
     assert mrow["nforce"] == 3 and mrow["nparas"] == 6
     assert mrow["nstep"] == len(m["valid_steps"])
