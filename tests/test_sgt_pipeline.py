@@ -330,3 +330,37 @@ def test_storage_ratio_parity(fixture_meta, sgt_records):
     # gives > 4x even on incompressible (random) fixtures; real wavefields
     # compress far better (README.md:10-11: ~3500x with temporal stride).
     assert ratio > 4, f"storage ratio {ratio:.2f} too low"
+
+
+def test_dgf_roundtrip_error_bound(spark, fixture_meta):
+    """DGF decode path: the [para][force][time] layout (DDGF.py:128-132)
+    reconstructs within one LSB — the axis order differs from SGT and is
+    exactly what decode_records(kind='DGF') must invert."""
+    m = fixture_meta
+    records, _meta, _steps = dgf_build(
+        spark,
+        os.path.join(m["model_dir"], "proc*_ibool.bin"),
+        m["force_dirs"],
+        m["nspec"],
+        m["step0"],
+        m["step1"],
+        m["dstep"],
+    )
+    pdf = records.toPandas()
+    decoded = decode_records(
+        spark.createDataFrame(pdf), n_force=3, n_para=3, kind="DGF"
+    ).toPandas()
+    g = golden.golden_dgf(
+        m["model_dir"], m["force_dirs"], 0, m["nspec"], m["step0"], m["step1"], m["dstep"]
+    )
+    n_step = len(m["valid_steps"])
+    sub = decoded[decoded["proc"] == 0]
+    by_point = {gid: grp for gid, grp in sub.groupby("gll_id")}
+    for i, gid in enumerate(g["names"]):
+        # DGF serialization is [para][force][time]
+        grp = by_point[gid].sort_values(["para", "force", "step_idx"])
+        xhat = grp["value"].to_numpy()
+        x = g["flat"][i].astype(np.float64)
+        assert xhat.size == x.size == 9 * n_step
+        bound = g["scale"][i] / 255 * 1.0001 + 1e-12
+        assert np.max(np.abs(xhat - x)) <= bound
