@@ -30,14 +30,18 @@ def main() -> None:
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
 
-    # warmup: JVM + codegen + parquet footer caches + Python (pandas UDF)
-    # worker pool + the wide embedding expression chains — one representative
-    # per execution path so per-query numbers reflect steady-state throughput
-    for warm in ("sgt_flagship_encode", "e2_zlib_blob", "similarity_topk_dot"):
-        bench_specs[warm].spark(spark, sf_dir).count()
-
+    # Each query runs twice: the first pass pays one-time costs (JVM +
+    # whole-stage-codegen JIT per plan shape, Python worker spin-up, parquet
+    # footer caches) and is reported as cold_total; the second pass is the
+    # steady-state number reported per query — the cost that actually scales
+    # with data volume (at 100 TB the per-plan JIT is noise; at sf0.1 it
+    # dominates expression-heavy plans like the 12-hash MinHash aggregate).
+    cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         per_query[name] = round(time.perf_counter() - t0, 4)
@@ -50,6 +54,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )
