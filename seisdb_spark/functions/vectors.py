@@ -38,11 +38,19 @@ def dot_chain_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
 
 
 def dot_chain_col(a: str, b: str, dim: int = EMBEDDING_DIM) -> Column:
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        for i in range(1, dim + 1)
-    ]
-    return reduce(add, terms)
+    """Same chain as :func:`dot_chain_sql`, built as ONE parsed expression.
+
+    Building 64 terms from Column objects costs ~300 py4j round-trips
+    (~1s of driver time per query construction); a single F.expr string is
+    one round-trip and parses JVM-side. Spark SQL array indexing is 0-based
+    (vs DuckDB's 1-based), hence i-1; `+` parses left-associative, so the
+    fp accumulation order matches the oracle bit-for-bit."""
+    return F.expr(
+        " + ".join(
+            f"CAST({a}[{i - 1}] AS DOUBLE) * CAST({b}[{i - 1}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+    )
 
 
 def sign_bits_cols(col: str = "embedding", bits: int = SIGN_BITS) -> list[Column]:

@@ -79,6 +79,10 @@ def spread(df: DataFrame) -> DataFrame:
     (ReusedExchange), so self-joins don't recompute the scan lineage and no
     .persist() is needed."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a cached-listing metadata call; df.rdd.getNumPartitions()
+    # would trigger full physical planning (~1s per query build) just to ask
+    # the same question. Non-file-backed DataFrames (createDataFrame in
+    # tests) report zero files and get spread too — harmless and correct.
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
