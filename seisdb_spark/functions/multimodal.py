@@ -153,3 +153,85 @@ def decode_fake_image_headers(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FAKE_IMAGE_SCHEMA])
 
     return df.mapInPandas(extract, schema=FAKE_IMAGE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_mean", T.DoubleType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_fake_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize stage over the fake-header image format: nearest-neighbour
+    downsample of the pixel block, REAL numpy index math per Arrow batch —
+    swap the sampler for PIL/libjpeg and nothing around it changes. Output
+    carries the resized payload (BinaryType) so the stage composes with a
+    downstream write or feature pass."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                raw = bytes(payload)
+                w, h = (int(x) for x in np.frombuffer(raw[:8], dtype="<u4"))
+                pix = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+                small = pix[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "resized": small.tobytes(),
+                        "resized_mean": round(float(small.mean()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_IMAGE_SCHEMA])
+
+    return df.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
+
+
+def sample_fake_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sampling stage over a fake video format: payload = 8-byte
+    header (two little-endian uint32: n_frames, frame_size) followed by
+    n_frames fixed-size frames. Emits every k-th frame's stats — one input
+    row explodes to multiple output rows, the exact shape of a real
+    ffmpeg-backed sampler; frames never leave the executor."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                raw = bytes(payload)
+                n_frames, frame_size = (int(x) for x in np.frombuffer(raw[:8], dtype="<u4"))
+                body = np.frombuffer(
+                    raw[8 : 8 + n_frames * frame_size], dtype=np.uint8
+                ).reshape(n_frames, frame_size)
+                for idx in range(0, n_frames, every_k):
+                    fr = body[idx]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": int(fr.size),
+                            "frame_mean": round(float(fr.mean()), 6),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+
+    return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)

@@ -80,3 +80,36 @@ def test_fake_image_decode_plumbing(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="image decode needs PIL"):
         decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_resize_fake_images_nearest_neighbour(spark):
+    rng = np.random.default_rng(9)
+    w, h = 8, 6
+    pix = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    payload = struct.pack("<II", w, h) + pix.tobytes()
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    from seisdb_spark.functions.multimodal import resize_fake_images
+
+    out = resize_fake_images(df, out_w=4, out_h=3).toPandas().iloc[0]
+    ys = (np.arange(3) * h // 3).astype(int)
+    xs = (np.arange(4) * w // 4).astype(int)
+    want = pix[np.ix_(ys, xs)]
+    got = np.frombuffer(bytes(out.resized), dtype=np.uint8).reshape(3, 4)
+    np.testing.assert_array_equal(got, want)
+    assert out.out_width == 4 and out.out_height == 3
+    assert abs(out.resized_mean - round(float(want.mean()), 6)) < 1e-9
+
+
+def test_sample_fake_video_frames(spark):
+    rng = np.random.default_rng(13)
+    n_frames, frame_size = 7, 16
+    body = rng.integers(0, 256, size=(n_frames, frame_size), dtype=np.uint8)
+    payload = struct.pack("<II", n_frames, frame_size) + body.tobytes()
+    df = spark.createDataFrame([(2, bytearray(payload))], "doc_id long, payload binary")
+    from seisdb_spark.functions.multimodal import sample_fake_video_frames
+
+    out = sample_fake_video_frames(df, every_k=3).toPandas().sort_values("frame_idx")
+    assert list(out.frame_idx) == [0, 3, 6]  # every 3rd frame
+    for _, r in out.iterrows():
+        assert r.frame_bytes == frame_size
+        assert abs(r.frame_mean - round(float(body[int(r.frame_idx)].mean()), 6)) < 1e-9
