@@ -235,3 +235,46 @@ def sample_fake_video_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
 
     return df.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+FAKE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def decode_fake_audio(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over a fake PCM format: payload = 8-byte
+    header (two little-endian uint32: sample_rate, n_samples) followed by
+    int16 LE samples. RMS and zero-crossing counts are REAL numpy DSP over
+    the sample block — the stage a soundfile/librosa-backed extractor drops
+    into, per Arrow batch, partition-local."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                raw = bytes(payload)
+                sr, n = (int(x) for x in np.frombuffer(raw[:8], dtype="<u4"))
+                x = np.frombuffer(raw[8 : 8 + 2 * n], dtype="<i2").astype(np.float64)
+                rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+                zc = int(np.sum(np.signbit(x[:-1]) != np.signbit(x[1:]))) if n > 1 else 0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_s": round(n / sr, 6) if sr else 0.0,
+                        "rms": round(rms, 6),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FAKE_AUDIO_SCHEMA])
+
+    return df.mapInPandas(extract, schema=FAKE_AUDIO_SCHEMA)

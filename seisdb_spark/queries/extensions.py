@@ -901,3 +901,69 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pv"), 2).alias("sum_value"),
     )
+
+
+IVF_NPROBE = 3
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cent AS (
+            SELECT label,
+                   {", ".join(f"round(avg(embedding[{d}]), 3) AS c{d}" for d in range(1, EMBEDDING_DIM + 1))}
+            FROM embeddings
+            GROUP BY label
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        probed AS (
+            SELECT label
+            FROM cent CROSS JOIN q
+            ORDER BY {" + ".join(f"c{d} * CAST(q_emb[{d}] AS DOUBLE)" for d in range(1, EMBEDDING_DIM + 1))}
+                     DESC, label
+            LIMIT {IVF_NPROBE}
+        )
+        SELECT e.vec_id, round({dot_chain_sql("e.embedding", "q.q_emb")}, 6) AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label IN (SELECT label FROM probed)
+        ORDER BY {dot_chain_sql("e.embedding", "q.q_emb")} DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc=f"IVF-style ANN: coarse quantizer = per-label mean centroids "
+    f"(rounded to 3 dp so Spark's and DuckDB's float-sum orders agree "
+    "bit-for-bit), probe the top-"
+    f"{IVF_NPROBE} partitions by centroid dot, exact search only inside "
+    f"them — scans {IVF_NPROBE}/10 of the data. The centroid table is "
+    "label-count-sized (broadcast); at 100 TB the inverted lists are the "
+    "partition layout itself (write.partitionBy(list_id)) so probing is "
+    "partition PRUNING, not a filter. Complements ann_signbucket_topk "
+    "(LSH family) as the second ANN scale path.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent = emb.groupBy("label").agg(
+        *[
+            F.round(F.avg(F.expr(f"CAST(embedding[{d - 1}] AS DOUBLE)")), 3).alias(f"c{d}")
+            for d in range(1, EMBEDDING_DIM + 1)
+        ]
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cent_dot = F.expr(
+        " + ".join(f"c{d} * CAST(q_emb[{d - 1}] AS DOUBLE)" for d in range(1, EMBEDDING_DIM + 1))
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .orderBy(cent_dot.desc(), "label")
+        .limit(IVF_NPROBE)
+        .select("label")
+    )
+    cand = (
+        emb.join(F.broadcast(probed), "label")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot_chain_col("embedding", "q_emb").alias("dot"))
+    )
+    return (
+        cand.orderBy(F.col("dot").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("dot", 6).alias("score"))
+    )

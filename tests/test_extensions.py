@@ -160,3 +160,12 @@ def test_simhash_neardups_close_in_hamming(spark, docs_pdf):
         if a != b
     ]
     assert np.mean(nd) < np.mean(bg), (np.mean(nd), np.mean(bg))
+
+
+def test_ivf_recall_floor(spark):
+    """IVF with nprobe=3 of 10 random-label partitions: the query's own
+    partition is always probed, so recall beats the 0.3 random baseline."""
+    exact = REGISTRY["similarity_topk_dot"].spark(spark, SF_DIR).toPandas()
+    approx = REGISTRY["ann_ivf_topk"].spark(spark, SF_DIR).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall} below floor"

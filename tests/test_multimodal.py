@@ -113,3 +113,20 @@ def test_sample_fake_video_frames(spark):
     for _, r in out.iterrows():
         assert r.frame_bytes == frame_size
         assert abs(r.frame_mean - round(float(body[int(r.frame_idx)].mean()), 6)) < 1e-9
+
+
+def test_decode_fake_audio_sine(spark):
+    """A pure 100 Hz sine at 8 kHz: duration, RMS (A/sqrt(2)) and zero
+    crossings (2 per cycle) must match signal theory."""
+    from seisdb_spark.functions.multimodal import decode_fake_audio
+
+    sr, dur_s, freq, amp = 8000, 2, 100, 10000
+    t = np.arange(sr * dur_s)
+    x = (amp * np.sin(2 * np.pi * freq * t / sr)).astype("<i2")
+    payload = struct.pack("<II", sr, len(x)) + x.tobytes()
+    df = spark.createDataFrame([(3, bytearray(payload))], "doc_id long, payload binary")
+    out = decode_fake_audio(df).toPandas().iloc[0]
+    assert out.sample_rate == sr and out.n_samples == len(x)
+    assert abs(out.duration_s - dur_s) < 1e-9
+    assert abs(out.rms - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(out.zero_crossings - 2 * freq * dur_s) <= 2
