@@ -25,6 +25,7 @@ from seisdb_spark.functions.vectors import (  # noqa: F401
 )
 from seisdb_spark.functions.multimodal import (  # noqa: F401
     PAYLOAD_META_SCHEMA,
+    decode_fake_audio,
     decode_fake_image_headers,
     decode_payload_features,
     documents_as_binary,
