@@ -967,3 +967,100 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("dot", 6).alias("score"))
     )
+
+
+@query(
+    "curation_pipeline_stats",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        {_CAND_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shingle ta ON ta.doc_id = c.doc_a
+            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        losers AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM shared
+            JOIN cnt ca ON shared.doc_a = ca.doc_id
+            JOIN cnt cb ON shared.doc_b = cb.doc_id
+            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        kept AS (
+            SELECT doc_id, lang, text
+            FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1
+                      BETWEEN 20 AND 1000
+              AND doc_id NOT IN (SELECT doc_id FROM losers)
+              AND {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
+                  < 65536 * (CASE lang
+                      {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
+                      ELSE 0.5 END)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+                   AS total_tokens
+        FROM kept
+        GROUP BY lang
+    """,
+    doc="The full curation pipeline as ONE lazy plan: length quality gate -> "
+    "LSH near-dup removal (drop the higher doc_id of each verified pair) -> "
+    "deterministic stratified sample -> per-language token budget. "
+    "Everything composes: the near-dup side is candidates-only (never "
+    "all-pairs), the losers set is dimension-sized (left_anti broadcast), "
+    "the gates are pushed predicates, and the final agg is one shuffle — "
+    "the shape of a 100 TB corpus build.",
+    bench=True,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingle_tokens(docs)
+    cand = _lsh_candidates(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    shared = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.sh") == F.col("tb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_shared")
+    )
+    losers = (
+        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    rate = F.lit(0.5)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = (
+        docs.filter(n_words.between(20, 1000))
+        .filter(bucket < 65536 * rate)
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+    )
+    return (
+        kept.select("lang", n_words.alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("total_tokens"),
+        )
+    )
