@@ -127,6 +127,53 @@ _CAND_CTE = """
 """
 
 
+def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard scored ONLY on LSH candidate pairs, built so the
+    shingle explode runs ONCE: signatures, band join, set sizes, and the
+    intersection count all consume the same distinct-shingle DataFrame, and
+    every branch's plan bottoms out at the same distinct Exchange, which
+    Spark de-duplicates (ReusedExchange).  (``min()`` is duplicate-
+    insensitive, so signatures over the distinct table equal
+    :func:`_lsh_candidates`'s.)  Returns (doc_a, doc_b, jaccard) unrounded.
+    """
+    sh = shingle_tokens(docs)
+    sig = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    shared = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.sh") == F.col("tb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def _lsh_candidates(docs: DataFrame) -> DataFrame:
     """shingle -> minhash -> band -> ONE bucket self-join.
 
@@ -495,28 +542,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingle_tokens(docs)
-    cand = _lsh_candidates(docs)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta, tb = sh.alias("ta"), sh.alias("tb")
-    shared = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.sh") == F.col("tb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_shared")
-    )
-    return (
-        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    scored = _jaccard_on_candidates(docs)
+    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -1021,27 +1049,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingle_tokens(docs)
-    cand = _lsh_candidates(docs)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta, tb = sh.alias("ta"), sh.alias("tb")
-    shared = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.sh") == F.col("tb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_shared")
-    )
     losers = (
-        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        _jaccard_on_candidates(docs)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
