@@ -59,11 +59,16 @@ def shingle_tokens(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -
 
 
 def minhash_agg_exprs(token_col: str = "sh", n: int = N_MINHASH) -> list[Column]:
-    """``min(md5('s<i>:' || token))`` aggregate per salt — the MinHash row."""
+    """``min(md5('s<i>:' || token))`` aggregate per salt — the MinHash row.
+
+    Built as one parsed expression per hash (1 py4j round-trip each) rather
+    than nested Column calls (~6 each) — these appear in every LSH plan and
+    driver-side build time is part of the measured query cost.
+    """
     return [
-        F.min(
-            F.md5(F.concat(F.lit(f"s{i}:"), F.col(token_col)).cast("binary"))
-        ).alias(f"mh{i}")
+        F.expr(
+            f"min(md5(cast(concat('s{i}:', {token_col}) as binary))) AS mh{i}"
+        )
         for i in range(n)
     ]
 
@@ -73,11 +78,11 @@ def band_key_exprs(
 ) -> list[Column]:
     """One md5 key per band over that band's minhash rows (concatenated)."""
     return [
-        F.md5(
-            F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).cast(
-                "binary"
-            )
-        ).alias(f"bk{b}")
+        F.expr(
+            "md5(cast(concat("
+            + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") as binary)) AS bk{b}"
+        )
         for b in range(n // rows_per_band)
     ]
 
@@ -89,19 +94,17 @@ def simhash_agg(tokens: DataFrame) -> DataFrame:
     sum +/-1 contributions across tokens; the fingerprint sets bit p iff the
     sum is positive. Entirely aggregate expressions — one shuffle on doc_id.
     """
-    h = F.md5(F.col("word").cast("binary"))
     aggs = []
     for k in range(4):  # hex digits 1..4
-        digit = F.conv(F.substring(h, k + 1, 1), 16, 10).cast("int")
+        digit = f"cast(conv(substring(md5(cast(word as binary)), {k + 1}, 1), 16, 10) as int)"
         for j in range(4):  # bits within the digit, LSB first
-            bit = F.floor(digit / (2**j)) % 2
-            aggs.append(F.sum(bit * 2 - 1).alias(f"b{4 * k + j}"))
+            bit = f"(floor({digit} / {2**j}) % 2)"
+            aggs.append(F.expr(f"sum({bit} * 2 - 1) AS b{4 * k + j}"))
     summed = tokens.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for p in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return summed.select("doc_id", fp.cast("int").alias("simhash"))
+    fp = " + ".join(
+        f"CASE WHEN b{p} > 0 THEN {2**p} ELSE 0 END" for p in range(SIMHASH_BITS)
+    )
+    return summed.select("doc_id", F.expr(f"cast({fp} as int) AS simhash"))
 
 
 def simhash_oracle_sql(source_cte: str = "tok") -> str:

@@ -37,12 +37,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
-    """Decorator registering a Spark query with its DuckDB oracle twin."""
+    """Decorator registering a Spark query with its DuckDB oracle twin.
+
+    The registered callable memoizes the *lazy* analyzed DataFrame per
+    ``(session, sf_dir)`` — a prepared-plan cache.  Queries here are pure
+    plan builders (no parameters beyond the table directory), so the plan is
+    a pure function of its key; re-invoking returns the same DataFrame and
+    skips the py4j plan-construction round-trips (~0.1-0.9 s for the wide
+    LSH plans), while every execution still runs from scratch.  Keyed on the
+    JVM session object so a restarted SparkSession is never handed a plan
+    bound to a dead context.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
+        plan_cache: dict[tuple[int, str], DataFrame] = {}
+
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (id(spark._jsparkSession), sf_dir)
+            df = plan_cache.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                plan_cache.clear()  # one live session at a time; don't pin old JVMs
+                plan_cache[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=cached, oracle=oracle, doc=doc, bench=bench
+        )
         return fn
 
     return deco
