@@ -134,7 +134,15 @@ def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
     every branch's plan bottoms out at the same distinct Exchange, which
     Spark de-duplicates (ReusedExchange).  (``min()`` is duplicate-
     insensitive, so signatures over the distinct table equal
-    :func:`_lsh_candidates`'s.)  Returns (doc_a, doc_b, jaccard) unrounded.
+    :func:`_lsh_candidates`'s.)
+
+    The verify stage never touches non-candidate shingles: the shingle table
+    is semi-filtered through the broadcast candidate-doc set before the
+    intersection join, so verify cost scales with the (tiny, when LSH prunes
+    well) candidate set rather than the corpus — at sf0.1 that is 486 of
+    5000 docs; at 100 TB it is the difference between a corpus-sized
+    shuffle and a candidate-sized one.  Returns (doc_a, doc_b, jaccard)
+    unrounded.
     """
     sh = shingle_tokens(docs)
     sig = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
@@ -152,8 +160,12 @@ def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta, tb = sh.alias("ta"), sh.alias("tb")
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    cnt = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta, tb = sh_c.alias("ta"), sh_c.alias("tb")
     shared = (
         cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
         .join(
