@@ -958,3 +958,166 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping + window-frame + set-op breadth (SURVEY §2.10 absent-operator
+# list): pivot, unpivot, moving frames, rank distributions, lateral explode,
+# INTERSECT. None exist in the reference (its reshape is the fixed R1/R2
+# tensor assembly); these are the standard analytics surface a user switching
+# engines expects.
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_status_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long -> wide): order counts per priority x status. The "
+    "pivot values are given explicitly so Spark skips the extra "
+    "distinct-values job and plans ONE shuffle (pivot_first partial-aggs "
+    "map-side) — at 100 TB an unlisted pivot would scan the data twice.",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part
+    """,
+    doc="UNPIVOT (wide -> long) via the native unpivot operator (Expand "
+    "node): each input row fans out to one row per metric in a single "
+    "scan-side projection — no shuffle, no join, values pass through "
+    "unchanged (exact float equality with the UNION ALL oracle).",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "window_frame_moving_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 2) AS moving_sum_3
+        FROM orders
+    """,
+    doc="Sliding ROWS-frame aggregate: per-customer 3-order moving spend. "
+    "One shuffle on o_custkey, then a bounded frame evaluated in one pass "
+    "per partition; (o_orderdate, o_orderkey) is a total order so the frame "
+    "contents are deterministic. Rounded on both sides (engines may "
+    "accumulate the frame sum in different association orders).",
+)
+def window_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_sum_3"),
+    )
+
+
+@query(
+    "rank_distribution_customers",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Rank-distribution window functions (ntile / percent_rank / "
+    "cume_dist) per market segment. All three share ONE window spec -> one "
+    "shuffle + one sort; c_custkey tiebreaker makes the order total so "
+    "ranks are deterministic. The ratios are integer-division doubles — "
+    "bit-identical across engines; rounding is belt-and-braces.",
+)
+def rank_distribution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
+@query(
+    "lateral_explode_words",
+    oracle="""
+        SELECT p_partkey, i - 1 AS pos, w[i] AS word
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+             unnest(generate_series(1, len(w))) AS t(i)
+    """,
+    doc="Lateral array explode with ordinality: part names tokenized to "
+    "(row, position, word). posexplode is a Generate node applied "
+    "scan-side — rows fan out inside the same stage, no shuffle at all; "
+    "the natural shape for token/ngram expansion at 100 TB.",
+)
+def lateral_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
+@query(
+    "intersect_repeat_customers",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    """,
+    doc="INTERSECT set op: customers active in both 1996 and 1998. Spark "
+    "plans intersect as a left-semi join over two pre-aggregated "
+    "(distinct) sides — both year predicates are pushed to the scan, and "
+    "AQE broadcasts the smaller distinct side.",
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y96.intersect(y98)
