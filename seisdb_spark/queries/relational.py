@@ -1121,3 +1121,35 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     return y96.intersect(y98)
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+        SELECT ws AS window_start, event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT unnest([
+                       time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                           - INTERVAL '30 minutes'
+                   ]) AS ws,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+    doc="Sliding event-time windows (1h long, 30min slide): each event "
+    "fans out to exactly 2 overlapping windows scan-side (Spark's window() "
+    "Expand — no join), then one shuffle aggregates per (window, type). "
+    "Batch twin of streaming.sliding_counts_stream; the oracle derives both "
+    "window starts per event from its 30-minute time bucket.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

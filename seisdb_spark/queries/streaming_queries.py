@@ -59,3 +59,68 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionize_stream(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, _unique("drv_sessions"))
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle=None,  # oracle lives on the batch twin sliding_window_counts;
+    # registering it twice would double-run the identical SQL — the
+    # stream==batch equivalence is asserted in tests/test_streaming.py
+    doc="Structured Streaming sliding windows (1h / 30min slide, 2h "
+    "watermark) over the events file stream, availableNow to a memory "
+    "sink. Each event updates 2 window states; watermark bounds state.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.streaming import sliding_counts_stream
+
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, _unique("drv_sliding"))
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_type, count(*) AS n_unique
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Streaming exact dedup (watermarked dropDuplicates on event_id; "
+    "first arrival wins, seen-key state evicted past the 2h watermark) -> "
+    "append to memory -> batch count per type. Driver data has unique ids, "
+    "so the oracle is a plain GROUP BY; the duplicate-heavy path (same file "
+    "staged twice -> half the rows dropped) is tests/test_streaming.py.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.streaming import dedup_events_stream
+
+    deduped = run_to_memory(
+        dedup_events_stream(read_events_stream(spark, sf_dir)),
+        _unique("drv_dedup"),
+        output_mode="append",
+    )
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Stream-static join: the events stream joins the broadcast customer "
+    "dimension per microbatch (no stream-side shuffle for the join), then "
+    "aggregates per market segment — the standard streaming-enrichment "
+    "shape; at 100 TB/day the dimension refreshes by re-broadcast, never by "
+    "re-shuffling the stream.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import enrich_stream_static
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer")
+    return run_to_memory(enrich_stream_static(events, customers), _unique("drv_enrich"))

@@ -10,10 +10,13 @@ tested against their twins in queries/relational.py.
 """
 
 from seisdb_spark.streaming.ingest import (  # noqa: F401
+    dedup_events_stream,
+    enrich_stream_static,
     finalize_sgt_from_staging,
     read_events_stream,
     run_to_memory,
     sessionize_stream,
+    sliding_counts_stream,
     snapshot_ingest_stream,
     tumbling_counts_stream,
 )

@@ -107,6 +107,41 @@ def sessionize_stream(
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding event-time windows (1 hour long, every 30 minutes — each
+    event lands in 2 overlapping windows). Same state shape as the tumbling
+    variant, 2x the state keys; the watermark bounds both identically."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first arrival of each event_id wins, later
+    duplicates are dropped. The watermark bounds the seen-keys state — ids
+    older than the watermark are evicted, so state is O(events per 2h), not
+    O(all history). Emits the surviving rows (append semantics)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def enrich_stream_static(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each microbatch of events joins the (batch)
+    customer dimension on user_id == c_custkey, then aggregates per market
+    segment. The static side is broadcast — the stream never shuffles for
+    the join, only for the final segment aggregate."""
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

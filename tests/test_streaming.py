@@ -128,3 +128,71 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     batch = batch.sort_index()
     assert (final.n_events == batch.n_events).all()
     assert (abs(final.sum_value - batch.sum_value) < 1e-6).all()
+
+
+def test_sliding_stream_equals_batch(spark):
+    from seisdb_spark.streaming import sliding_counts_stream
+
+    stream = sliding_counts_stream(read_events_stream(spark, SMOKE_SF_DIR))
+    got = _sorted(run_to_memory(stream, "t_sliding").toPandas())
+    want = _sorted(
+        REGISTRY["sliding_window_counts"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_drops_staged_duplicates(spark, tmp_path):
+    """The same events staged TWICE: the watermarked dropDuplicates stream
+    must emit each event_id exactly once (first arrival wins), so the
+    deduped row count equals the single-copy count, not 2x."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import dedup_events_stream
+    from seisdb_spark.streaming.ingest import EVENTS_RAW_SCHEMA
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    n_unique = ev.count()
+    src = tmp_path / "dups"
+    src.mkdir()
+    shutil.copy(f"{SMOKE_SF_DIR}/events.parquet", src / "copy_a.parquet")
+    shutil.copy(f"{SMOKE_SF_DIR}/events.parquet", src / "copy_b.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = run_to_memory(
+        dedup_events_stream(stream), "t_dedup", output_mode="append"
+    )
+    assert deduped.count() == n_unique
+    assert deduped.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import enrich_stream_static
+
+    events = read_events_stream(spark, SMOKE_SF_DIR)
+    customers = load_table(spark, SMOKE_SF_DIR, "customer")
+    got = _sorted(
+        run_to_memory(enrich_stream_static(events, customers), "t_enrich").toPandas()
+    )
+
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    want = _sorted(
+        ev.join(
+            customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
