@@ -1153,3 +1153,94 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+@query(
+    "above_segment_avg_customers",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer i
+            WHERE i.c_mktsegment = c.c_mktsegment
+        )
+    """,
+    doc="Correlated scalar subquery (each customer vs their segment's "
+    "average) — written decorrelated: one tiny per-segment aggregate, "
+    "broadcast back onto the scan. The oracle keeps the correlated form; "
+    "DuckDB decorrelates it to the same plan. At 100 TB the naive "
+    "re-execute-per-row semantic is fatal; the broadcast-join form is one "
+    "scan + one dimension-sized shuffle.",
+)
+def above_segment_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    seg_avg = cust.groupBy("c_mktsegment").agg(F.avg("c_acctbal").alias("seg_avg"))
+    return (
+        cust.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "median_acctbal_by_segment",
+    oracle="""
+        SELECT c_mktsegment, median_bal
+        FROM (
+            SELECT c_mktsegment, c_acctbal AS median_bal,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM customer
+        )
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+    doc="Exact discrete median (percentile_disc-style) per segment: the "
+    "element at rank ceil(n/2) in (c_acctbal, c_custkey) order. Selecting "
+    "an actual element — not interpolating — keeps the result bit-exact "
+    "across engines (quantile_cont interpolation arithmetic differs). One "
+    "shuffle + one sort per segment; scale-safe because the heavy sort is "
+    "partitioned, never global.",
+)
+def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        cust.select(
+            "c_mktsegment",
+            F.col("c_acctbal").alias("median_bal"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select("c_mktsegment", "median_bal")
+    )
+
+
+@query(
+    "except_parts_never_shipped",
+    oracle="""
+        SELECT p_partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc="EXCEPT set op (completes the family with INTERSECT and the "
+    "anti-join NOT-IN twin): parts with no shipment since 2000. Spark plans "
+    "EXCEPT as distinct + left-anti hash join; the date predicate is pushed "
+    "to the lineitem scan and AQE broadcasts the smaller distinct side.",
+)
+def except_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return part.subtract(shipped)
