@@ -15,6 +15,7 @@ from seisdb_spark.functions.text import (  # noqa: F401
     minhash_agg_exprs,
     shingle_tokens,
     simhash_agg,
+    with_token_hash,
     word_tokens,
 )
 from seisdb_spark.functions.vectors import (  # noqa: F401

@@ -4,9 +4,10 @@ math (JVM-side, whole-stage-codegen'd; no Python boundary).
 
 Portability discipline (these feed DuckDB-oracle-checked queries):
   * hashing is md5 over explicit strings — identical hex in Spark and DuckDB;
-  * hex-digit parsing uses ``conv(digit, 16, 10)`` on the Spark side and
-    ``strpos(alphabet, digit) - 1`` on the DuckDB side — same value;
-  * min-over-hex-strings is lexicographic in both engines (lowercase hex).
+  * hex parsing uses ``conv(hex, 16, 10)`` on the Spark side and summed
+    ``strpos(alphabet, digit) - 1`` lookups on the DuckDB side — same value;
+  * MinHash lanes are int64 multiply-add-mod transforms of that value —
+    exact integer arithmetic, identical in both engines.
 """
 
 from __future__ import annotations
@@ -22,6 +23,23 @@ N_MINHASH = 12
 ROWS_PER_BAND = 3
 N_BANDS = N_MINHASH // ROWS_PER_BAND
 SHINGLE_K = 3
+
+# Universal-hash family for MinHash: ONE md5 per shingle parsed to a 32-bit
+# integer h, then mh_i = min((A_i*h + B_i) mod P) — 1 digest + 12 int64
+# multiply-adds per row instead of 12 digests (the digests dominated the
+# signature aggregate's cost). P is the smallest prime > 2^32; A_i <= 1e9
+# keeps A*h + B < 2^63 (no int64 overflow, in Spark or DuckDB).
+MINHASH_PRIME = 4294967311
+MINHASH_A = (
+    999999937, 961748941, 920419823, 899809363,
+    838041647, 785877281, 715225741, 695928737,
+    611953021, 534912163, 472882049, 433024253,
+)
+MINHASH_B = (
+    15485863, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939,
+    160481183, 179424673, 198491317, 217645177,
+)
 
 # SimHash: 16-bit fingerprint from the first 4 hex digits of md5(token).
 SIMHASH_BITS = 16
@@ -64,16 +82,36 @@ def shingle_tokens(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -
     return out.distinct() if distinct else out
 
 
-def minhash_agg_exprs(token_col: str = "sh", n: int = N_MINHASH) -> list[Column]:
-    """``min(md5('s<i>:' || token))`` aggregate per salt — the MinHash row.
+def with_token_hash(df: DataFrame, token_col: str = "sh") -> DataFrame:
+    """Adds ``h``: the first 8 hex digits of md5(token) as a bigint in
+    [0, 2^32) — the ONE digest each MinHash row needs (the 12 signature
+    lanes are integer transforms of it). ``conv`` is the Spark-side hex
+    parse; the oracle twin sums per-digit ``strpos`` lookups (same value).
+    Computed once as a projection so the aggregate lanes share it (agg
+    expressions are not common-subexpression-eliminated across lanes).
+    """
+    return df.withColumn(
+        "h",
+        F.expr(
+            f"cast(conv(substring(md5(cast({token_col} as binary)), 1, 8), 16, 10)"
+            " as bigint)"
+        ),
+    )
 
-    Built as one parsed expression per hash (1 py4j round-trip each) rather
+
+def minhash_agg_exprs(hash_col: str = "h", n: int = N_MINHASH) -> list[Column]:
+    """``min((A_i*h + B_i) mod P)`` aggregate per lane — the MinHash row over
+    the universal-hash family (see MINHASH_A/B/PRIME; input column from
+    :func:`with_token_hash`).
+
+    Built as one parsed expression per lane (1 py4j round-trip each) rather
     than nested Column calls (~6 each) — these appear in every LSH plan and
     driver-side build time is part of the measured query cost.
     """
     return [
         F.expr(
-            f"min(md5(cast(concat('s{i}:', {token_col}) as binary))) AS mh{i}"
+            f"min(({MINHASH_A[i]} * {hash_col} + {MINHASH_B[i]})"
+            f" % {MINHASH_PRIME}) AS mh{i}"
         )
         for i in range(n)
     ]
@@ -82,12 +120,14 @@ def minhash_agg_exprs(token_col: str = "sh", n: int = N_MINHASH) -> list[Column]
 def band_key_exprs(
     n: int = N_MINHASH, rows_per_band: int = ROWS_PER_BAND
 ) -> list[Column]:
-    """One md5 key per band over that band's minhash rows (concatenated)."""
+    """One join key per band: that band's minhash lanes concatenated. Plain
+    string concat (not a digest) — the key only needs equality semantics
+    within the band self-join."""
     return [
         F.expr(
-            "md5(cast(concat("
-            + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-            + f") as binary)) AS bk{b}"
+            "concat_ws(','"
+            + "".join(f", mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") AS bk{b}"
         )
         for b in range(n // rows_per_band)
     ]

@@ -40,6 +40,9 @@ from seisdb_spark.functions.multimodal import (
 )
 from seisdb_spark.functions.text import (
     LANG_PROFILES,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
     N_BANDS,
     N_MINHASH,
     ROWS_PER_BAND,
@@ -51,6 +54,7 @@ from seisdb_spark.functions.text import (
     shingle_tokens,
     simhash_agg,
     simhash_oracle_sql,
+    with_token_hash,
     word_tokens,
 )
 from seisdb_spark.functions.vectors import (
@@ -98,21 +102,36 @@ _SHINGLE_CTE = f"""
     )
 """
 
+# One md5 per shingle, parsed to a 32-bit int by summing per-hex-digit
+# strpos lookups (DuckDB's equivalent of Spark's conv(hex,16,10)); the 12
+# signature lanes are (A*h+B) mod P transforms of it — in lockstep with
+# functions/text.py::with_token_hash / minhash_agg_exprs.
+_HEXPARSE = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(sh), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
 _SIG_CTE = f"""
+    sigsrc AS (
+        SELECT doc_id, {_HEXPARSE} AS h FROM shingle
+    ),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('s{i}:' || sh)) AS mh{i}" for i in range(N_MINHASH))}
-        FROM shingle
+               {", ".join(f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
+        FROM sigsrc
         GROUP BY doc_id
     )
 """
 
+def _band_concat(b: int) -> str:
+    lanes = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    return "concat(" + ", ',', ".join(lanes) + ")"
+
+
 _BANDS_CTE = (
     "bands AS (\n"
     + "\n        UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5({' || '.join(f'mh{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}) AS bk "
-        f"FROM sig"
+        f"SELECT doc_id, {b} AS band, {_band_concat(b)} AS bk FROM sig"
         for b in range(N_BANDS)
     )
     + "\n    )"
@@ -145,7 +164,7 @@ def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
     unrounded.
     """
     sh = shingle_tokens(docs)
-    sig = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
+    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
     )
@@ -193,7 +212,7 @@ def _lsh_candidates(docs: DataFrame) -> DataFrame:
     both sides' plans end at identical Exchanges, which Spark de-duplicates
     (ReusedExchange) — round 1 recomputed the signature lineage 4x."""
     sh = shingle_tokens(spread(docs), distinct=False)  # min() absorbs dups
-    sig = sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
+    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
     )
@@ -490,14 +509,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_SIG_CTE}
         SELECT doc_id, {", ".join(f"mh{i}" for i in range(N_MINHASH))} FROM sig
     """,
-    doc=f"MinHash signatures over word {SHINGLE_K}-shingles: the minimum of "
-    f"a salted md5 over each document's distinct shingle set, for "
-    f"{N_MINHASH} hash seeds. min-over-hex-strings is engine-portable; "
-    "shingle explode + groupBy is one shuffle.",
+    doc=f"MinHash signatures over word {SHINGLE_K}-shingles: ONE md5 per "
+    f"shingle parsed to a 32-bit int, then {N_MINHASH} universal-hash lanes "
+    "min((A*h+B) mod P) — integer multiply-adds instead of per-lane digests "
+    "(the digests dominated the aggregate's cost). Shingle explode + "
+    "groupBy is one shuffle; lanes partial-aggregate map-side.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_tokens(spread(load_table(spark, sf_dir, "documents")), distinct=False)
-    return sh.groupBy("doc_id").agg(*minhash_agg_exprs("sh"))
+    return with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
 
 
 @query(
