@@ -86,3 +86,30 @@ def spread(df: DataFrame) -> DataFrame:
     if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist a table hash-bucketed (and bucket-sorted) on ``key``.
+
+    Bucketing pre-shuffles the data ONCE at write time: every future
+    equi-join or aggregation on ``key`` between tables with matching bucket
+    counts reads co-located buckets and skips its Exchange entirely — the
+    amortization that pays for itself after one reuse at 100 TB (the
+    reference's per-processor file layout is the same idea, frozen at
+    NPROC buckets; DDBbase.py:33-53).
+    """
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table back with its bucket metadata intact (must go
+    through the catalog — a plain path read loses bucketing)."""
+    return spark.table(name)

@@ -43,3 +43,42 @@ def test_sql_surface_over_registered_views(spark, duck):
     }
     want = set(map(tuple, duck.execute(sql).fetchall()))
     assert got == want
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key: the sort-merge join must read
+    co-located buckets with NO Exchange on either side — the write-once
+    pre-shuffle that co-locates every future join on that key."""
+    import pyspark.sql.functions as F
+
+    from seisdb_spark.sources.tables import load_table, read_bucketed, write_bucketed
+
+    prior_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey"
+    )
+    try:
+        a = read_bucketed(spark, "t_orders_b")
+        b = read_bucketed(spark, "t_lineitem_b")
+        joined = a.hint("merge").join(b, "o_orderkey").select(
+            "o_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        n = joined.count()
+        assert n == li.count()  # every lineitem row has its order
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and the same join on the raw (unbucketed) parquet DOES shuffle
+        raw = orders.hint("merge").join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        raw.count()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        assert prior_wh == spark.conf.get("spark.sql.warehouse.dir", None)
