@@ -11,6 +11,7 @@ Modules:
 
 from seisdb_spark.pipeline.build import (  # noqa: F401
     add_start_offsets,
+    append_to_db,
     assemble_series,
     db_meta,
     decode_records,

@@ -306,16 +306,46 @@ def db_meta(
     )
 
 
-def write_db(records: DataFrame, meta: DataFrame, path: str, network: str, station: str) -> None:
-    """E4/E5/E6: records partitioned by (network, station) — the reference's
-    ``saving_dir/network/station/proc*`` directory layout (DDBbase.py:37-48)
-    as Parquet partition pruning — plus the db_meta sidecar table."""
+def _write_partitioned(
+    records: DataFrame, meta: DataFrame, path: str, network: str, station: str
+) -> None:
     out = records.withColumn("network", F.lit(network)).withColumn("station", F.lit(station))
     out.select(
         "network", "station", "proc", "gll_id", "i_spec", "i_gll",
         "n_values", "offset", "scale", "length", "start", "blob",
     ).write.mode("overwrite").partitionBy("network", "station").parquet(f"{path}/records")
-    meta.write.mode("overwrite").parquet(f"{path}/db_meta")
+    meta.write.mode("overwrite").partitionBy("network", "station").parquet(f"{path}/db_meta")
+
+
+def write_db(records: DataFrame, meta: DataFrame, path: str, network: str, station: str) -> None:
+    """E4/E5/E6: records partitioned by (network, station) — the reference's
+    ``saving_dir/network/station/proc*`` directory layout (DDBbase.py:37-48)
+    as Parquet partition pruning — plus the db_meta sidecar table (same
+    partitioning, so appends and station-replaces stay atomic per station)."""
+    _write_partitioned(records, meta, path, network, station)
+
+
+def append_to_db(
+    records: DataFrame, meta: DataFrame, path: str, network: str, station: str
+) -> None:
+    """Add — or idempotently replace — ONE station's build in an existing DB.
+
+    Dynamic partition overwrite: only the (network, station) partitions
+    present in the incoming data are rewritten; every other station's
+    records and meta are untouched. This is the incremental-build workflow
+    the reference lacks (its layout is write-once per run, DDBbase.py:33-53):
+    at 100 TB a new station lands as one partition write, never a DB rewrite.
+    """
+    spark = records.sparkSession
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _write_partitioned(records, meta, path, network, station)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 def read_db(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

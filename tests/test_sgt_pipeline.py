@@ -364,3 +364,35 @@ def test_dgf_roundtrip_error_bound(spark, fixture_meta):
         assert xhat.size == x.size == 9 * n_step
         bound = g["scale"][i] / 255 * 1.0001 + 1e-12
         assert np.max(np.abs(xhat - x)) <= bound
+
+
+def test_append_to_db_incremental_station(spark, fixture_meta, sgt_records, tmp_path):
+    """append_to_db adds one station per call via dynamic partition
+    overwrite: existing stations untouched, re-appending a station replaces
+    (never duplicates) it."""
+    import pyspark.sql.functions as F
+
+    from seisdb_spark.pipeline import append_to_db
+
+    pdf, meta, _steps = sgt_records
+    records = spark.createDataFrame(pdf)
+    out = str(tmp_path / "db")
+
+    write_db(records, meta, out, network="CI", station="USC")
+    meta_lax = meta.withColumn("station", F.lit("LAX"))
+    append_to_db(records, meta_lax, out, network="CI", station="LAX")
+
+    got_records, got_meta = read_db(spark, out)
+    assert got_records.count() == 2 * len(pdf)
+    stations = {r["station"] for r in got_meta.select("station").distinct().collect()}
+    assert stations == {"USC", "LAX"}
+    assert os.path.isdir(os.path.join(out, "records", "network=CI", "station=LAX"))
+    assert os.path.isdir(os.path.join(out, "records", "network=CI", "station=USC"))
+
+    # idempotent replace: appending LAX again must not duplicate it
+    append_to_db(records, meta_lax, out, network="CI", station="LAX")
+    got_records2, _ = read_db(spark, out)
+    assert got_records2.count() == 2 * len(pdf)
+    assert got_records2.filter("station = 'LAX'").count() == len(pdf)
+    # the conf flip is scoped: static default restored after the call
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
