@@ -136,17 +136,27 @@ def band_key_exprs(
 def simhash_agg(tokens: DataFrame) -> DataFrame:
     """Per-doc 16-bit SimHash over a (doc_id, word) token table.
 
-    For each bit position p = 4*(k-1)+j (hex digit k of md5(word), bit j):
-    sum +/-1 contributions across tokens; the fingerprint sets bit p iff the
-    sum is positive. Entirely aggregate expressions — one shuffle on doc_id.
+    The token's 16-bit hash (first 4 hex digits of md5, digit k supplying
+    bits 4k..4k+3, LSB-first within the digit) is parsed ONCE as a
+    projection — aggregate expressions are not common-subexpression-
+    eliminated, so inlining md5 into each of the 16 sum lanes would run 16
+    digests per row. Each lane then sums +/-1 bit contributions; the
+    fingerprint sets bit p iff the sum is positive. One shuffle on doc_id.
     """
-    aggs = []
-    for k in range(4):  # hex digits 1..4
-        digit = f"cast(conv(substring(md5(cast(word as binary)), {k + 1}, 1), 16, 10) as int)"
-        for j in range(4):  # bits within the digit, LSB first
-            bit = f"(floor({digit} / {2**j}) % 2)"
-            aggs.append(F.expr(f"sum({bit} * 2 - 1) AS b{4 * k + j}"))
-    summed = tokens.groupBy("doc_id").agg(*aggs)
+    hashed = tokens.withColumn(
+        "th",
+        F.expr(
+            "cast(conv(reverse(substring(md5(cast(word as binary)), 1, 4)), 16, 10)"
+            " as int)"
+        ),
+    )
+    # Reversing the 4 hex digits before parsing puts digit k at weight 16^k,
+    # so the digit-k/bit-j (LSB-first) layout is just bit p = 4k+j of th.
+    aggs = [
+        F.expr(f"sum((floor(th / {2**p}) % 2) * 2 - 1) AS b{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*aggs)
     fp = " + ".join(
         f"CASE WHEN b{p} > 0 THEN {2**p} ELSE 0 END" for p in range(SIMHASH_BITS)
     )
@@ -155,19 +165,23 @@ def simhash_agg(tokens: DataFrame) -> DataFrame:
 
 def simhash_oracle_sql(source_cte: str = "tok") -> str:
     """DuckDB twin of :func:`simhash_agg` over a (doc_id, word) CTE."""
-    aggs = []
-    for k in range(4):
-        digit = f"(strpos('{_HEX}', substr(md5(word), {k + 1}, 1)) - 1)"
-        for j in range(4):
-            bit = f"(({digit} // {2**j}) % 2)"
-            aggs.append(f"sum({bit} * 2 - 1) AS b{4 * k + j}")
+    hexparse = " + ".join(
+        f"(strpos('{_HEX}', substr(md5(word), {k + 1}, 1)) - 1) * {16 ** k}"
+        for k in range(4)
+    )
+    aggs = [
+        f"sum(((th // {2**p}) % 2) * 2 - 1) AS b{p}" for p in range(SIMHASH_BITS)
+    ]
     terms = " + ".join(
         f"CASE WHEN b{p} > 0 THEN {2**p} ELSE 0 END" for p in range(SIMHASH_BITS)
     )
     return f"""
+        hashed AS (
+            SELECT doc_id, {hexparse} AS th FROM {source_cte}
+        ),
         summed AS (
             SELECT doc_id, {", ".join(aggs)}
-            FROM {source_cte}
+            FROM hashed
             GROUP BY doc_id
         ),
         simhashed AS (
