@@ -82,3 +82,44 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         assert prior_wh == spark.conf.get("spark.sql.warehouse.dir", None)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A 95%-on-one-key skewed sort-merge join: AQE must detect the skewed
+    shuffle partition at runtime and split it (SortMergeJoin(skew=true) +
+    'AQEShuffleRead ... skewed' in the FINAL adaptive plan) — the runtime
+    re-plan that replaces manual salting when skew is discovered late.
+    Thresholds are lowered (and restored) so fixture-sized data triggers the
+    same code path a 100 TB hot key would. Note the final plan only exists
+    after executing the DataFrame's own query execution (collect), not a
+    derived count()."""
+    import pyspark.sql.functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payloadpayloadpayload"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.hint("merge").join(right, "k")
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:1500]}"
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
