@@ -432,6 +432,74 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # rolling k-gram length (chars)
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+
+def _duck_hexparse8(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, i, {_duck_hexparse8(f"substr(text, i, {WINNOW_K})")} AS h
+            FROM documents,
+                 unnest(generate_series(1, greatest(len(text) - {WINNOW_K - 1}, 0)))
+                     AS t(i)
+        ),
+        wmins AS (
+            SELECT doc_id, i,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                         AND CURRENT ROW) AS wmin
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, wmin AS fp
+        FROM wmins WHERE i >= {WINNOW_W}
+    """,
+    doc=f"Winnowing (rolling-hash) document fingerprints: every char "
+    f"{WINNOW_K}-gram is hashed (one md5-derived 32-bit int per position) "
+    f"and the minimum over each window of {WINNOW_W} consecutive positions "
+    "is kept — the classic local-fingerprint scheme whose guarantee is that "
+    "any shared substring of length >= k+w-1 yields a shared fingerprint, "
+    "so plagiarism/overlap detection joins on fp. Per-doc window = one "
+    "shuffle on doc_id (never global); fingerprints are a bounded fraction "
+    "(~2/(w+1)) of positions.",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    positions = F.when(
+        F.length("text") >= k, F.sequence(F.lit(1), F.length("text") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id", F.explode(positions).alias("i"), F.col("text")
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            f"cast(conv(substring(md5(cast(substring(text, i, {k}) as binary))"
+            ", 1, 8), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    return (
+        grams.select("doc_id", "i", F.min("h").over(win).alias("wmin"))
+        .filter(F.col("i") >= w)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
