@@ -4,6 +4,22 @@ Importing this package registers every query module; ``REGISTRY`` then holds
 one entry per implemented operator from SURVEY.md §2 (+ the §2.11 extension
 surface), each with a Spark callable and (where SQL-expressible) a DuckDB
 oracle SQL twin.
+
+Driver-window ordering
+----------------------
+The driver's correctness harness checks the FIRST 50 registry entries (dict
+iteration order) at sf=0.01; the rest are covered only by the local pytest
+oracle-parity suite (``tests/test_oracle_parity.py`` runs ALL entries).  We
+therefore order the registry explicitly: ``DRIVER_WINDOW`` lists the 50
+queries that must receive a hard driver correctness row — the full LLM-data-
+pipeline surface (dedup/LSH/ANN/curation/multimodal/text), the oracle-bearing
+streaming queries, one query per core §2 operator (the stronger array-form
+variant where twins exist), the two pipeline record sinks, and a
+representative slice of the SQL surface.  Out-of-window queries stay
+registered (bench + pytest still exercise them); near-duplicate §2 twins
+(``d1_running_max_dedup``, ``e1_quantize``, ``r1_series_assembly``,
+``r2_canonical_flatten``) are deliberately outside the window because their
+siblings already verify the same operator.
 """
 
 from seisdb_spark.queries.registry import REGISTRY, QuerySpec
@@ -14,4 +30,75 @@ from seisdb_spark.queries import arrays  # noqa: F401,E402
 from seisdb_spark.queries import extensions  # noqa: F401,E402
 from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 
-__all__ = ["REGISTRY", "QuerySpec"]
+#: The 50 queries the driver must hash-check, in priority order.
+DRIVER_WINDOW: list[str] = [
+    # --- LLM-data-pipeline extensions (all 25) ------------------------------
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "simhash_fingerprint",
+    "doc_fingerprint",
+    "doc_winnowing_fingerprints",
+    "similarity_topk_dot",
+    "knn_cosine_labeled",
+    "ann_signbucket_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_norms_by_label",
+    "doc_chunking",
+    "stratified_sample",
+    "quality_filter_pipeline",
+    "salted_skew_agg",
+    "curation_pipeline_stats",
+    "text_stats",
+    "token_count_by_lang",
+    "text_quality_score",
+    "bpe_token_estimate",
+    "lang_id_ngram",
+    "multimodal_payload_stats",
+    "multimodal_decode_features",
+    # --- Structured Streaming (the 4 oracle-bearing entries) ----------------
+    "streaming_tumbling_counts",
+    "streaming_sessionize",
+    "streaming_dedup_events",
+    "streaming_static_enrich",
+    # --- core §2 operators (one query per operator; array-form twins win) ---
+    "p1_positional_projection",
+    "p3_stride_filter",
+    "j1_gather_join",
+    "j2_semi_gather",
+    "j3_step_alignment",
+    "d1_first_occurrence_dedup",
+    "a1a2_group_normalize",
+    "a3_counts",
+    "a4_prefix_sum",
+    "e1_quantize_codes",
+    "r1_array_assembly",
+    "r2_canonical_flatten_arrays",
+    "l1_point_lookup",
+    "l2_element_reorder",
+    "sgt_flagship_encode",
+    "sgt_pipeline_records",
+    "dgf_pipeline_records",
+    # --- SQL-surface representatives ----------------------------------------
+    "asof_last_click_before_purchase",
+    "sessionize_events",
+    "approx_distinct_parts",
+    "grouping_sets_orders",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:  # fail loudly at import: a typo here silently wastes a slot
+        raise RuntimeError(f"DRIVER_WINDOW names not in REGISTRY: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+__all__ = ["REGISTRY", "QuerySpec", "DRIVER_WINDOW"]
