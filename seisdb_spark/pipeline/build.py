@@ -107,8 +107,13 @@ def valid_steps(
     count(distinct force) == 3 (SURVEY §2.2 P3 / §2.3 J3).
     """
     listing = specfem.snapshot_listing(spark, force_dirs, name_data)
-    candidates = spark.range(1).select(
-        F.explode(F.sequence(F.lit(step0), F.lit(step1 - 1), F.lit(dstep))).alias("step")
+    # Build the stride driver-side: it is a handful of int literals, and
+    # F.sequence(step0, step1-1, dstep) raises "illegal sequence boundaries"
+    # at runtime when step1 <= step0, where the degenerate range should flow
+    # through as empty and surface as the pipeline's explicit
+    # "no valid steps" ValueError (reference: DDBbase.py:82-84).
+    candidates = spark.createDataFrame(
+        [(s,) for s in range(step0, step1, dstep)], "step int"
     )
     present = (
         listing.groupBy("proc", "step")

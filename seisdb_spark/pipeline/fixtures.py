@@ -16,6 +16,7 @@ on conforming input and the divergence on a non-conforming counterexample.
 
 from __future__ import annotations
 
+import json
 import os
 import struct
 
@@ -128,28 +129,24 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 def cached_fixture(**kwargs) -> dict:
     """Idempotent fixture under the repo's .fixture_cache (gitignored) so
-    queries() entries can run the real pipeline without a tmpdir."""
-    key = "-".join(f"{k}{v}" for k, v in sorted(kwargs.items()) if not isinstance(v, tuple))
+    queries() entries can run the real pipeline without a tmpdir.
+
+    The cache key covers EVERY kwarg (tuple values included — two calls
+    differing only in ``missing_steps``/``kinds`` must not collide), and the
+    generation metadata is persisted next to the files and read back on a
+    hit, so the hit path can never disagree with what is on disk."""
+    key = "-".join(
+        f"{k}{'_'.join(map(str, v)) if isinstance(v, tuple) else v}"
+        for k, v in sorted(kwargs.items())
+    )
     root = os.path.join(_CACHE_ROOT, key or "default")
-    done = os.path.join(root, ".done")
-    if not os.path.exists(done):
+    marker = os.path.join(root, ".meta.json")
+    if not os.path.exists(marker):
         meta = generate_fixture(root, **kwargs)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        with open(marker, "w") as fh:
+            json.dump(meta, fh)
         return meta
-    # regenerate metadata deterministically without rewriting files
-    kwargs.setdefault("nprocs", 2)
-    kwargs.setdefault("nspec", 3)
-    meta = dict(kwargs)
-    meta["model_dir"] = os.path.join(root, "model")
-    meta["force_dirs"] = [os.path.join(root, d) for d in ("N", "E", "Z")]
-    ib_max = [int(conforming_ibool(meta["nspec"], p).max()) + 1 for p in range(meta["nprocs"])]
-    meta["ngll_by_proc"] = dict(enumerate(ib_max))
-    steps = list(range(kwargs.get("step0", 0), kwargs.get("step1", 80), kwargs.get("dstep", 10)))
-    missing = kwargs.get("missing_steps", (30,))
-    meta["steps"] = steps
-    meta["valid_steps"] = [s for s in steps if s not in missing]
-    meta.setdefault("step0", 0)
-    meta.setdefault("step1", 80)
-    meta.setdefault("dstep", 10)
+    with open(marker) as fh:
+        meta = json.load(fh)
+    meta["ngll_by_proc"] = {int(k): v for k, v in meta["ngll_by_proc"].items()}
     return meta

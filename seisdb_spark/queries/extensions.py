@@ -1142,7 +1142,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH near-dup removal (drop the higher doc_id of each verified pair) -> "
     "deterministic stratified sample -> per-language token budget. "
     "Everything composes: the near-dup side is candidates-only (never "
-    "all-pairs), the losers set is dimension-sized (left_anti broadcast), "
+    "all-pairs), the losers anti-join strategy is left to AQE (broadcast "
+    "when small, shuffle when the dup-rate makes it corpus-sized), "
     "the gates are pushed predicates, and the final agg is one shuffle — "
     "the shape of a 100 TB corpus build.",
     bench=True,
@@ -1164,7 +1165,11 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.filter(n_words.between(20, 1000))
         .filter(bucket < 65536 * rate)
-        .join(F.broadcast(losers), "doc_id", "left_anti")
+        # No broadcast hint: ``losers`` is data-dependent (every doc losing a
+        # near-dup comparison) and at a realistic 20-40 % corpus dup rate it
+        # is corpus-fraction-sized — forcing a broadcast would OOM at scale.
+        # AQE picks broadcast at runtime when the set is actually small.
+        .join(losers, "doc_id", "left_anti")
     )
     return (
         kept.select("lang", n_words.alias("nw"))

@@ -44,23 +44,25 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
     plan builders (no parameters beyond the table directory), so the plan is
     a pure function of its key; re-invoking returns the same DataFrame and
     skips the py4j plan-construction round-trips (~0.1-0.9 s for the wide
-    LSH plans), while every execution still runs from scratch.  Keyed on the
-    JVM session object so a restarted SparkSession is never handed a plan
-    bound to a dead context.
+    LSH plans), while every execution still runs from scratch.  The cache
+    holds a STRONG reference to the session object and hits only on ``is``
+    identity — so a stopped-and-collected session's id can never be reused
+    for a false hit (a fresh SparkSession is a different object and takes
+    the miss path, which also drops the old entry).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        plan_cache: dict[tuple[int, str], DataFrame] = {}
+        plan_cache: dict[str, tuple[SparkSession, DataFrame]] = {}
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (id(spark._jsparkSession), sf_dir)
-            df = plan_cache.get(key)
-            if df is None:
-                df = fn(spark, sf_dir)
-                plan_cache.clear()  # one live session at a time; don't pin old JVMs
-                plan_cache[key] = df
+            hit = plan_cache.get(sf_dir)
+            if hit is not None and hit[0] is spark:
+                return hit[1]
+            df = fn(spark, sf_dir)
+            plan_cache.clear()  # one live session at a time; don't pin old JVMs
+            plan_cache[sf_dir] = (spark, df)
             return df
 
         cached.__name__ = fn.__name__

@@ -356,16 +356,18 @@ def a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
     """,
     doc="Read-side point query: one element's rows by key "
-    "(ibool_reader.py:37-54). The lookup key is resolved first (a 1-row "
-    "scalar aggregate — the only driver-side fetch in the engine, and it is "
-    "one scalar), then applied as a LITERAL equality predicate so it "
-    "genuinely reaches the parquet scan: PushedFilters + row-group min/max "
-    "pruning, no shuffle, no full fact scan.",
+    "(ibool_reader.py:37-54). The lookup key is a scalar subquery "
+    "(DataFrame.scalar(), Spark 4+): the plan stays fully lazy — building "
+    "the query runs NO job — and at execution Catalyst runs the 1-row "
+    "aggregate once, injects the result as a literal, and filters the main "
+    "scan with it. When the caller knows the key (the real L1 use: a user-"
+    "supplied element id), the same filter is a static literal and reaches "
+    "the parquet scan as PushedFilters + row-group min/max pruning.",
 )
 def l1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    lookup_key = li.agg(F.min("l_orderkey")).head()[0]
-    return li.filter(F.col("l_orderkey") == F.lit(lookup_key)).select(
+    lookup_key = li.agg(F.min("l_orderkey")).scalar()
+    return li.filter(F.col("l_orderkey") == lookup_key).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
 
@@ -942,21 +944,36 @@ def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches differ across engines — accuracy is
-    # pytest-asserted against the exact count instead (test_relational_extra)
+    oracle="""
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS approx_within_bound,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
     doc="approx_count_distinct (HyperLogLog++) — the sketch aggregate the "
     "reference lacks (SURVEY §2.5 absent list). At 100 TB an exact "
     "countDistinct shuffles every distinct key; the sketch is "
     "constant-memory per partition and merges map-side. Engine-specific "
-    "sketch values can't hash-match a DuckDB oracle, so the driver check is "
-    "rows-only and the <2% relative-error bound vs the exact count is "
-    "asserted in tests.",
+    "sketch values can't hash-match a DuckDB oracle directly, so the hard "
+    "gate is: Spark returns the EXACT count plus a boolean asserting the "
+    "sketch is within 3x the configured rsd of it; the oracle returns the "
+    "exact count and literal TRUE. A broken sketch flips the boolean and "
+    "fails the driver's value hash.",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    rsd = 0.01
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * rsd * F.col("exact_parts")
+        ).alias("approx_within_bound"),
+        "n_rows",
     )
 
 

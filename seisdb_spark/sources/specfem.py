@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -255,8 +256,6 @@ def snapshot_listing(spark: SparkSession, force_dirs: list[str], name_data: str)
     zero rows (not a PATH_NOT_FOUND error), so the empty-steps case surfaces
     through the pipeline's explicit check, as in the reference
     (DDBbase.py:82-84)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     parts = []
     for force, d in enumerate(force_dirs):
         glob = os.path.join(d, f"proc*_{name_data}_Step_*.bin")

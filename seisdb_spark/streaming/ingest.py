@@ -58,7 +58,16 @@ BINARYFILE_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events table with event-time ``ts``."""
+    """File-source stream over the events table with event-time ``ts``.
+
+    SIDE EFFECT: sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
+    SESSION and leaves it set — the conf must hold for the stream's lifetime
+    (every microbatch re-reads parquet footers), so it cannot be scoped like
+    the batch loaders in ``sources/tables.py`` do.  Any later batch read of
+    a timestamp[ns] parquet in this session will see those columns as
+    LongType; use ``tables.load_table`` (which scopes the conf per-read and
+    restores it) rather than a bare ``spark.read.parquet`` for such tables.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source lists a DIRECTORY; pathGlobFilter narrows it to
     # the events file (a single-file path is rejected: basePath must be a dir)
