@@ -19,10 +19,12 @@ from seisdb_spark.functions.text import (  # noqa: F401
     word_tokens,
 )
 from seisdb_spark.functions.vectors import (  # noqa: F401
+    adaptive_bits_col,
+    adaptive_bits_sql,
     dot_chain_col,
     dot_chain_sql,
-    sign_bits_cols,
-    sign_bits_sql,
+    sign_string_expr,
+    sign_string_sql,
 )
 from seisdb_spark.functions.multimodal import (  # noqa: F401
     PAYLOAD_META_SCHEMA,

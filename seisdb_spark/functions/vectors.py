@@ -9,25 +9,31 @@ oracle nothing to mirror.
 Sign-bit bucketing is the classic random-hyperplane LSH family restricted to
 axis-aligned hyperplanes (hyperplane normal = basis vector e_d): bucket bit d
 is ``embedding[d] >= 0``. Cosine-similar vectors agree on sign bits with
-probability 1 - theta/pi per bit, so near-duplicate vectors share the full
-key and top-k neighbours are found by probing buckets within small Hamming
+probability 1 - theta/pi per bit, so near-duplicate vectors share bucket
+keys and top-k neighbours are found by probing buckets within small Hamming
 distance — the scan prunes to |probed buckets| / 2^bits of the data.
+
+Bit counts are NOT compile-time constants: each query derives its bucket-key
+width from the input row count at execution time (``adaptive_bits_col`` /
+``adaptive_bits_sql``, computed as a broadcast 1-row aggregate), so the
+expected bucket occupancy stays ~constant as data grows — the probed
+fraction shrinks as 1/2^bits instead of silently degrading toward a linear
+scan (ANN) or quadratic within-bucket blow-up (near-dup blocking).  The
+width formula is pure integer arithmetic (``length(bin(ceil(n/target)-1))``
+= ceil(log2(ceil(n/target)))), bit-identical between Spark and the DuckDB
+oracle — no float log2 at an integer boundary.
 """
 
 from __future__ import annotations
-
-from functools import reduce
-from operator import add
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMBEDDING_DIM = 64
 
-# Sign-bit LSH geometry: 4 axis-aligned bits -> 16 buckets; Hamming<=1
-# probing scans 5/16 of the data. At 100 TB you raise the bit count (each
-# bit halves the probed fraction) and keep multiprobe radius 1.
-SIGN_BITS = 4
+# A bucket key is a prefix (or band slice) of this many sign-bit characters;
+# 16 bits = 65536 buckets is ample headroom before key width saturates.
+MAX_SIGN_BITS = 16
 
 
 def dot_chain_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
@@ -53,26 +59,42 @@ def dot_chain_col(a: str, b: str, dim: int = EMBEDDING_DIM) -> Column:
     )
 
 
-def sign_bits_cols(col: str = "embedding", bits: int = SIGN_BITS) -> list[Column]:
-    """One 0/1 column per sign bit (dimensions 1..bits, 1-indexed)."""
-    return [
-        F.when(F.element_at(col, d) >= 0, 1).otherwise(0).alias(f"sb{d - 1}")
-        for d in range(1, bits + 1)
-    ]
+def sign_string_expr(col: str = "embedding", dims: int = EMBEDDING_DIM) -> Column:
+    """The full '1'/'0' sign string over all dims, as ONE parsed expression
+    (0-based Spark SQL indexing; one py4j round-trip, codegen'd JVM-side).
+    Bucket keys are prefixes / band slices of this string — slicing by a
+    runtime length column is what makes the key width data-adaptive."""
+    chars = ", ".join(f"if({col}[{d}] >= 0, '1', '0')" for d in range(dims))
+    return F.expr(f"concat({chars})")
 
 
-def sign_bits_sql(col: str, bits: int = SIGN_BITS) -> list[str]:
-    """DuckDB twins of :func:`sign_bits_cols` (1-indexed list access)."""
-    return [
-        f"CASE WHEN {col}[{d}] >= 0 THEN 1 ELSE 0 END AS sb{d - 1}"
-        for d in range(1, bits + 1)
-    ]
+def sign_string_sql(col: str = "embedding", dims: int = EMBEDDING_DIM) -> str:
+    """DuckDB twin of :func:`sign_string_expr` (1-indexed list access)."""
+    return " || ".join(
+        f"CASE WHEN {col}[{d}] >= 0 THEN '1' ELSE '0' END" for d in range(1, dims + 1)
+    )
 
 
-def hamming_leq(a_prefix: str, b_prefix: str, bits: int, radius: int) -> Column:
-    """Predicate: Hamming distance between two sign-bit column sets <= radius."""
-    diffs = [
-        F.abs(F.col(f"{a_prefix}sb{i}") - F.col(f"{b_prefix}sb{i}"))
-        for i in range(bits)
-    ]
-    return reduce(add, diffs) <= radius
+def adaptive_bits_col(
+    n: Column, target_rows: int, min_bits: int, max_bits: int = MAX_SIGN_BITS
+) -> Column:
+    """Bucket-key width for ``n`` input rows: the smallest ``bits`` with
+    ``2^bits >= n / target_rows`` (expected bucket occupancy <= target),
+    clamped to [min_bits, max_bits].
+
+    Integer-only: ``ceil(log2(x)) = length(bin(x - 1))`` for x >= 2, so the
+    same expression evaluates bit-identically in Spark and DuckDB."""
+    ceil_div = F.floor((n + F.lit(target_rows - 1)) / F.lit(target_rows)).cast("long")
+    bits = F.length(F.bin(ceil_div - 1))
+    return F.greatest(F.lit(min_bits), F.least(F.lit(max_bits), bits))
+
+
+def adaptive_bits_sql(
+    target_rows: int, min_bits: int, max_bits: int = MAX_SIGN_BITS
+) -> str:
+    """DuckDB twin of :func:`adaptive_bits_col`; ``n`` is ``count(*)`` of the
+    enclosing aggregate query."""
+    return (
+        f"GREATEST({min_bits}, LEAST({max_bits}, "
+        f"LENGTH(BIN((count(*) + {target_rows - 1}) // {target_rows} - 1))))"
+    )

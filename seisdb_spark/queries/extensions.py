@@ -59,11 +59,13 @@ from seisdb_spark.functions.text import (
 )
 from seisdb_spark.functions.vectors import (
     EMBEDDING_DIM,
+    MAX_SIGN_BITS,
+    adaptive_bits_col,
+    adaptive_bits_sql,
     dot_chain_col,
     dot_chain_sql,
-    hamming_leq,
-    sign_bits_cols,
-    sign_bits_sql,
+    sign_string_expr,
+    sign_string_sql,
 )
 from seisdb_spark.queries.registry import query
 from seisdb_spark.sources.tables import load_table, spread
@@ -71,9 +73,18 @@ from seisdb_spark.sources.tables import load_table, spread
 STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
 JACCARD_THRESHOLD = 0.7
 NEARDUP_COSINE = 0.95
-NEARDUP_SIGN_BITS = 8
-ANN_SIGN_BITS = 4
-ANN_PROBE_RADIUS = 1
+
+# Sign-bucket key widths are derived from the input row count at execution
+# (see functions/vectors.py::adaptive_bits_col): width = the smallest bits
+# with expected bucket occupancy <= target, clamped to [min, MAX_SIGN_BITS].
+# ANN targets larger buckets (the probed set must still contain a top-10);
+# near-dup blocking targets small buckets (within-bucket work is quadratic).
+ANN_TARGET_BUCKET_ROWS = 64
+ANN_MIN_BITS = 2
+NEARDUP_TARGET_BUCKET_ROWS = 8
+NEARDUP_MIN_BITS = 4
+NEARDUP_BANDS = 4
+NEARDUP_BAND_STRIDE = 16  # band b slices sign-string chars [b*16+1, b*16+R]
 
 
 # ---------------------------------------------------------------------------
@@ -768,46 +779,79 @@ def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_signbucket_topk",
     oracle=f"""
-        WITH sb AS (
-            SELECT vec_id, embedding,
-                   {", ".join(sign_bits_sql("embedding", ANN_SIGN_BITS))}
+        WITH nb AS (
+            SELECT {adaptive_bits_sql(ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS)} AS nbits
             FROM embeddings
         ),
-        q AS (SELECT embedding AS q_emb,
-                     {", ".join(f"sb{i} AS qsb{i}" for i in range(ANN_SIGN_BITS))}
-              FROM sb WHERE vec_id = 0),
+        sb AS (
+            SELECT vec_id, embedding,
+                   substr({sign_string_sql("embedding")}, 1, nbits) AS bucket
+            FROM embeddings CROSS JOIN nb
+        ),
+        q AS (SELECT embedding AS q_emb, bucket AS qb FROM sb WHERE vec_id = 0),
+        probes AS (
+            SELECT q_emb,
+                   CASE WHEN i = 0 THEN qb
+                        ELSE substr(qb, 1, i - 1)
+                             || (CASE WHEN substr(qb, i, 1) = '1'
+                                 THEN '0' ELSE '1' END)
+                             || substr(qb, i + 1, {MAX_SIGN_BITS})
+                   END AS pb
+            FROM q CROSS JOIN nb
+            CROSS JOIN (SELECT unnest(generate_series(0, {MAX_SIGN_BITS})) AS i)
+            WHERE i <= nbits
+        ),
         cand AS (
             SELECT s.vec_id,
-                   {dot_chain_sql("s.embedding", "q.q_emb")} AS dot
-            FROM sb s CROSS JOIN q
-            WHERE {" + ".join(f"abs(s.sb{i} - q.qsb{i})" for i in range(ANN_SIGN_BITS))}
-                  <= {ANN_PROBE_RADIUS}
+                   {dot_chain_sql("s.embedding", "p.q_emb")} AS dot
+            FROM sb s JOIN probes p ON s.bucket = p.pb
         )
         SELECT vec_id, round(dot, 6) AS score
         FROM cand
         ORDER BY dot DESC, vec_id
         LIMIT 10
     """,
-    doc=f"Approximate nearest neighbours via sign-bit LSH: {ANN_SIGN_BITS} "
-    "axis-aligned hyperplane bits -> 16 buckets; probe buckets within "
-    f"Hamming distance {ANN_PROBE_RADIUS} of the query's bucket (5/16 of "
-    "the data), then exact dot + TakeOrderedAndProject inside the probed "
-    "set. The scale path brute-force can't offer: bits scale with data "
-    "volume (each bit halves the scanned fraction) while the bucket "
-    "predicate stays a pushed-down filter. Recall vs brute force is "
-    "asserted in tests/test_extensions.py.",
+    doc="Approximate nearest neighbours via sign-bit LSH with a DATA-ADAPTIVE "
+    "key width: nbits = ceil(log2(n / target-bucket-rows)) is computed from "
+    "the input count as a broadcast 1-row aggregate, so expected bucket "
+    f"occupancy stays ~{ANN_TARGET_BUCKET_ROWS} rows as data grows (each "
+    "extra bit halves the probed fraction — no recompile at 100x scale). "
+    "Multiprobe radius 1: the nbits+1 probe keys (exact bucket + each 1-bit "
+    "flip) broadcast to an EQUI-join on the bucket key — with bucket-"
+    "partitioned data this prunes partitions, unlike a scan-and-filter "
+    "Hamming predicate. Exact dot + TakeOrderedAndProject inside the probed "
+    "set; recall vs brute force asserted at two scales in "
+    "tests/test_extensions.py.",
 )
 def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    sb = emb.select("vec_id", "embedding", *sign_bits_cols("embedding", ANN_SIGN_BITS))
-    q = sb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        *[F.col(f"sb{i}").alias(f"qsb{i}") for i in range(ANN_SIGN_BITS)],
+    nbdf = emb.agg(
+        adaptive_bits_col(
+            F.count(F.lit(1)), ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS
+        ).alias("nbits")
     )
-    cand = (
-        sb.crossJoin(F.broadcast(q))
-        .filter(hamming_leq("", "q", ANN_SIGN_BITS, ANN_PROBE_RADIUS))
-        .select("vec_id", dot_chain_col("embedding", "q_emb").alias("dot"))
+    sb = emb.crossJoin(F.broadcast(nbdf)).select(
+        "vec_id",
+        "embedding",
+        sign_string_expr("embedding").substr(F.lit(1), F.col("nbits")).alias("bucket"),
+        "nbits",
+    )
+    q = sb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb"), "nbits"
+    )
+    i = F.col("i").cast("int")
+    flipped = F.concat(
+        F.col("qb").substr(F.lit(1), i - 1),
+        F.when(F.col("qb").substr(i, F.lit(1)) == "1", "0").otherwise("1"),
+        F.col("qb").substr(i + 1, F.lit(MAX_SIGN_BITS)),
+    )
+    probes = (
+        q.crossJoin(spark.range(0, MAX_SIGN_BITS + 1).select(F.col("id").alias("i")))
+        .filter(i <= F.col("nbits"))
+        .select("q_emb", F.when(i == 0, F.col("qb")).otherwise(flipped).alias("pb"))
+    )
+    cand = sb.join(F.broadcast(probes), F.col("bucket") == F.col("pb")).select(
+        "vec_id", dot_chain_col("embedding", "q_emb").alias("dot")
     )
     return (
         cand.orderBy(F.col("dot").desc(), "vec_id")
@@ -819,52 +863,94 @@ def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-        WITH sb AS (
+        WITH nb AS (
+            SELECT {adaptive_bits_sql(NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS)}
+                   AS r
+            FROM embeddings
+        ),
+        sb AS (
             SELECT vec_id, embedding,
                    sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
-                   {" || ".join(
-                       f"CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END"
-                       for d in range(1, NEARDUP_SIGN_BITS + 1)
-                   )} AS bucket
+                   {sign_string_sql("embedding")} AS fb
             FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, band,
+                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
+            FROM sb CROSS JOIN nb
+            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
+                        AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(({dot_chain_sql("a.embedding", "b.embedding")})
-                     / (a.nrm * b.nrm), 6) AS cosine
-        FROM sb a JOIN sb b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ({dot_chain_sql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
-              >= {NEARDUP_COSINE}
+        SELECT vec_a, vec_b,
+               round(({dot_chain_sql("sa.embedding", "sb2.embedding")})
+                     / (sa.nrm * sb2.nrm), 6) AS cosine
+        FROM cand
+        JOIN sb sa ON sa.vec_id = vec_a
+        JOIN sb sb2 ON sb2.vec_id = vec_b
+        WHERE ({dot_chain_sql("sa.embedding", "sb2.embedding")})
+              / (sa.nrm * sb2.nrm) >= {NEARDUP_COSINE}
     """,
-    doc=f"Embedding-cosine near-dup pairs, sign-bucket blocked: vectors with "
-    f"cosine >= {NEARDUP_COSINE} agree on all {NEARDUP_SIGN_BITS} sign bits "
-    "with overwhelming probability, so the pairwise join runs inside "
-    f"2^{NEARDUP_SIGN_BITS} buckets (single equi-join key) instead of "
-    "all-pairs — the embedding analog of LSH-banded MinHash. Planted "
-    "near-dup recall is asserted in tests/test_extensions.py.",
+    doc=f"Embedding-cosine near-dup pairs via BANDED sign-bit LSH (the "
+    f"embedding analog of banded MinHash): {NEARDUP_BANDS} bands over "
+    f"disjoint dimension ranges, each a DATA-ADAPTIVE r-bit key "
+    f"(r = ceil(log2(n/{NEARDUP_TARGET_BUCKET_ROWS})), so within-bucket "
+    "pair work stays ~linear in n instead of quadratic), candidates = "
+    "DISTINCT pairs agreeing in ANY band (banding keeps recall as r grows "
+    "— a single all-bits key loses recall at scale), then exact cosine "
+    f">= {NEARDUP_COSINE} verification on the candidate set only. Planted "
+    "near-dup recall asserted at two scales in tests/test_extensions.py.",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    bits = [
-        F.when(F.element_at("embedding", d) >= 0, "1").otherwise("0")
-        for d in range(1, NEARDUP_SIGN_BITS + 1)
-    ]
+    nbdf = emb.agg(
+        adaptive_bits_col(
+            F.count(F.lit(1)), NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS
+        ).alias("r")
+    )
     sb = emb.select(
         "vec_id",
         "embedding",
         F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
-        F.concat(*bits).alias("bucket"),
+        sign_string_expr("embedding").alias("fb"),
     )
-    a, b = sb.alias("a"), sb.alias("b")
-    cos = dot_chain_col("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= NEARDUP_COSINE)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    bands = (
+        sb.crossJoin(F.broadcast(nbdf))
+        .crossJoin(
+            spark.range(0, NEARDUP_BANDS).select(F.col("id").cast("int").alias("band"))
         )
+        .select(
+            "vec_id",
+            "band",
+            F.col("fb")
+            .substr(F.col("band") * NEARDUP_BAND_STRIDE + 1, F.col("r"))
+            .alias("bk"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    sa, sb2 = sb.alias("sa"), sb.alias("sb2")
+    cos = dot_chain_col("sa.embedding", "sb2.embedding") / (
+        F.col("sa.nrm") * F.col("sb2.nrm")
+    )
+    return (
+        cand.join(sa, F.col("vec_a") == F.col("sa.vec_id"))
+        .join(sb2, F.col("vec_b") == F.col("sb2.vec_id"))
+        .filter(cos >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
 
 

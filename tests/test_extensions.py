@@ -100,14 +100,105 @@ def test_lsh_planted_neardup_roundtrip(spark, tmp_path):
 
 def test_ann_recall_vs_bruteforce(spark):
     """Sign-bucket ANN must recover most of the true top-10 while scanning
-    only the Hamming<=1 buckets (5/16 of the data)."""
+    only the probed buckets (adaptive nbits+1 of 2^nbits buckets)."""
     exact = REGISTRY["similarity_topk_dot"].spark(spark, SF_DIR).toPandas()
     approx = REGISTRY["ann_signbucket_topk"].spark(spark, SF_DIR).toPandas()
     recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
     # the query vector itself (dot with self) is always in its own bucket,
-    # and sign-agreement correlates with dot — empirically 0.6 at sf0.01;
+    # and sign-agreement correlates with dot — empirically 0.7 at sf0.01;
     # assert a conservative floor so data regeneration can't flap the test
     assert recall >= 0.4, f"ANN recall {recall} below floor"
+
+
+def _expected_bits(n: int, target: int, minb: int, maxb: int = 16) -> int:
+    import math
+
+    ceil_div = -(-n // target)
+    bits = max(1, math.ceil(math.log2(ceil_div))) if ceil_div > 1 else 1
+    return max(minb, min(maxb, bits))
+
+
+def test_adaptive_bits_formula_lockstep(spark, duck):
+    """The Spark and DuckDB bucket-width expressions must agree with each
+    other and with the closed form ceil(log2(ceil(n/target))) for counts
+    spanning six orders of magnitude (clamps included)."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions.vectors import adaptive_bits_col, adaptive_bits_sql
+
+    for n in (1, 7, 64, 500, 513, 2000, 4096, 10**6, 10**9):
+        for target, minb in ((64, 2), (8, 4)):
+            want = _expected_bits(n, target, minb)
+            got_spark = (
+                spark.range(n)
+                .agg(adaptive_bits_col(F.count(F.lit(1)), target, minb).alias("b"))
+                .head()[0]
+                if n <= 10**6
+                else spark.createDataFrame([(n,)], "n long")
+                .select(adaptive_bits_col(F.col("n"), target, minb).alias("b"))
+                .head()[0]
+            )
+            got_duck = duck.execute(
+                f"SELECT {adaptive_bits_sql(target, minb)} FROM range({n})"
+            ).fetchone()[0]
+            assert got_spark == got_duck == want, (n, target, minb, got_spark, got_duck, want)
+
+
+@pytest.mark.parametrize("n_background", [40, 2048])
+def test_embedding_neardup_planted_two_scales(spark, tmp_path, n_background):
+    """The planted near-dup pair must be found at BOTH fixture sizes even
+    though the derived band width r differs (4 bits at n=42, 8 at n=2050) —
+    banding keeps recall while per-bucket occupancy stays ~constant."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=64).astype(np.float32)
+    near = (base + rng.normal(scale=0.01, size=64).astype(np.float32)).astype(np.float32)
+    others = rng.normal(size=(n_background, 64)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    d = tmp_path / f"scale{n_background}"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    pairs = REGISTRY["embedding_neardup_pairs"].spark(spark, str(d)).toPandas()
+    got = {(r.vec_a, r.vec_b) for r in pairs.itertuples()}
+    assert (0, 1) in got, f"planted pair missed at n={len(vecs)}"
+    # every reported pair is a true near-dup (the exact-cosine verify gate)
+    for va, vb in got:
+        x = np.asarray(vecs[va], dtype=np.float64)
+        y = np.asarray(vecs[vb], dtype=np.float64)
+        assert x @ y / (np.linalg.norm(x) * np.linalg.norm(y)) >= 0.95
+
+
+@pytest.mark.parametrize("n_vecs", [64, 4096])
+def test_ann_recall_two_scales(spark, tmp_path, n_vecs):
+    """ANN top-10 recall vs a numpy brute force holds at two fixture sizes
+    spanning the adaptive range (nbits=2 at n=64, 6 at n=4096)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n_vecs, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n_vecs),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * n_vecs,
+        }
+    )
+    d = tmp_path / f"ann{n_vecs}"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    q = vecs[0].astype(np.float64)
+    dots = vecs.astype(np.float64) @ q
+    exact_top = set(np.argsort(-dots)[:10].tolist())
+    approx = REGISTRY["ann_signbucket_topk"].spark(spark, str(d)).toPandas()
+    recall = len(exact_top & set(approx.vec_id)) / 10
+    assert recall >= 0.3, f"ANN recall {recall} at n={n_vecs}"
+    assert 0 in set(approx.vec_id), "query vector missing from its own bucket"
 
 
 def test_embedding_neardup_planted(spark, tmp_path):
