@@ -54,6 +54,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }

@@ -7,6 +7,9 @@ Modules:
   - ``build``: the SGT/DGF build pipelines as composable DataFrame
     transformations (select points -> valid steps -> assemble -> encode ->
     partitioned sink) plus the inverse read/decode path.
+  - ``export``: the reference's literal on-disk layout (per-proc
+    concatenated-blob ``.bin`` + header table) for consumers of the
+    original format.
 """
 
 from seisdb_spark.pipeline.build import (  # noqa: F401
@@ -23,5 +26,11 @@ from seisdb_spark.pipeline.build import (  # noqa: F401
     sgt_build,
     valid_steps,
     write_db,
+)
+from seisdb_spark.pipeline.export import (  # noqa: F401
+    export_reference_data_bins,
+    export_reference_format,
+    reference_headers,
+    write_hdf5_headers,
 )
 from seisdb_spark.pipeline.fixtures import cached_fixture, generate_fixture  # noqa: F401

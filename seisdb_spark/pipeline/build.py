@@ -366,7 +366,16 @@ def element_gll_ids(ibool: DataFrame, points_per_element: int = 27) -> DataFrame
     (ibool_reader.py:82-88) — INDEX27-gather then the REORDER27 permutation,
     both literal arrays, applied JVM-side.  For 125 points, plain i_gll
     order (ibool_reader.py:37-54).  Point queries push the (proc, i_spec)
-    predicate to the scan."""
+    predicate to the scan.
+
+    DOCUMENTED DEVIATION (SURVEY §1.1): for an out-of-range element the
+    reference ZERO-FILLS — ``extract_element_125`` returns
+    ``np.zeros(125)`` when ``index_element >= len(ibool)``
+    (ibool_reader.py:50-51) — which downstream silently gathers GLL point
+    0's series 125 times.  Here the relational form returns NO ROW for a
+    nonexistent (proc, i_spec): absence is an empty result, never
+    fabricated ids.  Tested in
+    tests/test_sgt_pipeline.py::test_element_lookup_out_of_range."""
     if points_per_element == 27:
         sub = ibool.filter(F.col("i_gll").isin(list(INDEX27)))
     elif points_per_element in (125, -1):

@@ -1,0 +1,206 @@
+"""Literal reference-format export (DSGT.py:118-196 / DDGF.py:115-193).
+
+The engine's native sink is partitioned Parquet (``build.write_db`` —
+SURVEY §1.1 documents that design call).  This module closes the remaining
+parity hole for consumers of the reference's raw on-disk layout (the
+author's ``seisgen``-style read path, ibool_reader.py:94-111): per
+processor one ``proc%06d_{sgt,dgf}_data.bin`` file of zlib blobs
+concatenated in ``start`` order (DSGT.py:126-171), plus a header table
+mirroring the HDF5 datasets (``index/start/length/offset/scale``) and
+scalar attrs (``ngll/nstep/nforce/nparas/dt/nspec/type/forder/version``,
+DSGT.py:172-194).
+
+Execution shape: blob packing is DISTRIBUTED — records hash-partition by
+``proc`` and each task streams its procs' blobs to disk in ``start`` order
+(a proc never spans tasks, so every task owns whole files; no driver
+collect, no shuffle beyond the one repartition).  On a cluster the files
+land on the executor-visible filesystem (the reference's layout is
+inherently file-per-proc; at 100 TB per-proc files parallelize across the
+fleet exactly like the reference's per-proc jobs did on one node).
+
+Headers: this container has no h5py, so headers are written as ONE parquet
+table (``headers_parquet/``, a row per proc: array columns = the HDF5
+datasets, scalar columns = the attrs).  :func:`write_hdf5_headers` converts
+that table into literal ``.hdf5`` files when h5py is importable and raises
+``NotImplementedError`` otherwise (honest stub, same policy as the
+multimodal image decode).
+
+Documented deviation: the reference header's ``length`` dataset stores
+``sys.getsizeof(blob)`` = ``len(blob) + 33`` (CPython bytes-object header,
+DSGT.py:163) even though its ``start`` positions advance by the TRUE length
+(``fw.tell()``, DSGT.py:166).  We store the true byte length in ``length``
+and the reference's quirky value in ``length_sizeof`` so a byte-level
+consumer can pick either; SURVEY §2.7 E3 records the deviation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# CPython bytes-object overhead baked into the reference's header `length`
+# dataset (sys.getsizeof(b"...") - len(b"...") on CPython 3 x86-64).
+_SIZEOF_OVERHEAD = 33
+
+_PACK_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("proc", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_blobs", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _data_suffix(kind: str) -> str:
+    if kind.upper() not in ("SGT", "DGF"):
+        raise ValueError("kind must be 'SGT' or 'DGF'")
+    return "sgt_data" if kind.upper() == "SGT" else "dgf_data"
+
+
+def export_reference_data_bins(
+    records: DataFrame, saving_dir: str, kind: str = "SGT"
+) -> pd.DataFrame:
+    """Write ``<saving_dir>/proc%06d_{sgt,dgf}_data.bin`` per processor:
+    the zlib blobs concatenated in ``start`` order — byte-identical to the
+    reference writer's output (DSGT.py:126-171, asserted vs the golden
+    numpy writer in tests/test_reference_export.py).
+
+    Returns a small pandas frame (one row per proc: path, n_blobs, n_bytes)
+    — the only data that ever reaches the driver.
+    """
+    suffix = _data_suffix(kind)
+    parts = (
+        records.select("proc", "start", "length", "blob")
+        .repartition("proc")
+        .sortWithinPartitions("proc", "start")
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(saving_dir, exist_ok=True)
+        open_proc, fh, written, n_blobs = None, None, 0, 0
+
+        def close():
+            nonlocal fh
+            if fh is not None:
+                fh.close()
+                fh = None
+
+        results: list[tuple[int, str, int, int]] = []
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if row.proc != open_proc:
+                        if open_proc is not None:
+                            results.append((open_proc, path, n_blobs, written))
+                        close()
+                        open_proc, written, n_blobs = row.proc, 0, 0
+                        path = os.path.join(saving_dir, f"proc{row.proc:06d}_{suffix}.bin")
+                        fh = open(path, "wb")
+                    if row.start != written:
+                        raise ValueError(
+                            f"blob start {row.start} != file position {written} "
+                            f"for proc {row.proc} — records out of order or "
+                            "start offsets inconsistent"
+                        )
+                    fh.write(bytes(row.blob))
+                    written += len(row.blob)
+                    n_blobs += 1
+            if open_proc is not None:
+                results.append((open_proc, path, n_blobs, written))
+        finally:
+            close()
+        yield pd.DataFrame(results, columns=["proc", "path", "n_blobs", "n_bytes"])
+
+    return (
+        parts.mapInPandas(pack, _PACK_RESULT_SCHEMA)
+        .toPandas()
+        .sort_values("proc")
+        .reset_index(drop=True)
+    )
+
+
+def reference_headers(records: DataFrame, meta: DataFrame) -> DataFrame:
+    """One row per proc mirroring the reference header file: array columns =
+    the HDF5 datasets in blob order (DSGT.py:172-185), scalars = the attrs
+    (DSGT.py:186-194) taken from the ``db_meta`` table.  Lazy plan; one
+    shuffle (the per-proc collect_list)."""
+    arr = F.sort_array(
+        F.collect_list(F.struct("start", "gll_id", "length", "offset", "scale"))
+    )
+    per_proc = records.groupBy("proc").agg(arr.alias("a"))
+    headers = per_proc.select(
+        "proc",
+        F.transform("a", lambda x: x["gll_id"]).alias("index"),
+        F.transform("a", lambda x: x["start"]).alias("start"),
+        F.transform("a", lambda x: x["length"]).alias("length"),
+        F.transform("a", lambda x: x["length"] + _SIZEOF_OVERHEAD).alias("length_sizeof"),
+        F.transform("a", lambda x: x["offset"]).alias("offset"),
+        F.transform("a", lambda x: x["scale"]).alias("scale"),
+    )
+    attrs = meta.select(
+        "proc", "proc_name", "ngll", "nstep", "nforce", "nparas", "dt", "nspec",
+        F.col("kind").alias("type"), "forder", "version",
+    )
+    return headers.join(F.broadcast(attrs), "proc")
+
+
+def export_reference_format(
+    records: DataFrame, meta: DataFrame, saving_dir: str, kind: str = "SGT"
+) -> pd.DataFrame:
+    """Full reference-layout export: per-proc blob ``.bin`` files plus the
+    header table at ``<saving_dir>/headers_parquet``.  Returns the per-proc
+    pack summary."""
+    summary = export_reference_data_bins(records, saving_dir, kind)
+    reference_headers(records, meta).write.mode("overwrite").parquet(
+        os.path.join(saving_dir, "headers_parquet")
+    )
+    return summary
+
+
+def write_hdf5_headers(spark, saving_dir: str, kind: str = "SGT") -> list[str]:
+    """Convert the parquet header table into the reference's literal
+    ``proc%06d_header.hdf5`` / ``proc%06d_dgf_header.hdf5`` files
+    (DSGT.py:119 / DDGF.py:116).  STUB without h5py: this container ships no
+    HDF5 bindings, so the conversion raises NotImplementedError; the parquet
+    header table carries identical fields and is the tested surface."""
+    try:
+        import h5py
+    except ImportError as exc:  # pragma: no cover - container has no h5py
+        raise NotImplementedError(
+            "write_hdf5_headers requires h5py, which this environment does "
+            "not provide; the parquet header table at "
+            f"{saving_dir}/headers_parquet holds the same datasets/attrs"
+        ) from exc
+
+    header_suffix = "header" if kind.upper() == "SGT" else "dgf_header"
+    rows = (
+        spark.read.parquet(os.path.join(saving_dir, "headers_parquet"))
+        .toPandas()
+        .sort_values("proc")
+    )
+    out: list[str] = []
+    for row in rows.itertuples(index=False):
+        path = os.path.join(saving_dir, f"{row.proc_name}_{header_suffix}.hdf5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("index", data=list(row.index), dtype=int)
+            f.create_dataset("start", data=list(row.start), dtype=int)
+            f.create_dataset("length", data=list(row.length_sizeof), dtype=int)
+            f.create_dataset("offset", data=list(row.offset), dtype=float)
+            f.create_dataset("scale", data=list(row.scale), dtype=float)
+            f.attrs["ngll"] = row.ngll
+            f.attrs["nstep"] = row.nstep
+            f.attrs["nforce"] = row.nforce
+            f.attrs["nparas"] = row.nparas
+            f.attrs["dt"] = row.dt
+            f.attrs["nspec"] = row.nspec
+            f.attrs["type"] = row.type
+            f.attrs["forder"] = row.forder
+            f.attrs["version"] = row.version
+        out.append(path)
+    return out

@@ -31,6 +31,18 @@ def spark():
     spark.stop()
 
 
+NSPEC = 3
+NPROCS = 2
+
+
+@pytest.fixture(scope="session")
+def fixture_meta(tmp_path_factory):
+    from seisdb_spark.pipeline import generate_fixture
+
+    root = str(tmp_path_factory.mktemp("specfem_fixture"))
+    return generate_fixture(root, nprocs=NPROCS, nspec=NSPEC)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

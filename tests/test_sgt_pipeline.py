@@ -21,7 +21,6 @@ from seisdb_spark.pipeline import (
     dgf_build,
     element_gll_ids,
     encode_records,
-    generate_fixture,
     read_db,
     select_gll_points,
     sgt_build,
@@ -32,14 +31,9 @@ from seisdb_spark.schemas import INDEX27, N_GLL_PER_ELEMENT
 from seisdb_spark.sources import specfem
 from tests import golden_numpy as golden
 
-NSPEC = 3
-NPROCS = 2
-
-
-@pytest.fixture(scope="session")
-def fixture_meta(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("specfem_fixture"))
-    return generate_fixture(root, nprocs=NPROCS, nspec=NSPEC)
+# fixture_meta (and NSPEC/NPROCS) live in tests/conftest.py, shared with
+# tests/test_reference_export.py
+from tests.conftest import NPROCS, NSPEC  # noqa: F401,E402
 
 
 @pytest.fixture(scope="session")
@@ -287,6 +281,21 @@ def test_element_gll_ids_125(spark, fixture_meta):
     got = element_gll_ids(ibool, 125).filter("proc = 0 AND i_spec = 0").collect()[0]["gll_ids"]
     ib = golden.load_ibool(os.path.join(m["model_dir"], "proc000000_ibool.bin"), m["nspec"])
     assert list(got) == list(ib[0])
+
+
+def test_element_lookup_out_of_range(spark, fixture_meta):
+    """DOCUMENTED DEVIATION (element_gll_ids docstring): the reference
+    zero-fills an out-of-range element lookup (ibool_reader.py:50-51 returns
+    np.zeros(125), silently gathering GLL point 0's series); the relational
+    form returns NO ROW — absence, not fabricated ids."""
+    m = fixture_meta
+    ibool = specfem.read_ibool(
+        spark, os.path.join(m["model_dir"], "proc*_ibool.bin"), m["nspec"]
+    )
+    beyond = m["nspec"] + 10
+    for ppe in (27, 125):
+        rows = element_gll_ids(ibool, ppe).filter(f"i_spec = {beyond}").collect()
+        assert rows == [], f"out-of-range element fabricated rows at ppe={ppe}"
 
 
 # ---------------------------------------------------------------- sink + meta
