@@ -93,3 +93,22 @@ def test_contract_shapes():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 15
+
+
+def test_driver_window_leads_registry():
+    """The driver hash-checks the FIRST 50 registry entries: the curated
+    DRIVER_WINDOW must be exactly that prefix (a silent registration-order
+    change would push the LLM-pipeline/streaming surface out of the
+    correctness window again — the round-2 gap)."""
+    import __spark_entry__ as e
+    from seisdb_spark.queries import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert list(e.queries())[:50] == DRIVER_WINDOW
+    # every window entry except the 4 documented rows-only ones has an oracle
+    no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert no_oracle == [
+        "multimodal_decode_features",
+        "sgt_pipeline_records",
+        "dgf_pipeline_records",
+    ]
