@@ -946,7 +946,7 @@ def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_parts",
     oracle="""
         SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-               TRUE AS approx_within_bound,
+               1 AS approx_within_bound,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM lineitem
     """,
@@ -955,10 +955,11 @@ def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "countDistinct shuffles every distinct key; the sketch is "
     "constant-memory per partition and merges map-side. Engine-specific "
     "sketch values can't hash-match a DuckDB oracle directly, so the hard "
-    "gate is: Spark returns the EXACT count plus a boolean asserting the "
+    "gate is: Spark returns the EXACT count plus a 0/1 flag asserting the "
     "sketch is within 3x the configured rsd of it; the oracle returns the "
-    "exact count and literal TRUE. A broken sketch flips the boolean and "
-    "fails the driver's value hash.",
+    "exact count and literal 1. A broken sketch flips the flag and fails "
+    "the driver's value hash (int, not boolean — engines agree on int "
+    "renderings unconditionally).",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -972,7 +973,9 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             <= 3 * rsd * F.col("exact_parts")
-        ).alias("approx_within_bound"),
+        )
+        .cast("int")
+        .alias("approx_within_bound"),
         "n_rows",
     )
 

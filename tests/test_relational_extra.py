@@ -9,12 +9,12 @@ from tests.conftest import SF_DIR
 
 def test_approx_distinct_accuracy(spark, duck):
     """HLL sketch values differ across engines, so the query gates itself:
-    it returns the exact count plus a Spark-side boolean asserting the sketch
-    is within 3*rsd of it (the oracle twin returns literal TRUE)."""
+    it returns the exact count plus a Spark-side 0/1 flag asserting the
+    sketch is within 3*rsd of it (the oracle twin returns literal 1)."""
     got = REGISTRY["approx_distinct_parts"].spark(spark, SF_DIR).toPandas()
     exact = duck.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
     assert int(got.exact_parts[0]) == exact
-    assert bool(got.approx_within_bound[0]), "HLL sketch outside 3*rsd bound"
+    assert int(got.approx_within_bound[0]) == 1, "HLL sketch outside 3*rsd bound"
     assert int(got.n_rows[0]) == duck.execute("SELECT count(*) FROM lineitem").fetchone()[0]
 
 
