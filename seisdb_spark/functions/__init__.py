@@ -10,6 +10,11 @@ is an Arrow-batched ``mapInPandas``.
     multimodal.py  BinaryType payload + typed-metadata plumbing and decode
 """
 
+from seisdb_spark.functions.graph import (  # noqa: F401
+    cc_exact_lazy,
+    connected_components,
+    undirect,
+)
 from seisdb_spark.functions.text import (  # noqa: F401
     lang_scores,
     minhash_agg_exprs,

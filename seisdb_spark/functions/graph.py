@@ -1,0 +1,134 @@
+"""Connected components over near-duplicate pairs — dedup clustering.
+
+Near-duplicate detection yields PAIRS; corpus curation needs COMPONENTS
+(the transitive closure: if A~B and B~C, one canonical doc should represent
+{A,B,C} even when A~C was never scored).
+
+Two forms:
+
+* :func:`cc_exact_lazy` — a fully LAZY plan: the edge list (near-dup
+  pairs — a tiny fraction of the corpus, LSH-candidate-sized) shuffles to
+  one task which runs an exact union-find in a single Arrow-batched pass.
+  Correct for ANY component diameter; scalability is bounded by the EDGE
+  count, never the corpus.  Driver queries use this form (a ``queries()``
+  entry must never run jobs at plan build time, and Spark has no lazy
+  fixpoint operator — an unrolled join-per-round plan re-references its
+  input 4x per round, exploding the logical tree exponentially, which is
+  why that formulation is deliberately absent here).
+* :func:`connected_components` — the unbounded-scale iterative form:
+  min-label propagation with POINTER JUMPING (``label <- label(label)``
+  composes the mapping with itself, doubling the propagation radius per
+  round, so O(log diameter) rounds), each round one candidate-sized
+  shuffle, ``localCheckpoint`` per round to cut lineage, one small count
+  per round as the convergence test — the only driver-side actions.  This
+  is the same alternating-contraction idea as the large-star/small-star
+  CC algorithm; use it when the dup-pair edge list itself outgrows one
+  task (billions of edges).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CC_SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.LongType(), False),
+        T.StructField("component", T.LongType(), False),
+    ]
+)
+
+
+def undirect(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """(a, b) pairs -> symmetric (src, dst) edge list."""
+    a = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    b = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return a.unionByName(b)
+
+
+def cc_exact_lazy(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Exact connected components as one lazy plan: single-partition
+    union-find with path compression over the edge list.  Returns
+    (v, component) where component = min vertex id of v's component."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).coalesce(1)
+
+    def union_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"], strict=True):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp = {v: find(v) for v in parent}
+        yield pd.DataFrame(
+            {"v": list(comp.keys()), "component": list(comp.values())}
+        ).astype("int64")
+
+    return edges.mapInPandas(union_find, _CC_SCHEMA)
+
+
+def _cc_round(m: DataFrame, edges: DataFrame) -> DataFrame:
+    """One propagation round: neighbour-min then pointer jump.
+
+    ``m`` is the current labeling (v, l); ``edges`` is symmetric.  Labels
+    are always existing vertex ids (they start as vertex ids and only ever
+    copy), so the pointer-jump join is inner."""
+    nb = (
+        edges.join(m.select(F.col("v").alias("dst"), "l"), "dst")
+        .groupBy("src")
+        .agg(F.min("l").alias("nb_l"))
+        .select(F.col("src").alias("v"), "nb_l")
+    )
+    m1 = m.join(nb, "v", "left").select(
+        "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
+    )
+    lk = m1.select(F.col("v").alias("lv"), F.col("l").alias("ll"))
+    return m1.join(lk, F.col("l") == F.col("lv")).select("v", F.col("ll").alias("l"))
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Iterate :func:`_cc_round` over a symmetric edge list to the fixpoint
+    (no label changed).  Returns ``(labels, rounds_run)``; labels are
+    (v, component).  Each round localCheckpoints the labeling — cutting the
+    lineage that would otherwise grow 4x per round — and runs one limit-1
+    count as the convergence probe."""
+    edges = edges.localCheckpoint(eager=True)
+    m = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("v"), F.col("src").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, max_rounds + 1):
+        nxt = _cc_round(m, edges).localCheckpoint(eager=True)
+        changed = (
+            nxt.join(
+                m.select(F.col("v").alias("pv"), F.col("l").alias("pl")),
+                F.col("v") == F.col("pv"),
+            )
+            .filter(F.col("l") != F.col("pl"))
+            .limit(1)
+            .count()
+        )
+        m = nxt
+        if changed == 0:
+            return m.select("v", F.col("l").alias("component")), i
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")

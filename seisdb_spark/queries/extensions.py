@@ -57,6 +57,7 @@ from seisdb_spark.functions.text import (
     with_token_hash,
     word_tokens,
 )
+from seisdb_spark.functions.graph import cc_exact_lazy
 from seisdb_spark.functions.vectors import (
     EMBEDDING_DIM,
     MAX_SIGN_BITS,
@@ -656,6 +657,65 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _jaccard_on_candidates(docs)
     return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        {_CAND_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shingle ta ON ta.doc_id = c.doc_a
+            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        ver AS (
+            SELECT doc_a, doc_b
+            FROM shared
+            JOIN cnt ca ON shared.doc_a = ca.doc_id
+            JOIN cnt cb ON shared.doc_b = cb.doc_id
+            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        und AS (
+            SELECT doc_a AS src, doc_b AS dst FROM ver
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM ver
+        ),
+        reach (v, l) AS (
+            SELECT src, src FROM und
+            UNION
+            SELECT u.src, r.l FROM und u JOIN reach r ON r.v = u.dst
+        )
+        SELECT v AS doc_id, min(l) AS canonical_id
+        FROM reach
+        GROUP BY v
+    """,
+    doc="Dedup CLUSTERING — the transitive closure the pairwise ops can't "
+    "express: if A~B and B~C, all three share one canonical doc (min doc_id "
+    "of the component) even though A~C was never scored. Spark side: exact "
+    "single-pass union-find over the verified near-dup pairs as ONE lazy "
+    "plan — the edge list is LSH-candidate-sized (a tiny fraction of the "
+    "corpus), so it fits one task at any corpus scale where the dup RATE is "
+    "sane; functions/graph.py also ships the distributed iterate-to-"
+    "convergence form (pointer-jumping label propagation, O(log diameter) "
+    "rounds) for edge lists that outgrow one task. The oracle is the same "
+    "closure as a DuckDB recursive CTE. Output: one row per doc appearing "
+    "in any near-dup pair.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = _jaccard_on_candidates(docs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return cc_exact_lazy(pairs).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("canonical_id")
     )
 
 

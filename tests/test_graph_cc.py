@@ -1,0 +1,110 @@
+"""Connected-components (dedup clustering) tests: the lazy exact form and
+the distributed iterate-to-convergence form against a python union-find
+ground truth, a long-chain diameter stress for pointer jumping, and the
+driver query's closure over real LSH-verified pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seisdb_spark.functions.graph import cc_exact_lazy, connected_components, undirect
+from seisdb_spark.queries.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _truth_min_labels(pairs):
+    uf = _union_find(pairs)
+    comp_min = {}
+    for v, r in uf.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[r] for v, r in uf.items()}
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def test_cc_random_components_match_union_find(spark):
+    rng = np.random.default_rng(3)
+    # 12 clusters of random sizes, linked by random spanning edges
+    pairs = []
+    base = 0
+    for _ in range(12):
+        size = int(rng.integers(2, 9))
+        ids = list(range(base, base + size))
+        base += size + 3  # gap: absent ids must not appear in output
+        for i in range(1, size):
+            pairs.append((ids[rng.integers(0, i)], ids[i]))
+    truth = _truth_min_labels(pairs)
+
+    got_lazy = {
+        r.v: r.component for r in cc_exact_lazy(_pairs_df(spark, pairs)).collect()
+    }
+    assert got_lazy == truth
+
+    labels, rounds = connected_components(undirect(_pairs_df(spark, pairs)))
+    got_iter = {r.v: r.component for r in labels.collect()}
+    assert got_iter == truth
+    assert rounds <= 6
+
+
+def test_cc_long_chain_pointer_jump_radius(spark):
+    """A 40-node chain (diameter 39): the lazy union-find is exact at any
+    diameter; the distributed form's pointer jumping must resolve it in
+    O(log d) rounds, not 39."""
+    pairs = [(i, i + 1) for i in range(39)]
+    truth = _truth_min_labels(pairs)
+
+    got_lazy = {
+        r.v: r.component for r in cc_exact_lazy(_pairs_df(spark, pairs)).collect()
+    }
+    assert got_lazy == truth
+
+    labels, rounds = connected_components(undirect(_pairs_df(spark, pairs)))
+    assert {r.v: r.component for r in labels.collect()} == truth
+    assert rounds <= 9, f"pointer jumping took {rounds} rounds for diameter 39"
+
+
+def test_cc_lazy_builds_without_jobs(spark):
+    """cc_exact_lazy must be a pure plan builder (driver-query contract)."""
+    edges = _pairs_df(spark, [(1, 2), (2, 3)])
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = cc_exact_lazy(edges)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert {r.v: r.component for r in df.collect()} == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_cluster_query_is_closure_of_pairs(spark):
+    """The driver query's components must equal the union-find closure of
+    the verified near-dup pairs on the real sf0.01 corpus."""
+    pairs_df = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR).toPandas()
+    pairs = list(zip(pairs_df.doc_a, pairs_df.doc_b, strict=True))
+    truth = _truth_min_labels(pairs)
+
+    got = {
+        r.doc_id: r.canonical_id
+        for r in REGISTRY["dedup_cluster_components"].spark(spark, SF_DIR).collect()
+    }
+    assert got == truth
+    assert len(got) > 0
