@@ -1102,6 +1102,56 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < 65536 * rate).select("doc_id", "lang")
 
 
+N_TRAINING_SHARDS = 16
+
+
+def _hash32_sql(expr: str) -> str:
+    """First 8 hex digits of md5 -> BIGINT in [0, 2^32), DuckDB side
+    (mirrors sources/tables.py::shard_assignment digit for digit)."""
+    digits = [
+        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {k}, 1)) - 1)"
+        for k in range(1, 9)
+    ]
+    return "(" + " + ".join(
+        f"{d} * {16 ** (8 - k)}" for k, d in enumerate(digits, start=1)
+    ) + ")"
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(h) AS BIGINT) AS key_checksum
+        FROM (
+            SELECT CAST({_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                        % {N_TRAINING_SHARDS} AS INT) AS shard,
+                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        )
+        GROUP BY shard
+    """,
+    doc=f"Deterministic training-shard assignment + audit manifest: every "
+    f"doc lands in shard md5(doc_id)%{N_TRAINING_SHARDS} — a pure function "
+    "of row CONTENT, so the shard layout reproduces across runs, cluster "
+    "sizes, and input partitionings (repartition alone can't promise that: "
+    "its assignment depends on the input split layout). The manifest row "
+    "per shard (count + order-insensitive key-hash checksum) is what a "
+    "training-data lineage audit stores next to the shards. The writer "
+    "itself (one shuffle, per-shard sorted parquet, "
+    "sources/tables.py::write_training_shards) is pytest-verified for "
+    "byte-level determinism under different input layouts.",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.sources.tables import shard_assignment, shard_manifest
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sharded = docs.withColumn(
+        "shard", shard_assignment("doc_id", N_TRAINING_SHARDS)
+    )
+    return shard_manifest(sharded, "doc_id")
+
+
 @query(
     "quality_filter_pipeline",
     oracle=f"""

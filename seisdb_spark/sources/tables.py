@@ -113,3 +113,71 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table back with its bucket metadata intact (must go
     through the catalog — a plain path read loses bucketing)."""
     return spark.table(name)
+
+
+def shard_assignment(key: str, n_shards: int, salt: str = "") -> F.Column:
+    """Content-stable shard id in [0, n_shards): first 8 hex digits of
+    md5(salt || key) mod n_shards.  A pure function of row content —
+    reproducible across runs, cluster sizes, and input partitionings (the
+    property ``repartition`` alone cannot give: its assignment depends on
+    the input split layout)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle -> fixed-shard training-set writer: the
+    final stage of a curation pipeline.
+
+    Rows land in ``shard=K/`` partition directories by a content-stable
+    hash of ``key`` and are sorted by (hash, key) WITHIN each shard, so the
+    byte-level output is a pure function of the data — rerunning on a
+    different cluster or input layout reproduces it (training-data lineage
+    audits depend on this).  One shuffle (repartition on the shard column),
+    one sorted write; no Python, no driver collect.
+
+    Returns the LAZY manifest plan: (shard, n_rows, key_checksum) — execute
+    and persist it next to the shards for audit."""
+    out = df.withColumn("shard", shard_assignment(key, n_shards, salt))
+    order = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary"))
+    (
+        # the sort LEADS with the partition column: the partitioned writer
+        # requires its input clustered by partition columns and would insert
+        # its own (order-destroying) sort otherwise; with shard first, the
+        # required ordering is already satisfied and the (hash, key) order
+        # reaches the files intact.
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order, F.col(key))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return shard_manifest(out, key, salt)
+
+
+def shard_manifest(sharded: DataFrame, key: str, salt: str = "") -> DataFrame:
+    """Per-shard audit row: (shard, n_rows, key_checksum).  The checksum is
+    the sum of 32-bit key-hash prefixes — order-insensitive, integer-exact,
+    and engine-portable (the DuckDB oracle mirrors it digit for digit)."""
+    h32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h32).alias("key_checksum"),
+    )
