@@ -31,7 +31,7 @@ Scale notes (the round-1 verdict's fix list, addressed):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seisdb_spark.functions.multimodal import (
@@ -191,6 +191,14 @@ def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _verify_jaccard(sh, cand)
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact shingle Jaccard for GIVEN (doc_a, doc_b) candidate pairs over a
+    distinct shingle table — the verify tail shared by the self-join dedup
+    and the incremental batch-vs-corpus probe.  Cost scales with the
+    candidate set, never the corpus."""
     cand_docs = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
@@ -716,6 +724,187 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cc_exact_lazy(pairs).select(
         F.col("v").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+@query(
+    "dedup_incremental_probe",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bk = b.bk
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shingle ta ON ta.doc_id = c.doc_a
+            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a AS batch_doc, doc_b AS corpus_doc,
+               round(CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared), 4)
+                   AS jaccard
+        FROM shared
+        JOIN cnt ca ON shared.doc_a = ca.doc_id
+        JOIN cnt cb ON shared.doc_b = cb.doc_id
+        WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
+              >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental-ingest dedup: probe an EXISTING corpus's LSH band index "
+    "with a new batch (here: docs with doc_id%10==0 stand in for the "
+    "batch) — candidates are batch-x-corpus band matches only, never "
+    "corpus-x-corpus. This is how dedup runs in production: the corpus "
+    "index is written once (bands are a parquet table bucketed by band "
+    "key), each arriving batch joins against it, and per-ingest cost "
+    "scales with the BATCH, not the corpus. Verification is the same "
+    "candidates-only exact Jaccard as the self-join path.",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingle_tokens(docs)
+    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
+    )
+    batch = bands.filter(F.col("doc_id") % 10 == 0).alias("a")
+    corpus = bands.filter(F.col("doc_id") % 10 != 0).alias("b")
+    cand = (
+        batch.join(
+            corpus,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bk") == F.col("b.bk")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        _verify_jaccard(sh, cand)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("batch_doc"),
+            F.col("doc_b").alias("corpus_doc"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang, word FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        dfreq AS (SELECT word, count(*) AS df FROM tok GROUP BY word),
+        tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word),
+        scored AS (
+            SELECT tf.lang, tf.word,
+                   tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT lang, word, score,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY score DESC, word
+                   ) AS rank
+            FROM scored
+        )
+        SELECT lang, word, round(score, 4) AS score, rank
+        FROM ranked WHERE rank <= 5
+    """,
+    doc="TF-IDF top terms per language: document frequency over the corpus, "
+    "per-language term frequency (doc-level sets), idf as the smoothed "
+    "RATIO (N+1)/(df+1) rather than its log — monotone-identical ranking, "
+    "but pure IEEE division that both engines compute bit-identically "
+    "(ln() differs by ulps across libm implementations and could flip "
+    "near-tie rankings). Two shuffles (word, then lang) + a per-lang top-5 "
+    "window on the already-aggregated (lang, word) table — corpus-sized "
+    "text never reaches the window.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = word_tokens(docs, "lang")
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tf = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            (
+                F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "word", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+@query(
+    "approx_quantile_gate",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+                   quantile_cont(l_extendedprice, 0.50) AS q50,
+                   quantile_cont(l_extendedprice, 0.75) AS q75
+            FROM lineitem
+        )
+        SELECT round(q25, 2) AS exact_q25,
+               round(q50, 2) AS exact_q50,
+               round(q75, 2) AS exact_q75,
+               1 AS q25_within, 1 AS q50_within, 1 AS q75_within
+        FROM b
+    """,
+    doc="Quantile sketch with a HARD gate (same pattern as "
+    "approx_distinct_parts): percentile_approx (Greenwald-Khanna-style, "
+    "rank error <= 1/accuracy) must land between the exact quantiles at "
+    "rank +-5%; Spark returns the exact values plus 0/1 in-bound flags, "
+    "the oracle the exact values plus literal 1. At 100 TB the sketch "
+    "merges map-side in constant memory; the exact percentile is the "
+    "test-scale referee, not the production path.",
+)
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    agg = li.agg(
+        F.percentile(c, F.lit(0.25)).alias("q25"),
+        F.percentile(c, F.lit(0.50)).alias("q50"),
+        F.percentile(c, F.lit(0.75)).alias("q75"),
+        F.percentile(c, F.lit(0.20)).alias("q25_lo"),
+        F.percentile(c, F.lit(0.30)).alias("q25_hi"),
+        F.percentile(c, F.lit(0.45)).alias("q50_lo"),
+        F.percentile(c, F.lit(0.55)).alias("q50_hi"),
+        F.percentile(c, F.lit(0.70)).alias("q75_lo"),
+        F.percentile(c, F.lit(0.80)).alias("q75_hi"),
+        F.percentile_approx(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(100)).alias("ap"),
+    )
+    within = [
+        F.col("ap")[i]
+        .between(F.col(f"q{q}_lo"), F.col(f"q{q}_hi"))
+        .cast("int")
+        .alias(f"q{q}_within")
+        for i, q in enumerate((25, 50, 75))
+    ]
+    return agg.select(
+        F.round("q25", 2).alias("exact_q25"),
+        F.round("q50", 2).alias("exact_q50"),
+        F.round("q75", 2).alias("exact_q75"),
+        *within,
     )
 
 
