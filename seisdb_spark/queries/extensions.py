@@ -716,6 +716,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounds) for edge lists that outgrow one task. The oracle is the same "
     "closure as a DuckDB recursive CTE. Output: one row per doc appearing "
     "in any near-dup pair.",
+    bench=True,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -764,6 +765,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key), each arriving batch joins against it, and per-ingest cost "
     "scales with the BATCH, not the corpus. Verification is the same "
     "candidates-only exact Jaccard as the self-join path.",
+    bench=True,
 )
 def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -1071,6 +1073,7 @@ def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hamming predicate. Exact dot + TakeOrderedAndProject inside the probed "
     "set; recall vs brute force asserted at two scales in "
     "tests/test_extensions.py.",
+    bench=True,
 )
 def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
