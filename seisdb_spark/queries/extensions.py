@@ -564,6 +564,61 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_payload_features(mm)
 
 
+def _le_u32_spark(payload: str, offset: int) -> F.Column:
+    """Little-endian uint32 at byte ``offset`` (0-based) of a binary column,
+    as pure JVM expressions: hex() the payload, slice 2-char digit pairs,
+    conv(,16,10), weight by 256^i.  No Python touches the payload."""
+    h = F.hex(F.col(payload))
+    return sum(
+        F.conv(F.substring(h, 2 * (offset + i) + 1, 2), 16, 10).cast("long")
+        * (256**i)
+        for i in range(4)
+    ).cast("long")
+
+
+def _le_u32_sql(payload: str, offset: int) -> str:
+    """DuckDB twin of :func:`_le_u32_spark` (hex() is uppercase on both)."""
+    byte = lambda i: (  # noqa: E731
+        f"('0x' || substr(hex({payload}), {2 * (offset + i) + 1}, 2))::BIGINT"
+    )
+    return (
+        "CAST("
+        + " + ".join(f"{byte(i)} * {256 ** i}" for i in range(4))
+        + " AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_header_fields",
+    oracle=f"""
+        SELECT doc_id,
+               {_le_u32_sql("encode(text)", 0)} AS field0,
+               {_le_u32_sql("encode(text)", 4)} AS field1,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+        WHERE octet_length(encode(text)) >= 8
+    """,
+    doc="Fixed-offset binary header decode WITHOUT Python: two little-endian "
+    "uint32 fields parsed from the payload's first 8 bytes via hex()+conv() "
+    "expressions — whole-stage-codegen'd, pushdown-friendly, the shape of a "
+    "100 TB metadata-extraction pass over image/audio blobs (magic numbers, "
+    "dimensions, sample rates live at fixed offsets in every real "
+    "container format). The driver corpus carries text payloads, so the "
+    "parsed values are synthetic — the capability under test is the "
+    "declarative byte-field extraction, hash-matched against DuckDB doing "
+    "the same parse; the real fake-image header path (struct-packed "
+    "width/height) exercises identical logic in tests/test_multimodal.py.",
+)
+def multimodal_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return mm.filter(F.col("meta.n_bytes") >= 8).select(
+        "doc_id",
+        _le_u32_spark("payload", 0).alias("field0"),
+        _le_u32_spark("payload", 4).alias("field1"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

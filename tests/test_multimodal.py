@@ -82,6 +82,35 @@ def test_decode_image_is_explicit_stub():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def test_declarative_header_parse_matches_struct_unpack(spark):
+    """The JVM-side little-endian uint32 parse (no Python in the plan) must
+    agree with struct.unpack on real struct-packed fake-image headers."""
+    from seisdb_spark.queries.extensions import _le_u32_spark
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i, (w, h) in enumerate([(4, 3), (640, 480), (1, 1), (70000, 2)]):
+        payload = struct.pack("<II", w, h) + rng.integers(
+            0, 256, size=8, dtype=np.uint8
+        ).tobytes()
+        rows.append((i, bytearray(payload), w, h))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _, _ in rows], schema="doc_id long, payload binary"
+    )
+    out = (
+        df.select(
+            "doc_id",
+            _le_u32_spark("payload", 0).alias("w"),
+            _le_u32_spark("payload", 4).alias("h"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, _p, w, h in rows:
+        assert (out.loc[i].w, out.loc[i].h) == (w, h)
+
+
 def test_resize_fake_images_nearest_neighbour(spark):
     rng = np.random.default_rng(9)
     w, h = 8, 6
