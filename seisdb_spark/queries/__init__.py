@@ -39,8 +39,8 @@ DRIVER_WINDOW: list[str] = [
     "minhash_lsh_candidates",
     "dedup_jaccard_pairs",
     "dedup_cluster_components",
+    "dedup_incremental_probe",
     "simhash_fingerprint",
-    "doc_fingerprint",
     "doc_winnowing_fingerprints",
     "similarity_topk_dot",
     "knn_cosine_labeled",
@@ -52,6 +52,7 @@ DRIVER_WINDOW: list[str] = [
     "quality_filter_pipeline",
     "salted_skew_agg",
     "curation_pipeline_stats",
+    "training_shard_manifest",
     "text_stats",
     "token_count_by_lang",
     "text_quality_score",
@@ -86,7 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "asof_last_click_before_purchase",
     "sessionize_events",
     "approx_distinct_parts",
-    "grouping_sets_orders",
 ]
 
 
