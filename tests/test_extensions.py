@@ -175,6 +175,28 @@ def test_embedding_neardup_planted_two_scales(spark, tmp_path, n_background):
         assert x @ y / (np.linalg.norm(x) * np.linalg.norm(y)) >= 0.95
 
 
+def test_ann_probe_is_broadcast_equijoin(spark):
+    """The ANN probe set (nbits+1 keys) must broadcast into an equi-join on
+    the bucket key — never a scan-and-filter over every row's Hamming
+    distance (the shape that stops pruning at scale)."""
+    df = REGISTRY["ann_signbucket_topk"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]  # the AQE-final section
+    assert "BroadcastHashJoin [bucket" in head
+
+
+def test_neardup_band_self_join_reuses_exchange(spark):
+    """The banded near-dup self-join's two sides must share one computation
+    of the band table (ReusedExchange), not recompute the sign-string
+    lineage twice."""
+    df = REGISTRY["embedding_neardup_pairs"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in head
+
+
 @pytest.mark.parametrize("n_vecs", [64, 4096])
 def test_ann_recall_two_scales(spark, tmp_path, n_vecs):
     """ANN top-10 recall vs a numpy brute force holds at two fixture sizes
