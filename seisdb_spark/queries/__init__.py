@@ -54,17 +54,17 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline_stats",
     "training_shard_manifest",
     "text_stats",
-    "token_count_by_lang",
     "text_quality_score",
     "bpe_token_estimate",
     "lang_id_ngram",
     "multimodal_payload_stats",
     "multimodal_decode_features",
-    # --- Structured Streaming (the 4 oracle-bearing entries) ----------------
+    # --- Structured Streaming (the 5 oracle-bearing entries) ----------------
     "streaming_tumbling_counts",
     "streaming_sessionize",
     "streaming_dedup_events",
     "streaming_static_enrich",
+    "streaming_incremental_dedup",
     # --- core §2 operators (one query per operator; array-form twins win) ---
     "p1_positional_projection",
     "p3_stride_filter",

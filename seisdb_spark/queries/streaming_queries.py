@@ -104,6 +104,104 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_incremental_dedup",
+    oracle=None,  # set right after definition: shares the batch twin's SQL
+    doc="STREAMING CURATION: arriving documents (doc_id%10==0 stand in for "
+    "the new batch) probe a STATIC corpus LSH band index per microbatch — "
+    "foreachBatch runs the same candidates-only band-join + exact-Jaccard "
+    "verify as the batch twin (dedup_incremental_probe) and appends "
+    "verified near-dup pairs to a staging parquet table. The corpus index "
+    "is computed once and reused across microbatches; per-batch cost "
+    "scales with the batch. The oracle is the batch twin's SQL — "
+    "stream==batch on complete data is the correctness claim.",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions.text import (
+        band_key_exprs,
+        minhash_agg_exprs,
+        shingle_tokens,
+        with_token_hash,
+    )
+    from seisdb_spark.queries.extensions import (
+        JACCARD_THRESHOLD,
+        _verify_jaccard,
+    )
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    def bands_of(sh):
+        sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
+        return sig.select(
+            "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
+        )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    corpus_sh = shingle_tokens(corpus)
+    corpus_bands = bands_of(corpus_sh)
+
+    root = tempfile.mkdtemp(prefix="seisdb_stream_probe_")
+    out_dir = os.path.join(root, "pairs")
+    ckpt = os.path.join(root, "ckpt")
+
+    def probe(bdf: DataFrame, _batch_id: int) -> None:
+        batch = bdf.filter(F.col("doc_id") % 10 == 0)
+        bsh = shingle_tokens(batch)
+        cand = (
+            bands_of(bsh)
+            .alias("a")
+            .join(
+                corpus_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band")) & (F.col("a.bk") == F.col("b.bk")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        (
+            _verify_jaccard(corpus_sh.unionByName(bsh), cand)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select(
+                F.col("doc_a").alias("batch_doc"),
+                F.col("doc_b").alias("corpus_doc"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "batch_doc long, corpus_doc long, jaccard double"
+    ).parquet(out_dir)
+
+
+# stream==batch equivalence: the streaming probe's oracle IS the batch
+# twin's SQL (registered after both exist; QuerySpec is frozen, so replace
+# the registry entry rather than mutating it).
+def _share_probe_oracle() -> None:
+    from dataclasses import replace
+
+    spec = REGISTRY["streaming_incremental_dedup"]
+    REGISTRY["streaming_incremental_dedup"] = replace(
+        spec, oracle=REGISTRY["dedup_incremental_probe"].oracle
+    )
+
+
+_share_probe_oracle()
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
         SELECT c_mktsegment, count(*) AS n,

@@ -80,6 +80,31 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+DOCUMENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents table — the arriving-corpus
+    side of streaming curation (no timestamp columns, no conf side
+    effects)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of queries/relational.py::tumbling_window_counts —
     1-hour tumbling event-time windows; the watermark lets append-mode sinks
