@@ -33,7 +33,7 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 
 #: The 50 queries the driver must hash-check, in priority order.
 DRIVER_WINDOW: list[str] = [
-    # --- LLM-data-pipeline extensions (all 25) ------------------------------
+    # --- LLM-data-pipeline extensions ---------------------------------------
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_candidates",
