@@ -337,6 +337,110 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_stats",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   w[i] || ' ' || w[i + 1] AS g
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS w,
+                       unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0))) AS i
+                FROM documents
+            )
+        ),
+        per_gram AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_c
+            FROM per_gram GROUP BY doc_id
+        ),
+        words AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        )
+        SELECT p.doc_id,
+               n_bigrams,
+               round(CAST(top_c AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+               round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac
+        FROM per_doc p JOIN words USING (doc_id)
+    """,
+    doc="Repetition filters (the Gopher-rule family): per doc, the fraction "
+    "covered by the single most frequent word bigram and the duplicate-word "
+    "fraction — the cheap structural signals that catch boilerplate and "
+    "degenerate generations before any model-based scoring. One explode + "
+    "per-doc aggregation, shuffle keyed on doc_id; at 100 TB the gram "
+    "counts never leave the doc's partition group.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = shingle_tokens(docs, k=2, distinct=False)
+    per_doc = grams.groupBy("doc_id", F.col("sh").alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c")
+    )
+    w = F.split(F.col("text"), " ")
+    words = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    return per_doc.join(words, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("top_c").cast("double") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 4
+        ).alias("dup_word_frac"),
+    )
+
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+_PII_DIGITS = r"\d{6,}"
+_PII_URL = r"https?://[^ ]+"
+
+
+@query(
+    "pii_scan_counts",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_DIGITS}')) AS n_digit_runs,
+               len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+               CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}')) = 0
+                         AND len(regexp_extract_all(text, '{_PII_DIGITS}')) = 0
+                    THEN 1 ELSE 0 END AS pii_clean
+        FROM documents
+    """,
+    doc="PII pre-redaction scan: emails, long digit runs (phone/ID-shaped), "
+    "and URLs counted per doc with pure JVM regex (non-overlapping match "
+    "counts agree between Java regex and DuckDB's RE2 for these patterns), "
+    "plus a clean flag — the gate a redaction/quarantine stage keys on. "
+    "Zero shuffles; the regexes run inside whole-stage codegen next to the "
+    "scan.",
+)
+def pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n(_PII_EMAIL).alias("n_emails"),
+        n(_PII_DIGITS).alias("n_digit_runs"),
+        n(_PII_URL).alias("n_urls"),
+        F.when((n(_PII_EMAIL) == 0) & (n(_PII_DIGITS) == 0), 1)
+        .otherwise(0)
+        .alias("pii_clean"),
+    )
+
+
+@query(
     "bpe_token_estimate",
     oracle="""
         SELECT doc_id,

@@ -175,6 +175,37 @@ def test_embedding_neardup_planted_two_scales(spark, tmp_path, n_background):
         assert x @ y / (np.linalg.norm(x) * np.linalg.norm(y)) >= 0.95
 
 
+def test_pii_scan_detects_planted_pii(spark, tmp_path):
+    """The driver corpus is synthetic-clean (every doc flags pii_clean=1),
+    so prove the detectors on planted PII."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "contact me at jane.doe+x@example.org for details",
+                "call 5551234567 or visit https://example.com/a?b=1 now",
+                "clean text with no identifiers at all",
+                "two mails a@b.io c@d.co and id 00012345678",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["pii_scan_counts"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.n_emails) == [1, 0, 0, 2]
+    assert list(out.n_digit_runs) == [0, 1, 0, 1]
+    assert list(out.n_urls) == [0, 1, 0, 0]
+    assert list(out.pii_clean) == [0, 0, 1, 0]
+
+
 def test_ann_probe_is_broadcast_equijoin(spark):
     """The ANN probe set (nbits+1 keys) must broadcast into an equi-join on
     the bucket key — never a scan-and-filter over every row's Hamming
