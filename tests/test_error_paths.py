@@ -1,0 +1,78 @@
+"""Failure-mode probes (the verify recipe's 'probes worth repeating'):
+corrupt binaries fail loudly with a precise message, empty inputs surface
+the reference's explicit 'no valid steps' error, and degenerate strides
+flow through as empty rather than crashing."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from seisdb_spark.pipeline import sgt_build, valid_steps
+from seisdb_spark.sources.specfem import split_fortran_records
+
+
+def test_truncated_fortran_record_fails_loudly(fixture_meta):
+    m = fixture_meta
+    path = os.path.join(m["force_dirs"][0], "proc000000_strain_field_Step_0.bin")
+    raw = open(path, "rb").read()
+    with pytest.raises(ValueError, match="truncated Fortran record"):
+        list(split_fortran_records(raw[:-4]))  # chop the trailing marker
+
+
+def test_corrupted_marker_fails_loudly(fixture_meta):
+    m = fixture_meta
+    path = os.path.join(m["force_dirs"][0], "proc000000_strain_field_Step_0.bin")
+    raw = bytearray(open(path, "rb").read())
+    # overwrite the first record's leading length marker with nonsense
+    raw[:4] = struct.pack("<i", 10**8)
+    with pytest.raises(ValueError, match="truncated Fortran record"):
+        list(split_fortran_records(bytes(raw)))
+
+
+def test_empty_force_dir_reports_no_valid_steps(spark, fixture_meta, tmp_path):
+    m = fixture_meta
+    empty_dirs = [str(tmp_path / d) for d in ("N", "E", "Z")]
+    for d in empty_dirs:
+        os.makedirs(d)
+    with pytest.raises(ValueError, match="no valid steps"):
+        sgt_build(
+            spark,
+            os.path.join(m["model_dir"], "proc*_ibool.bin"),
+            empty_dirs,
+            m["nspec"],
+            m["step0"],
+            m["step1"],
+            m["dstep"],
+        )
+
+
+def test_degenerate_stride_is_empty_then_explicit_error(spark, fixture_meta):
+    """step1 <= step0 must yield an empty stride (no 'illegal sequence
+    boundaries' runtime error) and surface as the explicit ValueError."""
+    m = fixture_meta
+    vs = valid_steps(spark, m["force_dirs"], "strain_field", 50, 50, 10)
+    assert vs.count() == 0
+    with pytest.raises(ValueError, match="no valid steps"):
+        sgt_build(
+            spark,
+            os.path.join(m["model_dir"], "proc*_ibool.bin"),
+            m["force_dirs"],
+            m["nspec"],
+            50,
+            50,
+            10,
+        )
+
+
+def test_constant_series_zero_scale_guard():
+    """A constant series must encode with scale=0 and all-zero codes (the
+    reference divides by zero here) — numpy-level guard probe."""
+    from tests.golden_numpy import encode_point
+
+    offset, scale, codes, _blob = encode_point(np.full(24, 7.5, dtype=np.float32))
+    assert offset == 7.5 and scale == 0.0
+    assert not codes.any()
