@@ -56,9 +56,13 @@ def cc_exact_lazy(
     """Exact connected components as one lazy plan: single-partition
     union-find with path compression over the edge list.  Returns
     (v, component) where component = min vertex id of v's component."""
+    # repartition(1), not coalesce(1): coalesce is a narrow dependency that
+    # would collapse the upstream verify-join stage into the same single
+    # task; the explicit shuffle keeps candidate generation parallel and
+    # single-threads only the union-find itself.
     edges = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).coalesce(1)
+    ).repartition(1)
 
     def union_find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parent: dict[int, int] = {}

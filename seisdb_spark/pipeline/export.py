@@ -82,14 +82,23 @@ def export_reference_data_bins(
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        os.makedirs(saving_dir, exist_ok=True)
-        open_proc, fh, written, n_blobs = None, None, 0, 0
+        # Tasks write to an attempt-unique temp name and os.replace() on
+        # completion: a retried or speculative duplicate attempt can never
+        # interleave with / truncate a committed file — the last completed
+        # attempt atomically wins (POSIX rename).
+        from pyspark import TaskContext
 
-        def close():
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        os.makedirs(saving_dir, exist_ok=True)
+        open_proc, fh, path, tmp, written, n_blobs = None, None, "", "", 0, 0
+
+        def commit():
             nonlocal fh
             if fh is not None:
                 fh.close()
                 fh = None
+                os.replace(tmp, path)
 
         results: list[tuple[int, str, int, int]] = []
         try:
@@ -97,11 +106,12 @@ def export_reference_data_bins(
                 for row in pdf.itertuples(index=False):
                     if row.proc != open_proc:
                         if open_proc is not None:
+                            commit()
                             results.append((open_proc, path, n_blobs, written))
-                        close()
                         open_proc, written, n_blobs = row.proc, 0, 0
                         path = os.path.join(saving_dir, f"proc{row.proc:06d}_{suffix}.bin")
-                        fh = open(path, "wb")
+                        tmp = f"{path}.attempt-{attempt}.tmp"
+                        fh = open(tmp, "wb")
                     if row.start != written:
                         raise ValueError(
                             f"blob start {row.start} != file position {written} "
@@ -112,9 +122,13 @@ def export_reference_data_bins(
                     written += len(row.blob)
                     n_blobs += 1
             if open_proc is not None:
+                commit()
                 results.append((open_proc, path, n_blobs, written))
         finally:
-            close()
+            if fh is not None:  # error path: drop the partial temp file
+                fh.close()
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         yield pd.DataFrame(results, columns=["proc", "path", "n_blobs", "n_bytes"])
 
     return (
@@ -155,11 +169,19 @@ def export_reference_format(
 ) -> pd.DataFrame:
     """Full reference-layout export: per-proc blob ``.bin`` files plus the
     header table at ``<saving_dir>/headers_parquet``.  Returns the per-proc
-    pack summary."""
-    summary = export_reference_data_bins(records, saving_dir, kind)
-    reference_headers(records, meta).write.mode("overwrite").parquet(
-        os.path.join(saving_dir, "headers_parquet")
-    )
+    pack summary.
+
+    ``records`` feeds two actions (the pack and the header write); it is
+    persisted for the duration so the upstream build lineage — the
+    expensive distributed decode+encode — executes once, not twice."""
+    records = records.persist()
+    try:
+        summary = export_reference_data_bins(records, saving_dir, kind)
+        reference_headers(records, meta).write.mode("overwrite").parquet(
+            os.path.join(saving_dir, "headers_parquet")
+        )
+    finally:
+        records.unpersist()
     return summary
 
 

@@ -16,11 +16,26 @@ pipeline surface (dedup/LSH/clustering/ANN/curation/multimodal/text), the
 oracle-bearing streaming queries, one query per core §2 operator (the
 stronger array-form variant where twins exist), the two pipeline record
 sinks, and a representative slice of the SQL surface.  Out-of-window
-queries stay registered (bench + pytest still exercise them); near-
-duplicate §2 twins (``d1_running_max_dedup``, ``e1_quantize``,
-``r1_series_assembly``, ``r2_canonical_flatten``) and minor variants
-(``embedding_norms_by_label``, ``doc_fingerprint``'s sibling coverage) are
-deliberately outside because their siblings already verify the operator.
+queries stay registered (bench + pytest still exercise them).
+
+Deliberately OUTSIDE the window (all still pytest-oracle-checked every
+round):
+* near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
+  ``r1_series_assembly``, ``r2_canonical_flatten`` — their siblings verify
+  the same operator;
+* family-covered minor variants — ``embedding_norms_by_label``,
+  ``doc_fingerprint``, ``token_count_by_lang``, ``grouping_sets_orders``
+  (set-op family keeps five pytest-green members);
+* late round-3 additions that lost the 50-slot tiebreak to the ops they
+  extend — ``tfidf_top_terms``, ``approx_quantile_gate`` (the sketch-gate
+  pattern is window-proven by ``approx_distinct_parts``),
+  ``doc_repetition_stats``, ``pii_scan_counts`` (quality-gate family is
+  window-proven by ``text_quality_score``/``quality_filter_pipeline``),
+  and ``multimodal_header_fields`` (multimodal is window-proven by
+  ``multimodal_payload_stats``/``multimodal_decode_features``);
+* rows-only pipeline variants the golden tests own — ``e2_zlib_blob``,
+  ``specfem_strain_scan``, ``sgt_roundtrip_decode``,
+  ``streaming_sliding_counts``.
 """
 
 from seisdb_spark.queries.registry import REGISTRY, QuerySpec

@@ -141,10 +141,18 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
-    corpus_sh = shingle_tokens(corpus)
-    corpus_bands = bands_of(corpus_sh)
+    # The corpus index must be computed ONCE and reused across microbatches
+    # (Spark never reuses exchanges across separate foreachBatch actions) —
+    # persist both the shingle table and the band index; production would
+    # write the band index as a bucketed parquet table instead.
+    corpus_sh = shingle_tokens(corpus).persist()
+    corpus_bands = bands_of(corpus_sh).persist()
+
+    import atexit
+    import shutil
 
     root = tempfile.mkdtemp(prefix="seisdb_stream_probe_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     out_dir = os.path.join(root, "pairs")
     ckpt = os.path.join(root, "ckpt")
 
@@ -180,7 +188,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_bands.unpersist()
+        corpus_sh.unpersist()
     return spark.read.schema(
         "batch_doc long, corpus_doc long, jaccard double"
     ).parquet(out_dir)

@@ -115,14 +115,22 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
-def shard_assignment(key: str, n_shards: int, salt: str = "") -> F.Column:
-    """Content-stable shard id in [0, n_shards): first 8 hex digits of
-    md5(salt || key) mod n_shards.  A pure function of row content —
-    reproducible across runs, cluster sizes, and input partitionings (the
-    property ``repartition`` alone cannot give: its assignment depends on
-    the input split layout)."""
+def content_hash32(key: str, salt: str = "") -> F.Column:
+    """First 8 hex digits of md5(salt || key) as a BIGINT in [0, 2^32) —
+    THE content hash every sharding artifact derives from.  One definition
+    so the shard assignment, the within-shard sort order, and the manifest
+    checksum can never drift apart (extensions._hash32_sql is the DuckDB
+    twin, kept digit-for-digit in lockstep)."""
     h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary"))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def shard_assignment(key: str, n_shards: int, salt: str = "") -> F.Column:
+    """Content-stable shard id in [0, n_shards): :func:`content_hash32` mod
+    n_shards.  A pure function of row content — reproducible across runs,
+    cluster sizes, and input partitionings (the property ``repartition``
+    alone cannot give: its assignment depends on the input split layout)."""
+    return (content_hash32(key, salt) % n_shards).cast("int")
 
 
 def write_training_shards(
@@ -145,7 +153,7 @@ def write_training_shards(
     Returns the LAZY manifest plan: (shard, n_rows, key_checksum) — execute
     and persist it next to the shards for audit."""
     out = df.withColumn("shard", shard_assignment(key, n_shards, salt))
-    order = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary"))
+    order = content_hash32(key, salt)
     (
         # the sort LEADS with the partition column: the partitioned writer
         # requires its input clustered by partition columns and would insert
@@ -163,21 +171,10 @@ def write_training_shards(
 
 def shard_manifest(sharded: DataFrame, key: str, salt: str = "") -> DataFrame:
     """Per-shard audit row: (shard, n_rows, key_checksum).  The checksum is
-    the sum of 32-bit key-hash prefixes — order-insensitive, integer-exact,
-    and engine-portable (the DuckDB oracle mirrors it digit for digit)."""
-    h32 = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key).cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-    )
+    the sum of :func:`content_hash32` values — order-insensitive,
+    integer-exact, and engine-portable (the DuckDB oracle mirrors it digit
+    for digit)."""
     return sharded.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h32).alias("key_checksum"),
+        F.sum(content_hash32(key, salt)).alias("key_checksum"),
     )

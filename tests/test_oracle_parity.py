@@ -105,7 +105,7 @@ def test_driver_window_leads_registry():
 
     assert len(DRIVER_WINDOW) == 50
     assert list(e.queries())[:50] == DRIVER_WINDOW
-    # every window entry except the 4 documented rows-only ones has an oracle
+    # every window entry except these 3 documented rows-only ones has an oracle
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
         "multimodal_decode_features",
