@@ -1,0 +1,84 @@
+"""End-to-end curated training-set build: the composed keep-set must equal
+an independent pandas re-implementation (gate -> exact dedup -> union-find
+near-dup canonicals -> hash sample), and the written shards must cover it
+exactly."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import pandas as pd
+
+from seisdb_spark.curation import MAX_WORDS, MIN_WORDS, build_training_set
+from seisdb_spark.queries.extensions import JACCARD_THRESHOLD, SAMPLE_RATES
+from seisdb_spark.queries.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _expected_keep_set(spark) -> set[int]:
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_words = docs.text.str.count(" ") + 1
+    gated = docs[(n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)]
+
+    # exact dedup: min doc_id per md5(text)
+    md5 = gated.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    keepers = gated.assign(_h=md5).sort_values("doc_id").drop_duplicates("_h")
+    kept_ids = set(keepers.doc_id)
+
+    # near-dup canonical selection: reuse the (driver-verified) pair op on
+    # the full corpus, then restrict edges to the current survivor set and
+    # union-find — mirrors curate() running LSH on the deduped survivors,
+    # because removed exact-duplicate docs only ever drop edges
+    pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR).toPandas()
+    pairs = pairs[pairs.jaccard >= JACCARD_THRESHOLD]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b, strict=True):
+        if a in kept_ids and b in kept_ids:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in list(parent):
+        comp_min.setdefault(find(v), v)
+        comp_min[find(v)] = min(comp_min[find(v)], v)
+    losers = {v for v in parent if comp_min[find(v)] != v}
+    kept_ids -= losers
+
+    # stratified sample: first 4 md5 hex digits of str(doc_id)
+    lang_of = dict(zip(docs.doc_id, docs.lang, strict=True))
+    out = set()
+    for d in kept_ids:
+        bucket = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+        rate = SAMPLE_RATES.get(lang_of[d], 0.5)
+        if bucket < 65536 * rate:
+            out.add(int(d))
+    return out
+
+
+def test_build_training_set_matches_independent_pipeline(spark, tmp_path):
+    out_dir = str(tmp_path / "training")
+    manifest = build_training_set(spark, SF_DIR, out_dir, n_shards=4)
+    want = _expected_keep_set(spark)
+
+    shard_dirs = [d for d in os.listdir(out_dir) if re.match(r"shard=\d+", d)]
+    assert len(shard_dirs) == 4
+    got = set()
+    for d in shard_dirs:
+        got |= set(pd.read_parquet(os.path.join(out_dir, d)).doc_id)
+    assert got == want, (
+        f"keep-set mismatch: {len(got ^ want)} ids differ "
+        f"(spark {len(got)}, independent {len(want)})"
+    )
+    man = manifest.toPandas()  # the returned manifest is a lazy plan
+    assert int(man.n_rows.sum()) == len(want)
+    assert len(want) > 0
