@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 
 from seisdb_spark.functions.graph import cc_exact_lazy
 from seisdb_spark.queries.extensions import (
+    CURATION_MAX_WORDS as MAX_WORDS,
+)
+from seisdb_spark.queries.extensions import (
+    CURATION_MIN_WORDS as MIN_WORDS,
+)
+from seisdb_spark.queries.extensions import (
     JACCARD_THRESHOLD,
     SAMPLE_RATES,
     STOPWORD_PATTERN,
@@ -38,7 +44,6 @@ from seisdb_spark.queries.extensions import (
 )
 from seisdb_spark.sources.tables import load_table, spread, write_training_shards
 
-MIN_WORDS, MAX_WORDS = 20, 1000
 MIN_STOPWORD_RATIO = 0.0  # driver corpus is synthetic; real corpora raise this
 
 

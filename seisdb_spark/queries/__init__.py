@@ -25,7 +25,9 @@ round):
   the same operator;
 * family-covered minor variants — ``embedding_norms_by_label``,
   ``doc_fingerprint``, ``token_count_by_lang``, ``grouping_sets_orders``
-  (set-op family keeps five pytest-green members);
+  (set-op family keeps five pytest-green members), ``stratified_sample``
+  (its hash-bucket sampling is a verified stage inside both
+  ``curation_keep_set`` and ``curation_pipeline_stats``);
 * late round-3 additions that lost the 50-slot tiebreak to the ops they
   extend — ``tfidf_top_terms``, ``approx_quantile_gate`` (the sketch-gate
   pattern is window-proven by ``approx_distinct_parts``),
@@ -63,7 +65,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "doc_chunking",
-    "stratified_sample",
+    "curation_keep_set",
     "quality_filter_pipeline",
     "salted_skew_agg",
     "curation_pipeline_stats",

@@ -101,11 +101,14 @@ _TOK_CTE = """
     )
 """
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(src: str = "documents") -> str:
+    """The word-k-shingle CTE over any source relation carrying
+    (doc_id, text) — lockstep with functions/text.py::shingle_tokens."""
+    return f"""
     starts AS (
         SELECT doc_id, w,
                unnest(generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 0))) AS i
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
     ),
     shingle AS (
         SELECT DISTINCT doc_id,
@@ -113,6 +116,9 @@ _SHINGLE_CTE = f"""
         FROM starts
     )
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 # One md5 per shingle, parsed to a 32-bit int by summing per-hex-digit
 # strpos lookups (DuckDB's equivalent of Spark's conv(hex,16,10)); the 12
@@ -1726,3 +1732,81 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nw").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation closure (seisdb_spark/curation.py), hash-checked
+# ---------------------------------------------------------------------------
+CURATION_MIN_WORDS = 20
+CURATION_MAX_WORDS = 1000
+
+
+@query(
+    "curation_keep_set",
+    oracle=f"""
+        WITH RECURSIVE gated AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1
+                  BETWEEN {CURATION_MIN_WORDS} AND {CURATION_MAX_WORDS}
+        ),
+        exact AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        {_shingle_cte("exact")},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        {_CAND_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shingle ta ON ta.doc_id = c.doc_a
+            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        ver AS (
+            SELECT doc_a, doc_b
+            FROM shared
+            JOIN cnt ca ON shared.doc_a = ca.doc_id
+            JOIN cnt cb ON shared.doc_b = cb.doc_id
+            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        und AS (
+            SELECT doc_a AS src, doc_b AS dst FROM ver
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM ver
+        ),
+        reach (v, l) AS (
+            SELECT src, src FROM und
+            UNION
+            SELECT u.src, r.l FROM und u JOIN reach r ON r.v = u.dst
+        ),
+        losers AS (SELECT v FROM reach GROUP BY v HAVING min(l) <> v)
+        SELECT doc_id, lang FROM exact
+        WHERE doc_id NOT IN (SELECT v FROM losers)
+          AND {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
+              < 65536 * (CASE lang
+                  {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
+                  ELSE 0.5 END)
+    """,
+    doc="The COMPOSED curation closure as one hash-checked query: quality "
+    "gate -> exact dedup (min doc_id per content hash) -> banded-LSH near-"
+    "dup candidates on the survivors -> exact-Jaccard verify -> connected-"
+    "components canonical keep (only a component's minimum doc survives — "
+    "the transitive guarantee the pairwise loser-drop can't give) -> "
+    "deterministic stratified sample. This is seisdb_spark/curation.py's "
+    "curate() plan; the oracle re-expresses the full closure in SQL with a "
+    "recursive CTE for the component step. build_training_set feeds this "
+    "keep-set to the deterministic shard writer.",
+)
+def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.curation import curate  # deferred: curation imports us
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate(docs).select("doc_id", "lang")
