@@ -39,25 +39,24 @@ from seisdb_spark.queries.extensions import (
 from seisdb_spark.queries.extensions import (
     JACCARD_THRESHOLD,
     SAMPLE_RATES,
-    STOPWORD_PATTERN,
     _jaccard_on_candidates,
 )
 from seisdb_spark.sources.tables import load_table, spread, write_training_shards
-
-MIN_STOPWORD_RATIO = 0.0  # driver corpus is synthetic; real corpora raise this
 
 
 def curate(docs: DataFrame) -> DataFrame:
     """The lazy keep-set plan over a documents table: gate -> exact dedup ->
     near-dup canonical selection -> stratified sample.  Returns the
-    surviving (doc_id, lang, text) rows."""
+    surviving (doc_id, lang, text) rows.
+
+    The gate is the word-count window only.  A production corpus adds
+    content gates (stopword ratio, quality score — the predicates
+    ``quality_filter_pipeline`` demonstrates); any gate added HERE must be
+    mirrored in the ``curation_keep_set`` oracle and the pandas
+    cross-check in tests/test_curation_build.py, or the driver hash gate
+    silently breaks."""
     n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    stop_ratio = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)
-    ).cast("double") / n_words
-    gated = docs.filter(
-        n_words.between(MIN_WORDS, MAX_WORDS) & (stop_ratio >= MIN_STOPWORD_RATIO)
-    )
+    gated = docs.filter(n_words.between(MIN_WORDS, MAX_WORDS))
 
     # exact dedup: keep the minimum doc_id per content hash
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")

@@ -99,6 +99,19 @@ def export_reference_data_bins(
                 fh.close()
                 fh = None
                 os.replace(tmp, path)
+                # sweep orphan temps left by attempts killed hard (their
+                # finally never ran): the committing attempt owns the final
+                # file, so foreign *.tmp for this path are dead. A still-
+                # running speculative loser keeps its (now-unlinked) fd and
+                # its own later os.replace fails — harmless, Spark already
+                # counted the task as succeeded.
+                import glob as _glob
+
+                for stale in _glob.glob(f"{path}.attempt-*.tmp"):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
 
         results: list[tuple[int, str, int, int]] = []
         try:

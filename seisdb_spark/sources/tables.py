@@ -150,8 +150,10 @@ def write_training_shards(
     audits depend on this).  One shuffle (repartition on the shard column),
     one sorted write; no Python, no driver collect.
 
-    Returns the LAZY manifest plan: (shard, n_rows, key_checksum) — execute
-    and persist it next to the shards for audit."""
+    Returns the LAZY manifest plan (shard, n_rows, key_checksum) built over
+    the WRITTEN shards — not over the input lineage — so consuming it never
+    re-executes the upstream pipeline, and the audit reflects the bytes
+    actually on disk."""
     out = df.withColumn("shard", shard_assignment(key, n_shards, salt))
     order = content_hash32(key, salt)
     (
@@ -166,7 +168,8 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    return shard_manifest(out, key, salt)
+    written = df.sparkSession.read.parquet(path)
+    return shard_manifest(written, key, salt)
 
 
 def shard_manifest(sharded: DataFrame, key: str, salt: str = "") -> DataFrame:
