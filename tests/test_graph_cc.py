@@ -95,6 +95,18 @@ def test_cc_lazy_builds_without_jobs(spark):
     assert {r.v: r.component for r in df.collect()} == {1: 1, 2: 1, 3: 1}
 
 
+def test_distributed_cc_agrees_with_lazy_on_real_pairs(spark):
+    """The distributed pointer-jumping form and the lazy union-find must
+    produce identical components on the real sf0.01 near-dup pairs (the
+    synthetic tests cover shapes; this covers the production input)."""
+    pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR)
+    lazy = {r.v: r.component for r in cc_exact_lazy(pairs).collect()}
+    labels, rounds = connected_components(undirect(pairs))
+    dist = {r.v: r.component for r in labels.collect()}
+    assert dist == lazy
+    assert rounds <= 6  # real dup clusters are shallow
+
+
 def test_dedup_cluster_query_is_closure_of_pairs(spark):
     """The driver query's components must equal the union-find closure of
     the verified near-dup pairs on the real sf0.01 corpus."""
