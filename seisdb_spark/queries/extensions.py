@@ -1804,6 +1804,7 @@ CURATION_MAX_WORDS = 1000
     "curate() plan; the oracle re-expresses the full closure in SQL with a "
     "recursive CTE for the component step. build_training_set feeds this "
     "keep-set to the deterministic shard writer.",
+    bench=True,
 )
 def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seisdb_spark.curation import curate  # deferred: curation imports us
