@@ -26,10 +26,12 @@ re-implementation in tests/test_curation_build.py.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from seisdb_spark.functions.graph import cc_exact_lazy
+from seisdb_spark.functions.graph import cc_auto, cc_exact_lazy
 from seisdb_spark.queries.extensions import (
     CURATION_MAX_WORDS as MAX_WORDS,
 )
@@ -44,17 +46,23 @@ from seisdb_spark.queries.extensions import (
 from seisdb_spark.sources.tables import load_table, spread, write_training_shards
 
 
-def curate(docs: DataFrame) -> DataFrame:
-    """The lazy keep-set plan over a documents table: gate -> exact dedup ->
+def curate(
+    docs: DataFrame, cc: Callable[[DataFrame], DataFrame] = cc_exact_lazy
+) -> DataFrame:
+    """The keep-set plan over a documents table: gate -> exact dedup ->
     near-dup canonical selection -> stratified sample.  Returns the
     surviving (doc_id, lang, text) rows.
 
-    The gate is the word-count window only.  A production corpus adds
-    content gates (stopword ratio, quality score — the predicates
-    ``quality_filter_pipeline`` demonstrates); any gate added HERE must be
-    mirrored in the ``curation_keep_set`` oracle and the pandas
-    cross-check in tests/test_curation_build.py, or the driver hash gate
-    silently breaks."""
+    ``cc`` picks the connected-components form for the near-dup stage.
+    The default (:func:`cc_exact_lazy`) keeps the whole plan lazy — the
+    ``curation_keep_set`` driver-query contract; action paths
+    (:func:`build_training_set`) pass :func:`cc_auto`, which counts the
+    verified pairs and switches to distributed pointer jumping when the
+    edge list outgrows one task.
+
+    Any gate changed HERE must be mirrored in the ``curation_keep_set``
+    oracle and the pandas cross-check in tests/test_curation_build.py, or
+    the driver hash gate silently breaks."""
     n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
     gated = docs.filter(n_words.between(MIN_WORDS, MAX_WORDS))
 
@@ -69,7 +77,7 @@ def curate(docs: DataFrame) -> DataFrame:
     pairs = _jaccard_on_candidates(exact_kept).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    members = cc_exact_lazy(pairs)
+    members = cc(pairs)
     losers = members.filter(F.col("v") != F.col("component")).select(
         F.col("v").alias("doc_id")
     )
@@ -89,6 +97,12 @@ def build_training_set(
 ) -> DataFrame:
     """Run the full curation over ``<sf_dir>/documents.parquet`` and write
     the surviving docs as deterministic training shards under ``out_dir``.
-    Returns the executed shard manifest (shard, n_rows, key_checksum)."""
-    kept = curate(spread(load_table(spark, sf_dir, "documents")))
+    Returns the executed shard manifest (shard, n_rows, key_checksum).
+
+    This is an ACTION API (it writes), so the near-dup clustering goes
+    through :func:`cc_auto`: the verified-pair list is materialized once,
+    counted, and routed to distributed pointer jumping when it outgrows a
+    single task — at a web-scale dup rate the pair list is billions of
+    edges, which the lazy single-task union-find must never receive."""
+    kept = curate(spread(load_table(spark, sf_dir, "documents")), cc=cc_auto)
     return write_training_shards(kept, out_dir, "doc_id", n_shards=n_shards)

@@ -24,6 +24,11 @@ Two forms:
   is the same alternating-contraction idea as the large-star/small-star
   CC algorithm; use it when the dup-pair edge list itself outgrows one
   task (billions of edges).
+* :func:`cc_auto` — the ACTION-path dispatcher: materializes the pair
+  list once, counts it, and picks the single-task form below
+  :data:`CC_SINGLE_TASK_MAX_EDGES` edges and the distributed form above.
+  ``build_training_set`` (the production composition) routes through
+  this, so a web-scale dup-pair list never funnels into one task.
 """
 
 from __future__ import annotations
@@ -107,14 +112,19 @@ def _cc_round(m: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 50
 ) -> tuple[DataFrame, int]:
-    """Iterate :func:`_cc_round` over a symmetric edge list to the fixpoint
-    (no label changed).  Returns ``(labels, rounds_run)``; labels are
-    (v, component).  Each round localCheckpoints the labeling — cutting the
-    lineage that would otherwise grow 4x per round — and runs one limit-1
-    count as the convergence probe."""
-    edges = edges.localCheckpoint(eager=True)
+    """Iterate :func:`_cc_round` over a pair list to the fixpoint (no label
+    changed).  Returns ``(labels, rounds_run)``; labels are (v, component).
+
+    The input may be directed and asymmetric: edges are symmetrized
+    internally (labels propagate dst->src in :func:`_cc_round`, and the
+    initial labeling is built from ``src`` — without symmetrization a
+    dst-only vertex would silently never be labeled).  Each round
+    localCheckpoints the labeling — cutting the lineage that would
+    otherwise grow 4x per round — and runs one limit-1 count as the
+    convergence probe."""
+    edges = undirect(pairs, src, dst).localCheckpoint(eager=True)
     m = (
         edges.select("src")
         .distinct()
@@ -136,3 +146,32 @@ def connected_components(
         if changed == 0:
             return m.select("v", F.col("l").alias("component")), i
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+#: Above this many verified dup pairs, :func:`cc_auto` switches from the
+#: single-task union-find to distributed pointer jumping.  At ~16 bytes of
+#: Arrow payload per edge plus a Python dict entry (~100 bytes) per touched
+#: vertex, 5M edges bounds the single task around a GB — comfortably inside
+#: one executor core; a web-scale corpus's billions of pairs are not.
+CC_SINGLE_TASK_MAX_EDGES = 5_000_000
+
+
+def cc_auto(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_single_task_edges: int = CC_SINGLE_TASK_MAX_EDGES,
+) -> DataFrame:
+    """Connected components for ACTION paths: materialize the pair list
+    once (localCheckpoint — it feeds both the count and the chosen CC
+    form without recomputing the LSH verify), count it, and dispatch:
+    single-task union-find when the edge list fits one task, distributed
+    pointer jumping when it doesn't.  Runs jobs — never use in a lazy
+    ``queries()`` plan builder (those hard-code :func:`cc_exact_lazy`)."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst)
+    ).localCheckpoint(eager=True)
+    if edges.count() <= max_single_task_edges:
+        return cc_exact_lazy(edges, src, dst)
+    labels, _rounds = connected_components(edges, src, dst)
+    return labels

@@ -82,3 +82,24 @@ def test_build_training_set_matches_independent_pipeline(spark, tmp_path):
     man = manifest.toPandas()  # the returned manifest is a lazy plan
     assert int(man.n_rows.sum()) == len(want)
     assert len(want) > 0
+
+
+def test_curate_distributed_cc_path_matches_lazy(spark):
+    """The production composition must produce the identical keep-set
+    whichever CC form cc_auto dispatches to: run curate() with the forced
+    distributed branch (threshold 0 — every edge list is 'too big') and
+    with the default lazy form, and compare."""
+    from seisdb_spark.curation import curate
+    from seisdb_spark.functions.graph import cc_auto
+    from seisdb_spark.sources.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_DIR, "documents"))
+    lazy_ids = {r.doc_id for r in curate(docs).select("doc_id").collect()}
+    dist_ids = {
+        r.doc_id
+        for r in curate(docs, cc=lambda p: cc_auto(p, max_single_task_edges=0))
+        .select("doc_id")
+        .collect()
+    }
+    assert dist_ids == lazy_ids
+    assert len(lazy_ids) > 0

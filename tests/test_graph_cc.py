@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from seisdb_spark.functions.graph import cc_exact_lazy, connected_components, undirect
+from seisdb_spark.functions.graph import cc_auto, cc_exact_lazy, connected_components
 from seisdb_spark.queries.registry import REGISTRY
 from tests.conftest import SF_DIR
 
@@ -61,7 +61,7 @@ def test_cc_random_components_match_union_find(spark):
     }
     assert got_lazy == truth
 
-    labels, rounds = connected_components(undirect(_pairs_df(spark, pairs)))
+    labels, rounds = connected_components(_pairs_df(spark, pairs), "doc_a", "doc_b")
     got_iter = {r.v: r.component for r in labels.collect()}
     assert got_iter == truth
     assert rounds <= 6
@@ -79,7 +79,7 @@ def test_cc_long_chain_pointer_jump_radius(spark):
     }
     assert got_lazy == truth
 
-    labels, rounds = connected_components(undirect(_pairs_df(spark, pairs)))
+    labels, rounds = connected_components(_pairs_df(spark, pairs), "doc_a", "doc_b")
     assert {r.v: r.component for r in labels.collect()} == truth
     assert rounds <= 9, f"pointer jumping took {rounds} rounds for diameter 39"
 
@@ -101,10 +101,36 @@ def test_distributed_cc_agrees_with_lazy_on_real_pairs(spark):
     synthetic tests cover shapes; this covers the production input)."""
     pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR)
     lazy = {r.v: r.component for r in cc_exact_lazy(pairs).collect()}
-    labels, rounds = connected_components(undirect(pairs))
+    labels, rounds = connected_components(pairs, "doc_a", "doc_b")
     dist = {r.v: r.component for r in labels.collect()}
     assert dist == lazy
     assert rounds <= 6  # real dup clusters are shallow
+
+
+def test_distributed_cc_handles_asymmetric_input(spark):
+    """connected_components symmetrizes internally: a dst-only vertex (1
+    below never appears as src) must still be labeled, and min labels must
+    flow against the edge direction.  Before the fix this returned a
+    partial labeling silently."""
+    pairs = [(2, 1), (3, 2), (5, 4)]  # directed high->low; 1 and 4 dst-only
+    truth = _truth_min_labels(pairs)
+    labels, _ = connected_components(_pairs_df(spark, pairs), "doc_a", "doc_b")
+    assert {r.v: r.component for r in labels.collect()} == truth
+
+
+def test_cc_auto_dispatches_by_edge_count(spark):
+    """cc_auto: single-task form under the threshold, distributed above it,
+    identical components either way on the real sf0.01 near-dup pairs."""
+    pairs = REGISTRY["dedup_jaccard_pairs"].spark(spark, SF_DIR)
+    lazy = {r.v: r.component for r in cc_exact_lazy(pairs).collect()}
+
+    small_path = cc_auto(pairs)  # real threshold: tiny edge list stays lazy
+    assert {r.v: r.component for r in small_path.collect()} == lazy
+
+    # force the distributed branch: every edge list is "too big" for 1 task
+    dist_path = cc_auto(pairs, max_single_task_edges=0)
+    assert {r.v: r.component for r in dist_path.collect()} == lazy
+    assert len(lazy) > 0
 
 
 def test_dedup_cluster_query_is_closure_of_pairs(spark):
