@@ -4,7 +4,7 @@
 pipeline a 100 TB corpus actually runs, as lazy plans plus exactly two
 actions (the shard write and the manifest):
 
-1. **quality gate** — length window + stopword-ratio floor (pushed
+1. **quality gate** — length window + stopword-ratio ceiling (pushed
    predicates, no shuffle);
 2. **exact dedup** — md5 content hash, keep the minimum doc_id per hash
    (one shuffle on the digest);
@@ -39,8 +39,12 @@ from seisdb_spark.queries.extensions import (
     CURATION_MIN_WORDS as MIN_WORDS,
 )
 from seisdb_spark.queries.extensions import (
+    CURATION_MAX_STOPWORD_RATIO as MAX_STOPWORD_RATIO,
+)
+from seisdb_spark.queries.extensions import (
     JACCARD_THRESHOLD,
     SAMPLE_RATES,
+    STOPWORD_PATTERN,
     _jaccard_on_candidates,
 )
 from seisdb_spark.sources.tables import load_table, spread, write_training_shards
@@ -64,7 +68,13 @@ def curate(
     oracle and the pandas cross-check in tests/test_curation_build.py, or
     the driver hash gate silently breaks."""
     n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    gated = docs.filter(n_words.between(MIN_WORDS, MAX_WORDS))
+    stopword_hits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)
+    )
+    gated = docs.filter(
+        n_words.between(MIN_WORDS, MAX_WORDS)
+        & (stopword_hits.cast("double") / n_words <= MAX_STOPWORD_RATIO)
+    )
 
     # exact dedup: keep the minimum doc_id per content hash
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")

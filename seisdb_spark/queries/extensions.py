@@ -1739,6 +1739,9 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 CURATION_MIN_WORDS = 20
 CURATION_MAX_WORDS = 1000
+# content gate: docs whose stopword density exceeds this are boilerplate-
+# heavy (same ceiling quality_filter_pipeline applies)
+CURATION_MAX_STOPWORD_RATIO = 0.5
 
 
 @query(
@@ -1748,6 +1751,9 @@ CURATION_MAX_WORDS = 1000
             SELECT doc_id, lang, text FROM documents
             WHERE length(text) - length(replace(text, ' ', '')) + 1
                   BETWEEN {CURATION_MIN_WORDS} AND {CURATION_MAX_WORDS}
+              AND CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+                  / (length(text) - length(replace(text, ' ', '')) + 1)
+                  <= {CURATION_MAX_STOPWORD_RATIO}
         ),
         exact AS (
             SELECT doc_id, lang, text FROM (

@@ -11,7 +11,12 @@ import re
 
 import pandas as pd
 
-from seisdb_spark.curation import MAX_WORDS, MIN_WORDS, build_training_set
+from seisdb_spark.curation import (
+    MAX_STOPWORD_RATIO,
+    MAX_WORDS,
+    MIN_WORDS,
+    build_training_set,
+)
 from seisdb_spark.queries.extensions import JACCARD_THRESHOLD, SAMPLE_RATES
 from seisdb_spark.queries.registry import REGISTRY
 from tests.conftest import SF_DIR
@@ -20,7 +25,16 @@ from tests.conftest import SF_DIR
 def _expected_keep_set(spark) -> set[int]:
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     n_words = docs.text.str.count(" ") + 1
-    gated = docs[(n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)]
+    # content gate: stopword density ceiling, counted with Python re
+    # independently of the engine's regexp_extract_all
+    stopword_hits = docs.text.map(
+        lambda t: len(re.findall(r"\b(?:the|a|of|and|to)\b", t))
+    )
+    gated = docs[
+        (n_words >= MIN_WORDS)
+        & (n_words <= MAX_WORDS)
+        & (stopword_hits / n_words <= MAX_STOPWORD_RATIO)
+    ]
 
     # exact dedup: min doc_id per md5(text)
     md5 = gated.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
@@ -82,6 +96,24 @@ def test_build_training_set_matches_independent_pipeline(spark, tmp_path):
     man = manifest.toPandas()  # the returned manifest is a lazy plan
     assert int(man.n_rows.sum()) == len(want)
     assert len(want) > 0
+
+
+def test_curate_stopword_gate_fires(spark):
+    """The sf0.01 corpus has no stopword-heavy docs (the gate is a no-op
+    there), so prove the content gate on synthetic rows: a doc over the
+    density ceiling is dropped, a clean doc of the same length survives."""
+    heavy = "the a of and to " * 8  # ~41 words, stopword ratio ~1.0
+    clean = "wavefield snapshot tensor strain green function " * 7  # ~43 words
+    # ids 6 and 19 both pass the final md5-bucket sample at the 'en' rate,
+    # so the only discriminator between the two docs is the content gate
+    docs = spark.createDataFrame(
+        [(6, "en", heavy), (19, "en", clean)], "doc_id long, lang string, text string"
+    )
+    from seisdb_spark.curation import curate
+
+    kept = {r.doc_id for r in curate(docs).select("doc_id").collect()}
+    assert 6 not in kept, "stopword-heavy doc must be gated out"
+    assert 19 in kept
 
 
 def test_curate_distributed_cc_path_matches_lazy(spark):
