@@ -156,7 +156,11 @@ def reference_headers(records: DataFrame, meta: DataFrame) -> DataFrame:
     """One row per proc mirroring the reference header file: array columns =
     the HDF5 datasets in blob order (DSGT.py:172-185), scalars = the attrs
     (DSGT.py:186-194) taken from the ``db_meta`` table.  Lazy plan; one
-    shuffle (the per-proc collect_list)."""
+    shuffle (the per-proc collect_list).
+
+    Every proc in ``meta`` gets a row — a proc with zero surviving records
+    gets EMPTY dataset arrays, matching the reference writer, which always
+    creates the per-proc header even when n_gll == 0."""
     arr = F.sort_array(
         F.collect_list(F.struct("start", "gll_id", "length", "offset", "scale"))
     )
@@ -174,7 +178,15 @@ def reference_headers(records: DataFrame, meta: DataFrame) -> DataFrame:
         "proc", "proc_name", "ngll", "nstep", "nforce", "nparas", "dt", "nspec",
         F.col("kind").alias("type"), "forder", "version",
     )
-    return headers.join(F.broadcast(attrs), "proc")
+    # right join from meta: record-less procs survive with NULL arrays,
+    # normalized to typed empty arrays
+    joined = headers.join(F.broadcast(attrs), "proc", "right")
+    types = dict(headers.dtypes)
+    empties = [
+        F.coalesce(F.col(c), F.expr(f"CAST(array() AS {types[c]})")).alias(c)
+        for c in ("index", "start", "length", "length_sizeof", "offset", "scale")
+    ]
+    return joined.select("proc", *empties, *[c for c in attrs.columns if c != "proc"])
 
 
 def export_reference_format(
@@ -186,7 +198,14 @@ def export_reference_format(
 
     ``records`` feeds two actions (the pack and the header write); it is
     persisted for the duration so the upstream build lineage — the
-    expensive distributed decode+encode — executes once, not twice."""
+    expensive distributed decode+encode — executes once, not twice.
+
+    Procs present in ``meta`` but with zero surviving records still get
+    their (empty) ``.bin`` file and an empty-array header row — the
+    reference writer always creates the per-proc file (DSGT.py:118-126
+    opens it before the record loop), and a consumer iterating procs from
+    the header table must not hit a missing file."""
+    suffix = _data_suffix(kind)
     records = records.persist()
     try:
         summary = export_reference_data_bins(records, saving_dir, kind)
@@ -195,6 +214,23 @@ def export_reference_format(
         )
     finally:
         records.unpersist()
+    meta_procs = [r.proc for r in meta.select("proc").distinct().collect()]
+    empty = sorted(set(meta_procs) - set(summary.proc))
+    if empty:
+        os.makedirs(saving_dir, exist_ok=True)
+        rows = []
+        for proc in empty:
+            path = os.path.join(saving_dir, f"proc{proc:06d}_{suffix}.bin")
+            open(path, "wb").close()
+            rows.append((proc, path, 0, 0))
+        summary = (
+            pd.concat(
+                [summary, pd.DataFrame(rows, columns=summary.columns)],
+                ignore_index=True,
+            )
+            .sort_values("proc")
+            .reset_index(drop=True)
+        )
     return summary
 
 

@@ -45,24 +45,25 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
     a pure function of its key; re-invoking returns the same DataFrame and
     skips the py4j plan-construction round-trips (~0.1-0.9 s for the wide
     LSH plans), while every execution still runs from scratch.  The cache
-    holds a STRONG reference to the session object and hits only on ``is``
-    identity — so a stopped-and-collected session's id can never be reused
-    for a false hit (a fresh SparkSession is a different object and takes
-    the miss path, which also drops the old entry).
+    dict lives ON the session object (``spark._seisdb_plan_cache``), not at
+    module level: the session -> cache -> DataFrame -> session reference
+    cycle is then self-contained, so a stopped session dropped by its caller
+    is cycle-collected immediately — no module global pins its JVM refs
+    until some later invocation.  False hits are impossible: a fresh
+    SparkSession starts with no cache attribute.
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        plan_cache: dict[str, tuple[SparkSession, DataFrame]] = {}
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            hit = plan_cache.get(sf_dir)
-            if hit is not None and hit[0] is spark:
-                return hit[1]
-            df = fn(spark, sf_dir)
-            plan_cache.clear()  # one live session at a time; don't pin old JVMs
-            plan_cache[sf_dir] = (spark, df)
+            cache = spark.__dict__.setdefault("_seisdb_plan_cache", {})
+            key = (name, sf_dir)
+            df = cache.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                cache[key] = df
             return df
 
         cached.__name__ = fn.__name__

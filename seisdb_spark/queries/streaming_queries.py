@@ -31,6 +31,20 @@ def _unique(name: str) -> str:
     return f"{name}_{next(_run_counter)}"
 
 
+_probe_roots: set[str] = set()
+
+
+def _register_probe_cleanup(root: str) -> None:
+    # one atexit registration per distinct root, however many times the
+    # probe query re-runs
+    if root not in _probe_roots:
+        import atexit
+        import shutil
+
+        _probe_roots.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
 @query(
     "streaming_tumbling_counts",
     oracle=REGISTRY["tumbling_window_counts"].oracle,
@@ -115,7 +129,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scales with the batch. The oracle is the batch twin's SQL — "
     "stream==batch on complete data is the correctness claim.",
 )
-def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
     import os
     import tempfile
 
@@ -148,12 +165,22 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = shingle_tokens(corpus).persist()
     corpus_bands = bands_of(corpus_sh).persist()
 
-    import atexit
     import shutil
 
-    root = tempfile.mkdtemp(prefix="seisdb_stream_probe_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    out_dir = os.path.join(root, "pairs")
+    # Staging root is DETERMINISTIC per (process, sf_dir) — not a fresh
+    # mkdtemp per call — and the previous run's tree is removed up front, so
+    # repeat invocations never accumulate temp trees for the process
+    # lifetime.  Callers wanting the artifacts visible pass out_dir.
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_probe_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(root)
+    else:
+        root = out_dir
+    shutil.rmtree(root, ignore_errors=True)
+    pairs_dir = os.path.join(root, "pairs")
     ckpt = os.path.join(root, "ckpt")
 
     def probe(bdf: DataFrame, _batch_id: int) -> None:
@@ -178,7 +205,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("jaccard", 4).alias("jaccard"),
             )
             .write.mode("append")
-            .parquet(out_dir)
+            .parquet(pairs_dir)
         )
 
     q = (
@@ -195,7 +222,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_sh.unpersist()
     return spark.read.schema(
         "batch_doc long, corpus_doc long, jaccard double"
-    ).parquet(out_dir)
+    ).parquet(pairs_dir)
 
 
 # stream==batch equivalence: the streaming probe's oracle IS the batch

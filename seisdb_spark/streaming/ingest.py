@@ -18,6 +18,7 @@ Design notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,7 +33,8 @@ from seisdb_spark.sources.specfem import N_GLL_PER_ELEMENT, SNAPSHOT_RE, decode_
 # events.parquet carries ts as parquet timestamp[ns]; a streaming source
 # needs the schema up front, and the nanosAsLong conf must stay set for the
 # lifetime of the stream (each microbatch re-reads footers) — so the events
-# stream reader sets it and leaves it set, documented here. Batch loaders
+# stream reader sets it and restores it via a StreamingQueryListener once
+# the session's last active stream terminates. Batch loaders
 # (sources/tables.py) scope it per-read instead.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -55,20 +57,84 @@ BINARYFILE_SCHEMA = T.StructType(
 )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_nanos_lock = threading.Lock()
+#: sessions whose nanosAsLong conf is currently held open for a stream:
+#: id(session) -> mutable [listener, prior_value, generation].  The
+#: generation bumps on every re-assert, so a termination event that raced
+#: a newly built (not yet started) stream defers its restore to the next
+#: termination instead of yanking the conf from under the new stream.
+_nanos_holds: dict[int, list] = {}
+
+
+def _hold_nanos_conf(spark: SparkSession) -> None:
+    """Set nanosAsLong for a stream's lifetime and arrange restoration:
+    a StreamingQueryListener restores the prior value when the session's
+    LAST active streaming query terminates (the conf must hold while any
+    stream that read it is running — microbatches re-read parquet footers).
+    If the caller never starts the stream, the conf stays set until some
+    stream runs and terminates; batch reads stay safe via
+    ``tables.load_table``, which scopes the conf per read."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    with _nanos_lock:
+        hold = _nanos_holds.get(id(spark))
+        if hold is not None:
+            hold[2] += 1  # a new consumer under the same hold
+            spark.conf.set(_NANOS_CONF, "true")
+            return
+        prior = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+
+        class _Restore(StreamingQueryListener):
+            seen_gen = 0
+
+            def onQueryStarted(self, event):  # noqa: D102
+                pass
+
+            def onQueryProgress(self, event):  # noqa: D102
+                pass
+
+            def onQueryIdle(self, event):  # noqa: D102
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: D102
+                with _nanos_lock:
+                    cur = _nanos_holds.get(id(spark))
+                    if cur is None or cur[0] is not self:
+                        return
+                    # a stream built after this listener last looked may not
+                    # have started yet; defer restore to its termination
+                    if cur[2] != self.seen_gen:
+                        self.seen_gen = cur[2]
+                        return
+                    if spark.streams.active:
+                        return
+                    _nanos_holds.pop(id(spark), None)
+                    if prior is None:
+                        spark.conf.unset(_NANOS_CONF)
+                    else:
+                        spark.conf.set(_NANOS_CONF, prior)
+                spark.streams.removeListener(self)
+
+        listener = _Restore()
+        spark.streams.addListener(listener)
+        _nanos_holds[id(spark)] = [listener, prior, 0]
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events table with event-time ``ts``.
 
-    SIDE EFFECT: sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
-    SESSION and leaves it set — the conf must hold for the stream's lifetime
-    (every microbatch re-reads parquet footers), so it cannot be scoped like
-    the batch loaders in ``sources/tables.py`` do.  Any later batch read of
-    a timestamp[ns] parquet in this session will see those columns as
-    LongType; use ``tables.load_table`` (which scopes the conf per-read and
-    restores it) rather than a bare ``spark.read.parquet`` for such tables.
+    Sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session for
+    the stream's lifetime and RESTORES the prior value once the session's
+    last active stream terminates (see :func:`_hold_nanos_conf`) — a later
+    batch read of a timestamp[ns] parquet in the same session fails loudly
+    or resolves correctly via ``tables.load_table`` instead of silently
+    seeing LongType columns.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _hold_nanos_conf(spark)
     # the file stream source lists a DIRECTORY; pathGlobFilter narrows it to
     # the events file (a single-file path is rejected: basePath must be a dir)
     raw = (

@@ -76,3 +76,17 @@ def test_constant_series_zero_scale_guard():
     offset, scale, codes, _blob = encode_point(np.full(24, 7.5, dtype=np.float32))
     assert offset == 7.5 and scale == 0.0
     assert not codes.any()
+
+def test_plan_cache_lives_on_session_and_returns_same_plan(spark):
+    """The registry's prepared-plan cache is stored ON the session object
+    (session -> cache -> DataFrame -> session is a self-contained cycle, so
+    a dropped session is cycle-collected); repeat invocation returns the
+    identical DataFrame object."""
+    from seisdb_spark.queries.registry import REGISTRY
+    from tests.conftest import SMOKE_SF_DIR
+
+    fn = REGISTRY["a3_counts"].spark
+    d1 = fn(spark, SMOKE_SF_DIR)
+    d2 = fn(spark, SMOKE_SF_DIR)
+    assert d1 is d2
+    assert ("a3_counts", SMOKE_SF_DIR) in spark.__dict__["_seisdb_plan_cache"]

@@ -89,6 +89,44 @@ def test_header_table_matches_golden(spark, fixture_meta, tmp_path):
         assert row["proc_name"] == f"proc{proc:06d}"
 
 
+def test_empty_proc_still_gets_bin_and_header(spark, fixture_meta, tmp_path):
+    """A proc present in db_meta but with zero surviving records must still
+    produce its per-proc .bin file (empty) and a header row with empty
+    dataset arrays — the reference writer always creates the file
+    (DSGT.py:118-126 opens it before the record loop), so a consumer
+    iterating procs from the header table never hits a missing file."""
+    import os
+
+    m = fixture_meta
+    records, meta, _ = sgt_build(
+        spark,
+        os.path.join(m["model_dir"], "proc*_ibool.bin"),
+        m["force_dirs"],
+        m["nspec"],
+        m["step0"],
+        m["step1"],
+        m["dstep"],
+        network="CI",
+        station="USC",
+    )
+    # drop every record of proc 0: meta still lists it
+    out = str(tmp_path / "refdb_empty_proc")
+    from pyspark.sql import functions as F
+
+    summary = export_reference_format(
+        records.filter(F.col("proc") != 0), meta, out, kind="SGT"
+    )
+    assert list(summary.proc) == list(range(NPROCS))
+    row0 = summary[summary.proc == 0].iloc[0]
+    assert row0.n_blobs == 0 and row0.n_bytes == 0
+    path0 = os.path.join(out, "proc000000_sgt_data.bin")
+    assert os.path.exists(path0) and os.path.getsize(path0) == 0
+    hdr = spark.read.parquet(os.path.join(out, "headers_parquet")).toPandas()
+    h0 = hdr[hdr.proc == 0].iloc[0]
+    assert len(h0["index"]) == 0 and len(h0["start"]) == 0
+    assert h0["proc_name"] == "proc000000"  # attrs still come from meta
+
+
 def test_hdf5_stub_is_honest(spark, fixture_meta, tmp_path):
     """No h5py in this container: the literal-.hdf5 conversion must raise
     NotImplementedError (not silently skip) while the parquet header table

@@ -45,6 +45,47 @@ def test_sessionize_stream_equals_batch(spark):
     pd.testing.assert_frame_equal(_sorted(got[cols]), _sorted(batch[cols]))
 
 
+def test_incremental_probe_staging_reused_not_leaked(spark, tmp_path):
+    """Re-invoking the incremental probe reuses (wipes and rewrites) its
+    staging root instead of leaking a fresh temp tree per call, and the
+    result is unchanged across re-runs."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_incremental_dedup
+
+    out = str(tmp_path / "probe_staging")
+    n1 = streaming_incremental_dedup(spark, SMOKE_SF_DIR, out_dir=out).count()
+    n2 = streaming_incremental_dedup(spark, SMOKE_SF_DIR, out_dir=out).count()
+    assert n1 == n2  # second run wiped the first run's pairs, not appended
+    assert sorted(os.listdir(out)) == ["ckpt", "pairs"]  # one tree, reused
+
+
+def test_nanos_conf_restored_after_last_stream(spark):
+    """read_events_stream holds nanosAsLong only while streams are active:
+    once the session's last streaming query terminates, the prior value is
+    restored (here: unset) by the termination listener, and a post-stream
+    load_table of the ns-timestamp events table still resolves ts as a
+    proper timestamp — the session is no longer permanently mutated."""
+    import time
+
+    from seisdb_spark.sources.tables import load_table
+
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    assert not spark.streams.active  # clean baseline
+    if spark.conf.get(conf, None) is not None:
+        spark.conf.unset(conf)
+
+    stream = tumbling_counts_stream(read_events_stream(spark, SMOKE_SF_DIR))
+    assert spark.conf.get(conf, None) == "true"  # held for the stream
+    run_to_memory(stream, "t_conf_restore")
+    for _ in range(100):  # listener dispatch is asynchronous
+        if spark.conf.get(conf, None) is None:
+            break
+        time.sleep(0.1)
+    assert spark.conf.get(conf, None) is None, "conf not restored after stream"
+    assert dict(load_table(spark, SMOKE_SF_DIR, "events").dtypes)["ts"] == "timestamp"
+
+
 def test_snapshot_stream_ingest_encode_equals_batch(spark, tmp_path):
     """Files stream in (binaryFile source, 3 per microbatch), decode via the
     same kernel, land in staging; the finalize encode over staged rows must
