@@ -18,23 +18,27 @@ stronger array-form variant where twins exist), the two pipeline record
 sinks, and a representative slice of the SQL surface.  Out-of-window
 queries stay registered (bench + pytest still exercise them).
 
+Round-4 rotation: the 8 queries that had never received a hard driver row
+across r2∪r3 (``tfidf_top_terms``, ``approx_quantile_gate``,
+``doc_repetition_stats``, ``pii_scan_counts``, ``multimodal_header_fields``,
+``doc_fingerprint``, ``embedding_norms_by_label``, ``stratified_sample``)
+rotate IN; 8 core §2 entries green in BOTH r2 and r3 rotate OUT
+(``p3_stride_filter``, ``j2_semi_gather``, ``j3_step_alignment``,
+``a3_counts``, ``a4_prefix_sum``, ``e1_quantize_codes``,
+``r2_canonical_flatten_arrays``, ``sessionize_events``), keeping the
+flagship and at least one member of every §2 operator family in-window
+(P: p1, J: j1, D: d1, A: a1a2, R: r1, L: l1+l2, E: sgt_flagship_encode;
+sessionize stays covered by ``streaming_sessionize``).
+``tests/test_driver_window.py`` asserts the r2∪r3∪r4 windows jointly cover
+every oracle-bearing registry query.
+
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
   ``r1_series_assembly``, ``r2_canonical_flatten`` — their siblings verify
   the same operator;
-* family-covered minor variants — ``embedding_norms_by_label``,
-  ``doc_fingerprint``, ``token_count_by_lang``, ``grouping_sets_orders``
-  (set-op family keeps five pytest-green members), ``stratified_sample``
-  (its hash-bucket sampling is a verified stage inside both
-  ``curation_keep_set`` and ``curation_pipeline_stats``);
-* late round-3 additions that lost the 50-slot tiebreak to the ops they
-  extend — ``tfidf_top_terms``, ``approx_quantile_gate`` (the sketch-gate
-  pattern is window-proven by ``approx_distinct_parts``),
-  ``doc_repetition_stats``, ``pii_scan_counts`` (quality-gate family is
-  window-proven by ``text_quality_score``/``quality_filter_pipeline``),
-  and ``multimodal_header_fields`` (multimodal is window-proven by
-  ``multimodal_payload_stats``/``multimodal_decode_features``);
+* ``token_count_by_lang`` and ``grouping_sets_orders`` — family-covered
+  (text family and the five-member set-op family);
 * rows-only pipeline variants the golden tests own — ``e2_zlib_blob``,
   ``specfem_strain_scan``, ``sgt_roundtrip_decode``,
   ``streaming_sliding_counts``.
@@ -76,25 +80,27 @@ DRIVER_WINDOW: list[str] = [
     "lang_id_ngram",
     "multimodal_payload_stats",
     "multimodal_decode_features",
+    # --- round-4 rotation: first-ever driver rows for these 8 -----------------
+    "tfidf_top_terms",
+    "approx_quantile_gate",
+    "doc_repetition_stats",
+    "pii_scan_counts",
+    "multimodal_header_fields",
+    "doc_fingerprint",
+    "embedding_norms_by_label",
+    "stratified_sample",
     # --- Structured Streaming (the 5 oracle-bearing entries) ----------------
     "streaming_tumbling_counts",
     "streaming_sessionize",
     "streaming_dedup_events",
     "streaming_static_enrich",
     "streaming_incremental_dedup",
-    # --- core §2 operators (one query per operator; array-form twins win) ---
+    # --- core §2 operators (one per family; twice-green siblings rotated out) -
     "p1_positional_projection",
-    "p3_stride_filter",
     "j1_gather_join",
-    "j2_semi_gather",
-    "j3_step_alignment",
     "d1_first_occurrence_dedup",
     "a1a2_group_normalize",
-    "a3_counts",
-    "a4_prefix_sum",
-    "e1_quantize_codes",
     "r1_array_assembly",
-    "r2_canonical_flatten_arrays",
     "l1_point_lookup",
     "l2_element_reorder",
     "sgt_flagship_encode",
@@ -102,7 +108,6 @@ DRIVER_WINDOW: list[str] = [
     "dgf_pipeline_records",
     # --- SQL-surface representatives ----------------------------------------
     "asof_last_click_before_purchase",
-    "sessionize_events",
     "approx_distinct_parts",
 ]
 
