@@ -4,8 +4,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line with per-query and total wall-clock seconds.
 
 Each query is executed to completion via a count() action (full plan runs,
-nothing collected to the driver). A warmup pass on the flagship query
-amortizes JVM/codegen startup so numbers reflect steady-state throughput.
+nothing collected to the driver).  Per query: one cold pass (reported
+separately — JVM/codegen/Python-worker warmup), then N_WARM=5 timed passes
+whose MEDIAN is the reported number, so sub-second movements between rounds
+are signal rather than single-sample noise.
 """
 
 from __future__ import annotations
@@ -13,8 +15,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+N_WARM = 5
 
 
 def main() -> None:
@@ -30,21 +35,27 @@ def main() -> None:
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
 
-    # Each query runs twice: the first pass pays one-time costs (JVM +
-    # whole-stage-codegen JIT per plan shape, Python worker spin-up, parquet
-    # footer caches) and is reported as cold_total; the second pass is the
-    # steady-state number reported per query — the cost that actually scales
-    # with data volume (at 100 TB the per-plan JIT is noise; at sf0.1 it
-    # dominates expression-heavy plans like the 12-hash MinHash aggregate).
+    # The first pass pays one-time costs (JVM + whole-stage-codegen JIT per
+    # plan shape, Python worker spin-up, parquet footer caches) and is
+    # reported as cold_total; the N_WARM following passes measure the
+    # steady-state cost that actually scales with data volume (at 100 TB
+    # the per-plan JIT is noise; at sf0.1 it dominates expression-heavy
+    # plans like the 12-hash MinHash aggregate).  Medians, not means:
+    # robust to a stray GC/compaction pause in one pass.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, spec in sorted(bench_specs.items()):
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 4)
+        samples: list[float] = []
+        for _ in range(N_WARM):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(samples), 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -54,6 +65,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "query_min_max": spread,
+                "n_warm": N_WARM,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
