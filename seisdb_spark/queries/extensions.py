@@ -1322,8 +1322,16 @@ def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f">= {NEARDUP_COSINE} verification on the candidate set only. Planted "
     "near-dup recall asserted at two scales in tests/test_extensions.py.",
 )
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+def neardup_band_candidates(
+    spark: SparkSession, emb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Banded sign-bit LSH candidate generation for embedding near-dup.
+
+    Returns ``(sb, cand)``: the per-vector sign-string/norm projection and the
+    DISTINCT candidate pairs agreeing in any band.  Shared by the production
+    query and the two-scale probe-shrinkage test so the test measures the
+    exact production blocking stage, not a re-derivation.
+    """
     nbdf = emb.agg(
         adaptive_bits_col(
             F.count(F.lit(1)), NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS
@@ -1359,6 +1367,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    return sb, cand
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sb, cand = neardup_band_candidates(spark, emb)
     sa, sb2 = sb.alias("sa"), sb.alias("sb2")
     cos = dot_chain_col("sa.embedding", "sb2.embedding") / (
         F.col("sa.nrm") * F.col("sb2.nrm")
