@@ -1277,51 +1277,6 @@ def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_neardup_pairs",
-    oracle=f"""
-        WITH nb AS (
-            SELECT {adaptive_bits_sql(NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS)}
-                   AS r
-            FROM embeddings
-        ),
-        sb AS (
-            SELECT vec_id, embedding,
-                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
-                   {sign_string_sql("embedding")} AS fb
-            FROM embeddings
-        ),
-        bands AS (
-            SELECT vec_id, band,
-                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
-            FROM sb CROSS JOIN nb
-            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
-                        AS band)
-        ),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
-        )
-        SELECT vec_a, vec_b,
-               round(({dot_chain_sql("sa.embedding", "sb2.embedding")})
-                     / (sa.nrm * sb2.nrm), 6) AS cosine
-        FROM cand
-        JOIN sb sa ON sa.vec_id = vec_a
-        JOIN sb sb2 ON sb2.vec_id = vec_b
-        WHERE ({dot_chain_sql("sa.embedding", "sb2.embedding")})
-              / (sa.nrm * sb2.nrm) >= {NEARDUP_COSINE}
-    """,
-    doc=f"Embedding-cosine near-dup pairs via BANDED sign-bit LSH (the "
-    f"embedding analog of banded MinHash): {NEARDUP_BANDS} bands over "
-    f"disjoint dimension ranges, each a DATA-ADAPTIVE r-bit key "
-    f"(r = ceil(log2(n/{NEARDUP_TARGET_BUCKET_ROWS})), so within-bucket "
-    "pair work stays ~linear in n instead of quadratic), candidates = "
-    "DISTINCT pairs agreeing in ANY band (banding keeps recall as r grows "
-    "— a single all-bits key loses recall at scale), then exact cosine "
-    f">= {NEARDUP_COSINE} verification on the candidate set only. Planted "
-    "near-dup recall asserted at two scales in tests/test_extensions.py.",
-)
 def neardup_band_candidates(
     spark: SparkSession, emb: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -1370,6 +1325,51 @@ def neardup_band_candidates(
     return sb, cand
 
 
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH nb AS (
+            SELECT {adaptive_bits_sql(NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS)}
+                   AS r
+            FROM embeddings
+        ),
+        sb AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
+                   {sign_string_sql("embedding")} AS fb
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, band,
+                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
+            FROM sb CROSS JOIN nb
+            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
+                        AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(({dot_chain_sql("sa.embedding", "sb2.embedding")})
+                     / (sa.nrm * sb2.nrm), 6) AS cosine
+        FROM cand
+        JOIN sb sa ON sa.vec_id = vec_a
+        JOIN sb sb2 ON sb2.vec_id = vec_b
+        WHERE ({dot_chain_sql("sa.embedding", "sb2.embedding")})
+              / (sa.nrm * sb2.nrm) >= {NEARDUP_COSINE}
+    """,
+    doc=f"Embedding-cosine near-dup pairs via BANDED sign-bit LSH (the "
+    f"embedding analog of banded MinHash): {NEARDUP_BANDS} bands over "
+    f"disjoint dimension ranges, each a DATA-ADAPTIVE r-bit key "
+    f"(r = ceil(log2(n/{NEARDUP_TARGET_BUCKET_ROWS})), so within-bucket "
+    "pair work stays ~linear in n instead of quadratic), candidates = "
+    "DISTINCT pairs agreeing in ANY band (banding keeps recall as r grows "
+    "— a single all-bits key loses recall at scale), then exact cosine "
+    f">= {NEARDUP_COSINE} verification on the candidate set only. Planted "
+    "near-dup recall asserted at two scales in tests/test_extensions.py.",
+)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     sb, cand = neardup_band_candidates(spark, emb)

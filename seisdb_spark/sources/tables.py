@@ -29,29 +29,75 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet timestamp[ns], which Spark's reader rejects
-        # (Spark timestamps are microsecond precision). Read the raw int64
-        # nanos and truncate to microseconds — the oracle casts its
-        # TIMESTAMP_NS to TIMESTAMP, which truncates identically.
-        # The conf is scoped: saved and restored so other parquet reads in
-        # the same session are unaffected (a table carrying timestamp[ns]
-        # elsewhere would otherwise silently load as LongType).
-        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            # force schema resolution while the conf is active; the scan
-            # itself re-reads the footer lazily, so pin the conf per-read via
-            # the DataFrame's analyzed schema (reader resolves eagerly here).
-            df.schema  # noqa: B018
-        finally:
-            if prior is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
-        return df
+        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_ts_layout(spark: SparkSession, path: str) -> tuple[str, "object"]:
+    """Probe the RESOLVED ``ts`` type of an events parquet and classify the
+    physical layout.  Upstream testdata has already changed layout once
+    (timestamp[ns] in rounds 1-4, timestamp[us] since) — at 100 TB a table's
+    physical types WILL drift across producer versions, so the loader
+    branches on what the footer actually says instead of hard-coding one
+    layout.  Returns ``(layout, resolved_schema)`` with layout one of
+    ``"native"`` (TIMESTAMP, use as-is), ``"ntz"`` (TIMESTAMP_NTZ, cast to
+    the session timestamp type so DuckDB's naive-timestamp oracle semantics
+    hold), or ``"nanos"`` (legacy timestamp[ns]: unreadable without
+    ``spark.sql.legacy.parquet.nanosAsLong``, or already resolved LongType
+    because that conf is set).  Any other type fails loudly — a one-line
+    testdata-drift tripwire instead of 29 opaque downstream failures.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException as e:
+        if "nanosAsLong" in str(e) or "NANOS" in str(e):
+            return "nanos", None
+        raise
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return "nanos", schema  # nanosAsLong already set session-wide
+    if isinstance(ts_type, T.TimestampNTZType):
+        return "ntz", schema
+    if isinstance(ts_type, T.TimestampType):
+        return "native", schema
+    raise TypeError(
+        f"testdata schema changed: events.ts is now {ts_type} "
+        f"(expected timestamp, timestamp_ntz, or legacy timestamp[ns]) in {path}"
+    )
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    layout, _ = events_ts_layout(spark, path)
+    if layout == "native":
+        return spark.read.parquet(path)
+    if layout == "ntz":
+        # session tz is UTC (session.py); NTZ -> TIMESTAMP is wall-clock
+        # identity, and keeps every downstream consumer (windows, as-of,
+        # sessionize, streaming twins) on one timestamp type.
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # legacy timestamp[ns]: read raw int64 nanos, truncate to micros — the
+    # oracle casts TIMESTAMP_NS to TIMESTAMP, which truncates identically.
+    # The conf is scoped: saved and restored so other parquet reads in the
+    # same session are unaffected.
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # force schema resolution while the conf is active; the scan itself
+        # re-reads the footer lazily, so pin the conf per-read via the
+        # DataFrame's analyzed schema (reader resolves eagerly here).
+        df.schema  # noqa: B018
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

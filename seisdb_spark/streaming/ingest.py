@@ -30,22 +30,32 @@ from pyspark.sql import types as T
 from seisdb_spark.schemas import STRAIN_SCHEMA, STRAIN_PARAS
 from seisdb_spark.sources.specfem import N_GLL_PER_ELEMENT, SNAPSHOT_RE, decode_strain
 
-# events.parquet carries ts as parquet timestamp[ns]; a streaming source
-# needs the schema up front, and the nanosAsLong conf must stay set for the
-# lifetime of the stream (each microbatch re-reads footers) — so the events
-# stream reader sets it and restores it via a StreamingQueryListener once
-# the session's last active stream terminates. Batch loaders
-# (sources/tables.py) scope it per-read instead.
-EVENTS_RAW_SCHEMA = T.StructType(
+# A streaming file source needs its schema up front; the events table's
+# physical ts layout has drifted upstream once already (timestamp[ns] in
+# rounds 1-4, timestamp[us] since), so read_events_stream probes the
+# batch-resolved schema per layout (tables.events_ts_layout) and picks the
+# matching stream schema: TIMESTAMP_NTZ / TIMESTAMP for modern layouts, or
+# the legacy raw-int64-nanos schema below — in which case the nanosAsLong
+# conf must stay set for the stream's lifetime (each microbatch re-reads
+# footers) and is restored via a StreamingQueryListener once the session's
+# last active stream terminates. Batch loaders scope the conf per-read.
+_EVENTS_FIELDS_AROUND_TS = (
+    [T.StructField("event_id", T.LongType())],
     [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
-    ]
+    ],
 )
+
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    pre, post = _EVENTS_FIELDS_AROUND_TS
+    return T.StructType(pre + [T.StructField("ts", ts_type)] + post)
+
+
+EVENTS_RAW_SCHEMA_LEGACY_NANOS = _events_schema(T.LongType())
 
 BINARYFILE_SCHEMA = T.StructType(
     [
@@ -127,22 +137,38 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events table with event-time ``ts``.
 
-    Sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session for
-    the stream's lifetime and RESTORES the prior value once the session's
-    last active stream terminates (see :func:`_hold_nanos_conf`) — a later
-    batch read of a timestamp[ns] parquet in the same session fails loudly
-    or resolves correctly via ``tables.load_table`` instead of silently
-    seeing LongType columns.
+    Probes the batch-resolved ts layout once (tables.events_ts_layout) and
+    declares the matching stream schema — a user-supplied schema on a file
+    stream is NOT validated against the footers, so a layout mismatch here
+    is a silent-wrong-answer bug, not a crash (round 4 shipped exactly that:
+    int64-physical timestamp[us] read through a Long-nanos schema compressed
+    every event time 1000x).  For the legacy timestamp[ns] layout this sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` for the stream's lifetime
+    and RESTORES the prior value once the session's last active stream
+    terminates (see :func:`_hold_nanos_conf`).
     """
-    _hold_nanos_conf(spark)
+    from seisdb_spark.sources.tables import events_ts_layout
+
+    layout, _ = events_ts_layout(spark, os.path.join(sf_dir, "events.parquet"))
     # the file stream source lists a DIRECTORY; pathGlobFilter narrows it to
     # the events file (a single-file path is rejected: basePath must be a dir)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    def _stream(schema: T.StructType) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    if layout == "native":
+        return _stream(_events_schema(T.TimestampType()))
+    if layout == "ntz":
+        # session tz is UTC (session.py): NTZ -> TIMESTAMP is wall-clock
+        # identity, and keeps windows/watermarks on one timestamp type.
+        raw = _stream(_events_schema(T.TimestampNTZType()))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    _hold_nanos_conf(spark)
+    raw = _stream(EVENTS_RAW_SCHEMA_LEGACY_NANOS)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -174,6 +174,21 @@ def test_embedding_neardup_planted_two_scales(spark, tmp_path, n_background):
         y = np.asarray(vecs[vb], dtype=np.float64)
         assert x @ y / (np.linalg.norm(x) * np.linalg.norm(y)) >= 0.95
 
+    # probe the EXACT production blocking stage: the banded-LSH candidate
+    # set must contain the planted pair (blocking recall) while shrinking
+    # the verify workload well below the all-pairs quadratic
+    from seisdb_spark.queries.extensions import neardup_band_candidates
+
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    _, cand = neardup_band_candidates(spark, emb)
+    cand_pairs = {(r.vec_a, r.vec_b) for r in cand.toPandas().itertuples()}
+    assert (0, 1) in cand_pairs, "blocking stage dropped the planted pair"
+    n = len(vecs)
+    all_pairs = n * (n - 1) // 2
+    assert len(cand_pairs) < all_pairs / 2, (
+        f"blocking barely prunes: {len(cand_pairs)} of {all_pairs} pairs"
+    )
+
 
 def test_pii_scan_detects_planted_pii(spark, tmp_path):
     """The driver corpus is synthetic-clean (every doc flags pii_clean=1),

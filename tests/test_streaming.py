@@ -60,30 +60,87 @@ def test_incremental_probe_staging_reused_not_leaked(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["ckpt", "pairs"]  # one tree, reused
 
 
-def test_nanos_conf_restored_after_last_stream(spark):
-    """read_events_stream holds nanosAsLong only while streams are active:
-    once the session's last streaming query terminates, the prior value is
-    restored (here: unset) by the termination listener, and a post-stream
-    load_table of the ns-timestamp events table still resolves ts as a
-    proper timestamp — the session is no longer permanently mutated."""
-    import time
+def _write_legacy_nanos_events(spark, out_dir):
+    """Re-write the smoke events table as a parquet timestamp[ns] file (the
+    rounds-1-4 upstream layout) so both loader branches stay regression-
+    tested now that the shipped testdata moved to timestamp[us]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from seisdb_spark.sources.tables import load_table
 
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+    path = out_dir / "events.parquet"
+    # parquet format >= 2.6 carries TIMESTAMP(NANOS) natively
+    pq.write_table(pa.Table.from_pandas(pdf), path, version="2.6")
+    assert str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    return str(out_dir)
+
+
+def test_legacy_nanos_layout_batch_and_stream(spark, tmp_path):
+    """Both events loaders must still handle the legacy timestamp[ns]
+    layout: batch load_table resolves identical timestamps, the stream
+    holds nanosAsLong only while streams are active (restored by the
+    termination listener once the last stream ends), and the streamed
+    tumbling counts equal the batch twin's — i.e. event times survived the
+    ns decode un-compressed."""
+    import time
+
+    from seisdb_spark.sources.tables import events_ts_layout, load_table
+
+    ns_dir = _write_legacy_nanos_events(spark, tmp_path / "ns_events")
+    assert events_ts_layout(spark, f"{ns_dir}/events.parquet")[0] == "nanos"
+
+    # batch branch: same rows, proper timestamp type, per-read conf scoping
     conf = "spark.sql.legacy.parquet.nanosAsLong"
-    assert not spark.streams.active  # clean baseline
     if spark.conf.get(conf, None) is not None:
         spark.conf.unset(conf)
+    ev_ns = load_table(spark, ns_dir, "events")
+    assert dict(ev_ns.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get(conf, None) is None  # batch read restored the conf
+    want_ts = _sorted(
+        load_table(spark, SMOKE_SF_DIR, "events").select("event_id", "ts").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(ev_ns.select("event_id", "ts").toPandas()), want_ts
+    )
 
-    stream = tumbling_counts_stream(read_events_stream(spark, SMOKE_SF_DIR))
+    # stream branch: conf held for the stream's lifetime, then restored
+    assert not spark.streams.active  # clean baseline
+    stream = tumbling_counts_stream(read_events_stream(spark, ns_dir))
     assert spark.conf.get(conf, None) == "true"  # held for the stream
-    run_to_memory(stream, "t_conf_restore")
+    got = _sorted(run_to_memory(stream, "t_conf_restore").toPandas())
     for _ in range(100):  # listener dispatch is asynchronous
         if spark.conf.get(conf, None) is None:
             break
         time.sleep(0.1)
     assert spark.conf.get(conf, None) is None, "conf not restored after stream"
-    assert dict(load_table(spark, SMOKE_SF_DIR, "events").dtypes)["ts"] == "timestamp"
+    want = _sorted(
+        REGISTRY["tumbling_window_counts"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_ts_layout_tripwire(spark, tmp_path):
+    """Testdata-drift tripwire: a ts column of an unexpected logical type
+    must fail with one clear sentence at load, not 29 opaque failures
+    downstream; the shipped testdata must classify as a known layout."""
+    import pytest
+
+    from seisdb_spark.sources.tables import events_ts_layout
+
+    layout, _ = events_ts_layout(spark, f"{SMOKE_SF_DIR}/events.parquet")
+    assert layout in ("native", "ntz", "nanos")
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pd.DataFrame({"event_id": [1], "ts": ["not-a-time"]}).to_parquet(
+        bad / "events.parquet"
+    )
+    with pytest.raises(TypeError, match="testdata schema changed"):
+        events_ts_layout(spark, str(bad / "events.parquet"))
 
 
 def test_snapshot_stream_ingest_encode_equals_batch(spark, tmp_path):
@@ -126,7 +183,7 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     import pyspark.sql.functions as F
 
     from seisdb_spark.sources.tables import load_table
-    from seisdb_spark.streaming.ingest import EVENTS_RAW_SCHEMA
+    from seisdb_spark.streaming.ingest import EVENTS_RAW_SCHEMA_LEGACY_NANOS
     from seisdb_spark.streaming.stateful import running_user_totals_stream
 
     # split events into 4 files so availableNow + maxFilesPerTrigger=1
@@ -138,7 +195,7 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     ev.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.parquet(str(src))
 
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA_LEGACY_NANOS)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -186,26 +243,23 @@ def test_streaming_dedup_drops_staged_duplicates(spark, tmp_path):
     """The same events staged TWICE: the watermarked dropDuplicates stream
     must emit each event_id exactly once (first arrival wins), so the
     deduped row count equals the single-copy count, not 2x."""
-    import shutil
-
-    import pyspark.sql.functions as F
-
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import dedup_events_stream
-    from seisdb_spark.streaming.ingest import EVENTS_RAW_SCHEMA
 
     ev = load_table(spark, SMOKE_SF_DIR, "events")
     n_unique = ev.count()
     src = tmp_path / "dups"
-    src.mkdir()
-    shutil.copy(f"{SMOKE_SF_DIR}/events.parquet", src / "copy_a.parquet")
-    shutil.copy(f"{SMOKE_SF_DIR}/events.parquet", src / "copy_b.parquet")
+    # stage the SAME rows twice via Spark's own writer (layout-independent:
+    # ts round-trips as parquet TIMESTAMP, no legacy schema involved)
+    ev.coalesce(1).write.parquet(str(src / "copy_a"))
+    ev.coalesce(1).write.parquet(str(src / "copy_b"))
 
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
         .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     deduped = run_to_memory(
         dedup_events_stream(stream), "t_dedup", output_mode="append"
