@@ -77,12 +77,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_counts",
-    oracle=None,  # oracle lives on the batch twin sliding_window_counts;
-    # registering it twice would double-run the identical SQL — the
-    # stream==batch equivalence is asserted in tests/test_streaming.py
+    oracle=REGISTRY["sliding_window_counts"].oracle,
     doc="Structured Streaming sliding windows (1h / 30min slide, 2h "
     "watermark) over the events file stream, availableNow to a memory "
-    "sink. Each event updates 2 window states; watermark bounds state.",
+    "sink. Each event updates 2 window states; watermark bounds state. "
+    "Same oracle as the batch twin — round 4 proved why rows-only is not "
+    "enough here: a decode bug compressed every event time 1000x and the "
+    "row count alone never flagged it.",
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seisdb_spark.streaming import sliding_counts_stream
