@@ -32,16 +32,23 @@ sessionize stays covered by ``streaming_sessionize``).
 ``tests/test_driver_window.py`` asserts the r2∪r3∪r4 windows jointly cover
 every oracle-bearing registry query.
 
+Round-5 rotation: the two NEW operators (``decontamination_overlap``,
+``sequence_packing``) and ``streaming_sliding_counts`` (rows-only until
+round 5; round 4 proved why — it went silently wrong with nothing
+watching — so it now carries the batch twin's oracle) rotate IN;
+``text_stats``, ``bpe_token_estimate``, ``lang_id_ngram`` (each green in
+r2+r3+r4) rotate OUT.
+
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
   ``r1_series_assembly``, ``r2_canonical_flatten`` — their siblings verify
   the same operator;
-* ``token_count_by_lang`` and ``grouping_sets_orders`` — family-covered
-  (text family and the five-member set-op family);
+* ``token_count_by_lang``, ``text_stats``, ``bpe_token_estimate``,
+  ``lang_id_ngram``, ``grouping_sets_orders`` — family-covered
+  (text family and the five-member set-op family), multi-round green;
 * rows-only pipeline variants the golden tests own — ``e2_zlib_blob``,
-  ``specfem_strain_scan``, ``sgt_roundtrip_decode``,
-  ``streaming_sliding_counts``.
+  ``specfem_strain_scan``, ``sgt_roundtrip_decode``.
 """
 
 from seisdb_spark.queries.registry import REGISTRY, QuerySpec
@@ -74,10 +81,7 @@ DRIVER_WINDOW: list[str] = [
     "salted_skew_agg",
     "curation_pipeline_stats",
     "training_shard_manifest",
-    "text_stats",
     "text_quality_score",
-    "bpe_token_estimate",
-    "lang_id_ngram",
     "multimodal_payload_stats",
     "multimodal_decode_features",
     # --- round-4 rotation: first-ever driver rows for these 8 -----------------
@@ -89,9 +93,15 @@ DRIVER_WINDOW: list[str] = [
     "doc_fingerprint",
     "embedding_norms_by_label",
     "stratified_sample",
-    # --- Structured Streaming (the 5 oracle-bearing entries) ----------------
+    # --- round-5 rotation: first driver rows for the two new ops + the
+    # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
+    # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
+    "decontamination_overlap",
+    "sequence_packing",
+    # --- Structured Streaming (now 6 oracle-bearing entries) ----------------
     "streaming_tumbling_counts",
     "streaming_sessionize",
+    "streaming_sliding_counts",
     "streaming_dedup_events",
     "streaming_static_enrich",
     "streaming_incremental_dedup",

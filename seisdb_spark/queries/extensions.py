@@ -1523,6 +1523,149 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(sharded, "doc_id")
 
 
+# --- train/test decontamination ------------------------------------------
+DECON_SHINGLE_K = 8  # long n-grams: random collisions vanish, true reuse stays
+DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval set
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+        WITH train_starts AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_SHINGLE_K - 1}, 0))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+        ),
+        train_sh AS (
+            SELECT DISTINCT doc_id,
+                   {" || ' ' || ".join(f"w[i + {j}]" for j in range(DECON_SHINGLE_K))} AS sh
+            FROM train_starts
+        ),
+        bench_starts AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_SHINGLE_K - 1}, 0))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0)
+        ),
+        bench_sh AS (
+            SELECT DISTINCT doc_id AS bench_id,
+                   {" || ' ' || ".join(f"w[i + {j}]" for j in range(DECON_SHINGLE_K))} AS sh
+            FROM bench_starts
+        )
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
+               CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM train_sh t JOIN bench_sh b ON t.sh = b.sh
+        GROUP BY t.doc_id
+    """,
+    doc=f"Train/test DECONTAMINATION: training docs sharing any exact "
+    f"{DECON_SHINGLE_K}-word shingle with the benchmark set (doc_id % "
+    f"{DECON_BENCH_MOD} == 0 stands in for an eval suite). The benchmark "
+    "shingle set is tiny relative to the corpus (eval suites are MBs "
+    "against 100 TB), so it is BROADCAST: the training side streams "
+    "through a map-side hash semi-join with no corpus-wide shuffle; only "
+    "the (small) hit set shuffles for the per-doc aggregate. Long "
+    "shingles make random collisions vanish while verbatim reuse — the "
+    "thing decontamination hunts — survives.",
+    bench=True,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    train_sh = shingle_tokens(docs.filter(~is_bench), k=DECON_SHINGLE_K)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# --- sequence packing ----------------------------------------------------
+PACK_SEQ_TOKENS = 2048  # context-window budget per packed sequence
+PACK_N_SHARDS = N_TRAINING_SHARDS
+
+_BPE_TOKENS_SQL = (
+    "CAST(greatest(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')),"
+    " ceil(octet_length(encode(text)) / 4.0)) AS BIGINT)"
+)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_BPE_TOKENS_SQL} AS n_tokens,
+                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} % {PACK_N_SHARDS}
+                       AS shard,
+                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS start_tok
+            FROM toks
+        )
+        SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+               CAST(COALESCE(start_tok, 0) // {PACK_SEQ_TOKENS} AS BIGINT)
+                   AS seq_in_shard,
+               CAST(COALESCE(start_tok, 0) % {PACK_SEQ_TOKENS} AS BIGINT)
+                   AS offset_in_seq
+        FROM packed
+    """,
+    doc=f"SEQUENCE PACKING for training: concat-then-chunk assignment of "
+    f"each doc to its {PACK_SEQ_TOKENS}-token context window. Docs are "
+    f"ordered deterministically (content hash) WITHIN {PACK_N_SHARDS} "
+    "content-hash shards, token counts cumulated by a window function, and "
+    "each doc's window id + offset derived from its running start. "
+    "Per-shard packing is the 100 TB shape: no global sort — one shuffle "
+    "partitioned by shard, each shard's running sum independent, shard "
+    "count scaled to the cluster. The assignment is a pure function of "
+    "content (reproducible across runs and cluster sizes), and docs "
+    "straddling a boundary split across windows exactly as a training "
+    "dataloader concatenating shard streams would split them.",
+    bench=True,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from seisdb_spark.sources.tables import content_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    sub = F.ceil(F.octet_length("text") / 4.0)
+    h = content_hash32("doc_id")
+    t = docs.select(
+        "doc_id",
+        F.greatest(toks.cast("long"), sub.cast("long")).alias("n_tokens"),
+        (h % PACK_N_SHARDS).cast("int").alias("shard"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_SEQ_TOKENS).alias("seq_in_shard"),
+        (start % PACK_SEQ_TOKENS).alias("offset_in_seq"),
+    )
+
+
 @query(
     "quality_filter_pipeline",
     oracle=f"""

@@ -27,10 +27,107 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Logical type CLASS every query assumes per driver-table column — the
+# schema-drift tripwire.  The driver's testdata has changed physical types
+# across rounds once already (events.ts: timestamp[ns] -> timestamp[us]),
+# and at 100 TB a production table WILL be rewritten by newer producers
+# with widened ints, float32 embeddings, or re-annotated timestamps.
+# Within-class drift is tolerated untouched (it hits the DuckDB oracle and
+# Spark identically, and casting would only block scan pushdown); a
+# cross-class change fails at load with ONE clear sentence instead of a
+# wall of opaque downstream analysis errors (round 4: 29 test failures for
+# want of this line).  Extra columns pass through untouched.
+_INT = "integer"
+_FLT = "floating"
+_STR = "string"
+_TSL = "timestamp-like"
+_AFL = "numeric-array"
+EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": _INT, "r_name": _STR},
+    "nation": {"n_nationkey": _INT, "n_name": _STR, "n_regionkey": _INT},
+    "customer": {
+        "c_custkey": _INT, "c_name": _STR, "c_nationkey": _INT,
+        "c_acctbal": _FLT, "c_mktsegment": _STR,
+    },
+    "supplier": {
+        "s_suppkey": _INT, "s_name": _STR, "s_nationkey": _INT, "s_acctbal": _FLT,
+    },
+    "part": {
+        "p_partkey": _INT, "p_name": _STR, "p_brand": _STR, "p_type": _STR,
+        "p_size": _INT, "p_retailprice": _FLT,
+    },
+    "orders": {
+        "o_orderkey": _INT, "o_custkey": _INT, "o_orderstatus": _STR,
+        "o_totalprice": _FLT, "o_orderdate": _TSL, "o_orderpriority": _STR,
+    },
+    "lineitem": {
+        "l_orderkey": _INT, "l_partkey": _INT, "l_suppkey": _INT,
+        "l_linenumber": _INT, "l_quantity": _FLT, "l_extendedprice": _FLT,
+        "l_discount": _FLT, "l_tax": _FLT, "l_returnflag": _STR,
+        "l_linestatus": _STR, "l_shipdate": _TSL,
+    },
+    "events": {
+        "event_id": _INT, "ts": _TSL, "user_id": _INT, "event_type": _STR,
+        "value": _FLT, "props": _STR,
+    },
+    "documents": {
+        "doc_id": _INT, "text": _STR, "lang": _STR, "source": _STR,
+        "n_chars": _INT,
+    },
+    "embeddings": {"vec_id": _INT, "embedding": _AFL, "label": _INT},
+}
+
+
+def _type_class_ok(dt, cls: str) -> bool:
+    from pyspark.sql import types as T
+
+    if cls == _INT:
+        return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if cls == _FLT:
+        return isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType))
+    if cls == _STR:
+        return isinstance(dt, (T.StringType, T.VarcharType, T.CharType))
+    if cls == _TSL:
+        # LongType = the legacy nanosAsLong resolution of timestamp[ns]
+        return isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.LongType)
+        )
+    if cls == _AFL:
+        return isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, (T.FloatType, T.DoubleType)
+        )
+    raise AssertionError(f"unknown type class {cls}")
+
+
+def check_table_schema(name: str, schema, path: str) -> None:
+    """Raise a one-line ``testdata schema changed`` error if any expected
+    column is missing or drifted outside its logical type class."""
+    expected = EXPECTED_COLUMNS.get(name)
+    if expected is None:
+        return
+    fields = {f.name: f.dataType for f in schema.fields}
+    for col, cls in expected.items():
+        if col not in fields:
+            raise TypeError(
+                f"testdata schema changed: {name}.{col} is missing "
+                f"(have {sorted(fields)}) in {path}"
+            )
+        if not _type_class_ok(fields[col], cls):
+            raise TypeError(
+                f"testdata schema changed: {name}.{col} is now "
+                f"{fields[col].simpleString()} (expected {cls}) in {path}"
+            )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, "events.parquet")
+        df = _load_events(spark, path)
+    else:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+    check_table_schema(name, df.schema, path)
+    return df
 
 
 def events_ts_layout(spark: SparkSession, path: str) -> tuple[str, "object"]:

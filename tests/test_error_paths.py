@@ -90,3 +90,61 @@ def test_plan_cache_lives_on_session_and_returns_same_plan(spark):
     d2 = fn(spark, SMOKE_SF_DIR)
     assert d1 is d2
     assert ("a3_counts", SMOKE_SF_DIR) in spark.__dict__["_seisdb_plan_cache"]
+
+
+def test_schema_drift_tripwire_all_tables(spark, tmp_path):
+    """Physical-type drift WITHIN a logical class loads untouched (it hits
+    the DuckDB oracle identically, so values still match); drift ACROSS
+    classes fails at load with one clear sentence.  Round 4 burned entirely
+    on silent drift — 29 opaque failures for want of this line."""
+    import pandas as pd
+    import pytest
+
+    from seisdb_spark.sources.tables import load_table
+
+    # within-class drift: narrower ints + float32 measures still load
+    drifted = tmp_path / "drift_ok"
+    drifted.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2], dtype="int32"),  # was int64
+            "text": ["a b", "c d"],
+            "lang": ["en", "de"],
+            "source": ["s", "s"],
+            "n_chars": pd.array([3, 3], dtype="int16"),  # was int64
+        }
+    ).to_parquet(drifted / "documents.parquet")
+    docs = load_table(spark, str(drifted), "documents")
+    assert docs.count() == 2
+
+    # cross-class drift: a numeric column arriving as string must fail
+    # loudly, naming table, column, and the offending type
+    bad = tmp_path / "drift_bad"
+    bad.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": ["one", "two"],  # string where integer expected
+            "text": ["a", "b"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [1, 1],
+        }
+    ).to_parquet(bad / "documents.parquet")
+    with pytest.raises(TypeError, match="documents.doc_id is now string"):
+        load_table(spark, str(bad), "documents")
+
+    # dropped column: same loud failure
+    gone = tmp_path / "drift_gone"
+    gone.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(
+        gone / "documents.parquet"
+    )
+    with pytest.raises(TypeError, match="documents.lang is missing"):
+        load_table(spark, str(gone), "documents")
+
+    # the shipped testdata passes the tripwire for every table
+    from seisdb_spark.sources.tables import TABLES
+    from tests.conftest import SMOKE_SF_DIR
+
+    for t in TABLES:
+        load_table(spark, SMOKE_SF_DIR, t)

@@ -328,3 +328,72 @@ def test_ivf_recall_floor(spark):
     approx = REGISTRY["ann_ivf_topk"].spark(spark, SF_DIR).toPandas()
     recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
     assert recall >= 0.2, f"IVF recall {recall} below floor"
+
+
+def test_decontamination_planted_overlap(spark, tmp_path):
+    """A train doc embedding a verbatim 8-gram from a benchmark doc must be
+    flagged with the right collision counts; clean docs must not appear."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    contaminated = "noise words then " + bench_text + " trailing tail"
+    pdf = pd.DataFrame(
+        {
+            # doc_id 0 and 10 are benchmark (doc_id % 10 == 0)
+            "doc_id": [0, 10, 3, 7],
+            "text": [
+                bench_text,
+                "totally different benchmark content here with many words",
+                contaminated,  # shares 8-grams with doc 0
+                "clean training text sharing nothing with the benchmark set",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["decontamination_overlap"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [3]  # only the contaminated doc
+    # the planted span has 10 words -> 3 distinct 8-grams, all from 1 bench doc
+    assert out.loc[3, "n_shared_shingles"] == 3
+    assert out.loc[3, "n_bench_docs"] == 1
+
+
+def test_decontamination_bench_side_is_broadcast(spark):
+    """The benchmark shingle set must broadcast (eval suites are MBs against
+    a 100 TB corpus) — the training side must never shuffle for the join."""
+    df = REGISTRY["decontamination_overlap"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in head
+
+
+def test_sequence_packing_invariants(spark):
+    """Per shard, in deterministic (hash, doc_id) order: each doc's
+    (seq_in_shard, offset_in_seq) must equal the running token start
+    divided/modded by the 2048 budget — cross-checked against an
+    independent pandas cumulative sum."""
+    from seisdb_spark.queries.extensions import PACK_SEQ_TOKENS
+
+    out = REGISTRY["sequence_packing"].spark(spark, SF_DIR).toPandas()
+    assert out.doc_id.is_unique and len(out) > 0
+    # recompute the deterministic order key independently (md5 prefix)
+    import hashlib as _h
+
+    out["h"] = [
+        int(_h.md5(str(d).encode()).hexdigest()[:8], 16) for d in out.doc_id
+    ]
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values(["h", "doc_id"])
+        start = grp.n_tokens.cumsum().shift(fill_value=0)
+        assert (grp.seq_in_shard.values == (start // PACK_SEQ_TOKENS).values).all()
+        assert (grp.offset_in_seq.values == (start % PACK_SEQ_TOKENS).values).all()
+        # shard assignment itself is the same content hash mod N
+        from seisdb_spark.queries.extensions import PACK_N_SHARDS
+
+        assert (grp.h % PACK_N_SHARDS == shard).all()
