@@ -127,17 +127,20 @@ def test_empty_proc_still_gets_bin_and_header(spark, fixture_meta, tmp_path):
     assert h0["proc_name"] == "proc000000"  # attrs still come from meta
 
 
-def test_hdf5_stub_is_honest(spark, fixture_meta, tmp_path):
-    """No h5py in this container: the literal-.hdf5 conversion must raise
-    NotImplementedError (not silently skip) while the parquet header table
-    remains the tested surface."""
-    try:
-        import h5py  # noqa: F401
-
-        pytest.skip("h5py present; stub path not applicable")
-    except ImportError:
-        pass
+def test_hdf5_headers_written_without_h5py(spark, fixture_meta, tmp_path):
+    """The literal-.hdf5 conversion no longer needs h5py: the minimal
+    spec-subset writer (pipeline/hdf5_min.py) produces one parseable file
+    per proc (full content parity vs the parquet header table is covered
+    in tests/test_hdf5_min.py)."""
     m = fixture_meta
     out, _ = _export(spark, m, tmp_path, "SGT")
-    with pytest.raises(NotImplementedError):
-        write_hdf5_headers(spark, out, kind="SGT")
+    paths = write_hdf5_headers(spark, out, kind="SGT")
+    assert [os.path.basename(p) for p in paths] == [
+        f"proc{p:06d}_header.hdf5" for p in range(m["nprocs"])
+    ]
+    from tests.test_hdf5_min import read_hdf5
+
+    for p in paths:
+        ds, attrs = read_hdf5(p)
+        assert set(ds) == {"index", "start", "length", "offset", "scale"}
+        assert attrs["type"] == "SGT"
