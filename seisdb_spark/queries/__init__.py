@@ -37,7 +37,10 @@ Round-5 rotation: the two NEW operators (``decontamination_overlap``,
 round 5; round 4 proved why — it went silently wrong with nothing
 watching — so it now carries the batch twin's oracle) rotate IN;
 ``text_stats``, ``bpe_token_estimate``, ``lang_id_ngram`` (each green in
-r2+r3+r4) rotate OUT.
+r2+r3+r4) rotate OUT.  (A transformWithStateInPandas v2 stateful operator
+was built as well — ``streaming.stateful.running_type_totals_tws`` — but
+its state-server protocol needs google.protobuf, absent here, so it is
+env-gated like h5py/PIL and NOT registered as a driver query.)
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):

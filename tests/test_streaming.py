@@ -291,3 +291,66 @@ def test_stream_static_enrich_equals_batch_join(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_transformwithstate_totals_across_microbatches(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary-stateful v2): per-event-type
+    totals must accumulate across microbatches via the typed ValueState,
+    and the final update per key must equal the batch groupBy totals.
+
+    ENV-GATED like h5py/PIL: the v2 state-server protocol needs
+    google.protobuf, which this container lacks — in that case the
+    operator must refuse loudly at build time (NOT crash the driver
+    worker mid-stream), and the v1 applyInPandasWithState test above
+    carries the stateful coverage."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming.stateful import running_type_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="google.protobuf"):
+            running_type_totals_tws(
+                load_table(spark, SMOKE_SF_DIR, "events")
+            )
+        return
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    src = tmp_path / "events_split_tws"
+    ev.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    out = running_type_totals_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("t_tws_totals").toPandas()
+
+    n_types = ev.select("event_type").distinct().count()
+    assert len(updates) > n_types, "expected multiple updates per key (multi-batch)"
+
+    final = updates.loc[updates.groupby("event_type").n.idxmax()].set_index(
+        "event_type"
+    )
+    batch = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    final, batch = final.sort_index(), batch.sort_index()
+    assert (final.n == batch.n).all()
+    assert (abs(final.sum_value - batch.sum_value) < 1e-6).all()
