@@ -130,52 +130,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def events_ts_layout(spark: SparkSession, path: str) -> tuple[str, "object"]:
+def _events_layout_and_df(
+    spark: SparkSession, path: str
+) -> tuple[str, DataFrame | None]:
     """Probe the RESOLVED ``ts`` type of an events parquet and classify the
-    physical layout.  Upstream testdata has already changed layout once
-    (timestamp[ns] in rounds 1-4, timestamp[us] since) — at 100 TB a table's
-    physical types WILL drift across producer versions, so the loader
-    branches on what the footer actually says instead of hard-coding one
-    layout.  Returns ``(layout, resolved_schema)`` with layout one of
-    ``"native"`` (TIMESTAMP, use as-is), ``"ntz"`` (TIMESTAMP_NTZ, cast to
-    the session timestamp type so DuckDB's naive-timestamp oracle semantics
-    hold), or ``"nanos"`` (legacy timestamp[ns]: unreadable without
+    physical layout, returning the probe's DataFrame so callers reuse it
+    (the probe IS a file listing + footer read — not free at 100 TB, so it
+    happens once per load, not twice).  Upstream testdata has already
+    changed layout once (timestamp[ns] in rounds 1-4, timestamp[us] since)
+    — at 100 TB a table's physical types WILL drift across producer
+    versions, so the loader branches on what the footer actually says
+    instead of hard-coding one layout.  Layouts: ``"native"`` (TIMESTAMP,
+    use as-is), ``"ntz"`` (TIMESTAMP_NTZ, cast to the session timestamp
+    type so DuckDB's naive-timestamp oracle semantics hold), ``"nanos"``
+    (legacy timestamp[ns]: unreadable without
     ``spark.sql.legacy.parquet.nanosAsLong``, or already resolved LongType
-    because that conf is set).  Any other type fails loudly — a one-line
-    testdata-drift tripwire instead of 29 opaque downstream failures.
+    because that conf is set — df is None in the unreadable case).  Any
+    other type fails loudly — a one-line testdata-drift tripwire instead
+    of 29 opaque downstream failures.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
     try:
-        schema = spark.read.parquet(path).schema
+        df = spark.read.parquet(path)
+        schema = df.schema
     except AnalysisException as e:
         if "nanosAsLong" in str(e) or "NANOS" in str(e):
             return "nanos", None
         raise
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        return "nanos", schema  # nanosAsLong already set session-wide
+        return "nanos", df  # nanosAsLong already set session-wide
     if isinstance(ts_type, T.TimestampNTZType):
-        return "ntz", schema
+        return "ntz", df
     if isinstance(ts_type, T.TimestampType):
-        return "native", schema
+        return "native", df
     raise TypeError(
         f"testdata schema changed: events.ts is now {ts_type} "
         f"(expected timestamp, timestamp_ntz, or legacy timestamp[ns]) in {path}"
     )
 
 
+def events_ts_layout(spark: SparkSession, path: str) -> tuple[str, "object"]:
+    """Layout classification only (see :func:`_events_layout_and_df`)."""
+    layout, df = _events_layout_and_df(spark, path)
+    return layout, None if df is None else df.schema
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    layout, _ = events_ts_layout(spark, path)
+    layout, df = _events_layout_and_df(spark, path)
     if layout == "native":
-        return spark.read.parquet(path)
+        return df
     if layout == "ntz":
         # session tz is UTC (session.py); NTZ -> TIMESTAMP is wall-clock
         # identity, and keeps every downstream consumer (windows, as-of,
         # sessionize, streaming twins) on one timestamp type.
-        df = spark.read.parquet(path)
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df is not None:  # LongType resolution: nanosAsLong already active
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # legacy timestamp[ns]: read raw int64 nanos, truncate to micros — the
     # oracle casts TIMESTAMP_NS to TIMESTAMP, which truncates identically.
     # The conf is scoped: saved and restored so other parquet reads in the
