@@ -140,6 +140,8 @@ def _dataset_header(arr: np.ndarray, data_addr: int) -> bytes:
 def write_hdf5(path: str, datasets: dict[str, np.ndarray], attrs: dict) -> None:
     """Write a flat HDF5 file: root-group scalar ``attrs`` plus 1-D
     contiguous ``datasets`` (int64/float64), little-endian throughout."""
+    if not datasets:
+        raise ValueError("at least one dataset required")
     if len(datasets) > 8:
         raise ValueError("single-leaf writer supports at most 8 datasets")
     arrays = {

@@ -268,3 +268,48 @@ def test_structural_spec_constants(tmp_path):
     assert root_addr % 8 == 0
     for msg_type, _ in _read_messages(buf, root_addr):
         assert msg_type in (0x0000, 0x0011, 0x000C)
+
+
+def test_property_roundtrip_random_shapes_and_values(tmp_path):
+    """Property sweep via hypothesis-style randomized cases: random dataset
+    counts/sizes/dtypes — including NaN, +/-inf, extreme ints, and sizes
+    that push data blocks well past the header region — must round-trip
+    bit-exactly through the independent parser."""
+    from seisdb_spark.pipeline.hdf5_min import write_hdf5
+
+    rng = np.random.default_rng(11)
+    for case in range(12):
+        n_ds = int(rng.integers(1, 9))
+        datasets = {}
+        for i in range(n_ds):
+            n = int(rng.choice([0, 1, 2, 27, 125, 2048]))
+            if rng.random() < 0.5:
+                arr = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+            else:
+                arr = rng.normal(size=n)
+                if n >= 3:
+                    arr[0], arr[1], arr[2] = np.nan, np.inf, -np.inf
+            datasets[f"ds{i:02d}"] = arr
+        attrs = {
+            "i": int(rng.integers(-(2**62), 2**62)),
+            "f": float(rng.normal()),
+            "s": "".join(rng.choice(list("abcXYZ09"), size=int(rng.integers(1, 30)))),
+        }
+        path = tmp_path / f"case{case}.hdf5"
+        write_hdf5(str(path), datasets, attrs)
+        ds, got_attrs = read_hdf5(str(path))
+        assert set(ds) == set(datasets)
+        for k, arr in datasets.items():
+            want = np.asarray(
+                arr, dtype=np.float64 if np.asarray(arr).dtype.kind == "f" else np.int64
+            )
+            # bit-exact: NaNs compare by payload, not value
+            assert ds[k].tobytes() == want.tobytes(), f"case {case} ds {k}"
+        assert got_attrs["i"] == attrs["i"]
+        assert np.float64(got_attrs["f"]) == np.float64(attrs["f"])
+        assert got_attrs["s"] == attrs["s"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one dataset"):
+        write_hdf5(str(tmp_path / "none.hdf5"), {}, {"a": 1})
