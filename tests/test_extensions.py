@@ -397,3 +397,18 @@ def test_sequence_packing_invariants(spark):
         from seisdb_spark.queries.extensions import PACK_N_SHARDS
 
         assert (grp.h % PACK_N_SHARDS == shard).all()
+
+
+def test_sequence_packing_plan_single_shard_exchange(spark):
+    """Packing's 100 TB shape: exactly ONE Exchange (hash on shard), a
+    PER-PARTITION sort feeding the window — never a rangepartitioning
+    global sort (the shape that serializes a corpus-wide total order)."""
+    import re
+
+    df = REGISTRY["sequence_packing"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning\(shard", head)) == 1
+    assert len(re.findall(r"Exchange ", head)) == 1
+    assert "rangepartitioning" not in head
