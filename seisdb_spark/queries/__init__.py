@@ -32,12 +32,13 @@ sessionize stays covered by ``streaming_sessionize``).
 ``tests/test_driver_window.py`` asserts the r2∪r3∪r4 windows jointly cover
 every oracle-bearing registry query.
 
-Round-5 rotation: the two NEW operators (``decontamination_overlap``,
-``sequence_packing``) and ``streaming_sliding_counts`` (rows-only until
-round 5; round 4 proved why — it went silently wrong with nothing
-watching — so it now carries the batch twin's oracle) rotate IN;
-``text_stats``, ``bpe_token_estimate``, ``lang_id_ngram`` (each green in
-r2+r3+r4) rotate OUT.  (A transformWithStateInPandas v2 stateful operator
+Round-5 rotation: the three NEW operators (``decontamination_overlap``,
+``sequence_packing``, ``budgeted_sample_per_lang``) and
+``streaming_sliding_counts`` (rows-only until round 5; round 4 proved
+why — it went silently wrong with nothing watching — so it now carries
+the batch twin's oracle) rotate IN; ``text_stats``,
+``bpe_token_estimate``, ``lang_id_ngram``, ``minhash_signatures`` (each
+green in r2+r3+r4) rotate OUT.  (A transformWithStateInPandas v2 stateful operator
 was built as well — ``streaming.stateful.running_type_totals_tws`` — but
 its state-server protocol needs google.protobuf, absent here, so it is
 env-gated like h5py/PIL and NOT registered as a driver query.)
@@ -66,7 +67,6 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
     "dedup_exact",
-    "minhash_signatures",
     "minhash_lsh_candidates",
     "dedup_jaccard_pairs",
     "dedup_cluster_components",
@@ -101,6 +101,7 @@ DRIVER_WINDOW: list[str] = [
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
     "decontamination_overlap",
     "sequence_packing",
+    "budgeted_sample_per_lang",
     # --- Structured Streaming (now 6 oracle-bearing entries) ----------------
     "streaming_tumbling_counts",
     "streaming_sessionize",

@@ -1666,6 +1666,79 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- token-budgeted sampling ----------------------------------------------
+BUDGET_TOKENS_PER_LANG = 8192  # target tokens per language in the mixture
+BUDGET_N_SHARDS = 4  # budget split across content-hash shards (see doc)
+_BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
+
+
+@query(
+    "budgeted_sample_per_lang",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   {_BPE_TOKENS_SQL} AS n_tokens,
+                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} % {BUDGET_N_SHARDS}
+                       AS shard,
+                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents
+        ),
+        running AS (
+            SELECT doc_id, lang, n_tokens, shard,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY lang, shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS budget_used_before
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(shard AS INT) AS shard,
+               CAST(budget_used_before AS BIGINT) AS budget_used_before
+        FROM running
+        WHERE budget_used_before < {_BUDGET_PER_SHARD}
+    """,
+    doc=f"TOKEN-BUDGETED mixture sampling: greedily keep docs per language "
+    f"until a {BUDGET_TOKENS_PER_LANG}-token budget is filled (the 'train "
+    "on N tokens of each language/source' curation op). The selection is a "
+    "pure function of content: docs ordered by content hash, running token "
+    f"sums per (lang, shard), keep while the shard's {_BUDGET_PER_SHARD}-"
+    f"token slice (budget/{BUDGET_N_SHARDS}) is unfilled. Sharding is the "
+    "100 TB shape — a single per-lang partition would put the dominant "
+    "language's entire corpus through one task; splitting the budget "
+    "across content-hash shards keeps the same deterministic outcome "
+    "while every shard runs independently (one shuffle, no skew pile-up, "
+    "shard count scaled to the cluster).",
+    bench=True,
+)
+def budgeted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from seisdb_spark.sources.tables import content_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    sub = F.ceil(F.octet_length("text") / 4.0)
+    h = content_hash32("doc_id")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(toks.cast("long"), sub.cast("long")).alias("n_tokens"),
+        (h % BUDGET_N_SHARDS).cast("int").alias("shard"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    used = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("budget_used_before", used)
+        .filter(F.col("budget_used_before") < _BUDGET_PER_SHARD)
+        .select("doc_id", "lang", "n_tokens", "shard", "budget_used_before")
+    )
+
+
 @query(
     "quality_filter_pipeline",
     oracle=f"""

@@ -412,3 +412,48 @@ def test_sequence_packing_plan_single_shard_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(shard", head)) == 1
     assert len(re.findall(r"Exchange ", head)) == 1
     assert "rangepartitioning" not in head
+
+
+def test_budgeted_sample_invariants(spark):
+    """Per (lang, shard) in deterministic hash order: kept docs are exactly
+    the greedy prefix whose running prior total is under the shard budget —
+    cross-checked against an independent pandas rederivation over the full
+    corpus (including the docs the query dropped)."""
+    import hashlib as _h
+
+    from seisdb_spark.queries.extensions import (
+        BUDGET_N_SHARDS,
+        BUDGET_TOKENS_PER_LANG,
+        _BUDGET_PER_SHARD,
+    )
+
+    out = REGISTRY["budgeted_sample_per_lang"].spark(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.budget_used_before < _BUDGET_PER_SHARD).all()
+
+    # independent full-corpus rederivation (regex tokens + bytes/4 floor)
+    import re as _re
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["n_tokens"] = [
+        max(len(_re.findall(r"\w+|[^\w\s]", t)), -(-len(t.encode()) // 4))
+        for t in docs.text
+    ]
+    docs["h"] = [
+        int(_h.md5(str(d).encode()).hexdigest()[:8], 16) for d in docs.doc_id
+    ]
+    docs["shard"] = docs.h % BUDGET_N_SHARDS
+    want_ids = set()
+    for (_lang, _shard), grp in docs.groupby(["lang", "shard"]):
+        grp = grp.sort_values(["h", "doc_id"])
+        used = grp.n_tokens.cumsum().shift(fill_value=0)
+        want_ids |= set(grp.doc_id[used < _BUDGET_PER_SHARD])
+    assert set(out.doc_id) == want_ids
+
+    # the selection approximately fills each language's budget (each shard
+    # overshoots by at most one doc, so the floor is budget - slack)
+    per_lang = out.groupby("lang").n_tokens.sum()
+    full_langs = docs.groupby("lang").n_tokens.sum()
+    for lang, total in per_lang.items():
+        if full_langs[lang] >= 2 * BUDGET_TOKENS_PER_LANG:
+            assert total >= BUDGET_TOKENS_PER_LANG * 0.8, (lang, total)
