@@ -160,9 +160,16 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], attrs: dict) -> None:
         name_off[name] = len(heap_data)
         heap_data += _pad8(name.encode("ascii") + b"\0")
 
-    # fixed sizes first, then assign every address in file order
-    SUPER, BTREE, HEAPHDR = 96, 48, 32
-    snod_size = 8 + 40 * len(names)
+    # fixed sizes first, then assign every address in file order.  TREE and
+    # SNOD regions are reserved at FULL node capacity (libhdf5 reads whole
+    # fixed-size nodes: a group B-tree node is 24 + (2K+1)*8 keys + 2K*8
+    # children with internal K=16 -> 544 bytes; a SNOD is 8 + 2K*40 with
+    # leaf K=4 -> 328 bytes, the superblock's declared K values) and
+    # zero-padded past the used entries — a truncated node near EOF would
+    # make libhdf5's fixed-size read run off the end of a small file even
+    # though entry-counting parsers accept it.
+    SUPER, BTREE, HEAPHDR = 96, 24 + 33 * 8 + 32 * 8, 32
+    snod_size = 8 + 2 * 4 * 40
     ds_header_size = {
         n: len(_dataset_header(arrays[n], 0)) for n in names
     }  # address value doesn't change the size (fixed-width fields)
@@ -211,9 +218,11 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], attrs: dict) -> None:
     out += root_header(btree_addr, heap_addr)
 
     # v1 B-tree, one leaf: keys are heap offsets; key0 = empty string
-    # (sorts first), key1 = the largest link name in the child
+    # (sorts first), key1 = the largest link name in the child; the rest of
+    # the fixed-capacity node is zero fill
     out += b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
     out += struct.pack("<QQQ", 0, snod_addr, name_off[names[-1]])
+    out += b"\0" * (btree_addr + BTREE - len(out))
     assert len(out) == btree_addr + BTREE
 
     out += b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF, heap_data_addr)
@@ -222,6 +231,7 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray], attrs: dict) -> None:
     out += b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
     for n in names:
         out += struct.pack("<QQII16x", name_off[n], hdr_addr[n], 0, 0)
+    out += b"\0" * (snod_addr + snod_size - len(out))
 
     for n in names:
         out += b"\0" * (hdr_addr[n] - len(out))

@@ -1603,9 +1603,9 @@ _BPE_TOKENS_SQL = (
         WITH toks AS (
             SELECT doc_id,
                    {_BPE_TOKENS_SQL} AS n_tokens,
-                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} % {PACK_N_SHARDS}
+                   {_hash32_sql("text")} % {PACK_N_SHARDS}
                        AS shard,
-                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+                   {_hash32_sql("text")} AS h
             FROM documents
         ),
         packed AS (
@@ -1625,15 +1625,16 @@ _BPE_TOKENS_SQL = (
     """,
     doc=f"SEQUENCE PACKING for training: concat-then-chunk assignment of "
     f"each doc to its {PACK_SEQ_TOKENS}-token context window. Docs are "
-    f"ordered deterministically (content hash) WITHIN {PACK_N_SHARDS} "
-    "content-hash shards, token counts cumulated by a window function, and "
+    f"ordered deterministically (md5 TEXT digest) WITHIN {PACK_N_SHARDS} "
+    "text-hash shards, token counts cumulated by a window function, and "
     "each doc's window id + offset derived from its running start. "
     "Per-shard packing is the 100 TB shape: no global sort — one shuffle "
     "partitioned by shard, each shard's running sum independent, shard "
     "count scaled to the cluster. The assignment is a pure function of "
-    "content (reproducible across runs and cluster sizes), and docs "
-    "straddling a boundary split across windows exactly as a training "
-    "dataloader concatenating shard streams would split them.",
+    "CONTENT — hashing the text, not the doc id, so a re-crawled corpus "
+    "with reassigned ids packs identically (id ties broken by doc_id) — "
+    "and docs straddling a boundary split across windows exactly as a "
+    "training dataloader concatenating shard streams would split them.",
     bench=True,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,7 +1645,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
     sub = F.ceil(F.octet_length("text") / 4.0)
-    h = content_hash32("doc_id")
+    h = content_hash32("text")
     t = docs.select(
         "doc_id",
         F.greatest(toks.cast("long"), sub.cast("long")).alias("n_tokens"),
@@ -1678,9 +1679,9 @@ _BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
         WITH toks AS (
             SELECT doc_id, lang,
                    {_BPE_TOKENS_SQL} AS n_tokens,
-                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} % {BUDGET_N_SHARDS}
+                   {_hash32_sql("text")} % {BUDGET_N_SHARDS}
                        AS shard,
-                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
+                   {_hash32_sql("text")} AS h
             FROM documents
         ),
         running AS (
@@ -1700,7 +1701,9 @@ _BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
     doc=f"TOKEN-BUDGETED mixture sampling: greedily keep docs per language "
     f"until a {BUDGET_TOKENS_PER_LANG}-token budget is filled (the 'train "
     "on N tokens of each language/source' curation op). The selection is a "
-    "pure function of content: docs ordered by content hash, running token "
+    "pure function of CONTENT — docs ordered by md5 TEXT digest (not the "
+    "doc id, so a re-crawled corpus with reassigned ids selects the same "
+    "texts; ties broken by doc_id), running token "
     f"sums per (lang, shard), keep while the shard's {_BUDGET_PER_SHARD}-"
     f"token slice (budget/{BUDGET_N_SHARDS}) is unfilled. Sharding is the "
     "100 TB shape — a single per-lang partition would put the dominant "
@@ -1718,7 +1721,7 @@ def budgeted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
     sub = F.ceil(F.octet_length("text") / 4.0)
-    h = content_hash32("doc_id")
+    h = content_hash32("text")
     t = docs.select(
         "doc_id",
         "lang",

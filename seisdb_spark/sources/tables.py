@@ -41,6 +41,13 @@ _INT = "integer"
 _FLT = "floating"
 _STR = "string"
 _TSL = "timestamp-like"
+# events.ts only: also accepts LongType, the resolution of legacy
+# timestamp[ns] under nanosAsLong — events has a dedicated nanos decode
+# path (_load_events).  Other _TSL columns stay strict: if nanosAsLong is
+# set session-wide and e.g. o_orderdate drifts to timestamp[ns], a
+# LongType there has NO decode path and must trip the wire at load, not
+# surface as opaque date-function failures downstream.
+_TSN = "timestamp-or-nanos"
 _AFL = "numeric-array"
 EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
     "region": {"r_regionkey": _INT, "r_name": _STR},
@@ -67,7 +74,7 @@ EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
         "l_linestatus": _STR, "l_shipdate": _TSL,
     },
     "events": {
-        "event_id": _INT, "ts": _TSL, "user_id": _INT, "event_type": _STR,
+        "event_id": _INT, "ts": _TSN, "user_id": _INT, "event_type": _STR,
         "value": _FLT, "props": _STR,
     },
     "documents": {
@@ -88,6 +95,8 @@ def _type_class_ok(dt, cls: str) -> bool:
     if cls == _STR:
         return isinstance(dt, (T.StringType, T.VarcharType, T.CharType))
     if cls == _TSL:
+        return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    if cls == _TSN:
         # LongType = the legacy nanosAsLong resolution of timestamp[ns]
         return isinstance(
             dt, (T.TimestampType, T.TimestampNTZType, T.DateType, T.LongType)

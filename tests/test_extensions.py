@@ -225,22 +225,23 @@ def test_ann_probe_is_broadcast_equijoin(spark):
     """The ANN probe set (nbits+1 keys) must broadcast into an equi-join on
     the bucket key — never a scan-and-filter over every row's Hamming
     distance (the shape that stops pruning at scale)."""
+    from plan_utils import final_plan, has_node
+
     df = REGISTRY["ann_signbucket_topk"].spark(spark, SF_DIR)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    head = plan.split("== Initial Plan ==")[0]  # the AQE-final section
-    assert "BroadcastHashJoin [bucket" in head
+    head = final_plan(df)
+    assert has_node(head, "BroadcastHashJoin [bucket")
 
 
 def test_neardup_band_self_join_reuses_exchange(spark):
     """The banded near-dup self-join's two sides must share one computation
     of the band table (ReusedExchange), not recompute the sign-string
     lineage twice."""
+    from plan_utils import final_plan, has_node
+
     df = REGISTRY["embedding_neardup_pairs"].spark(spark, SF_DIR)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    head = plan.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in head
+    assert has_node(final_plan(df), "ReusedExchange")
 
 
 @pytest.mark.parametrize("n_vecs", [64, 4096])
@@ -366,11 +367,11 @@ def test_decontamination_planted_overlap(spark, tmp_path):
 def test_decontamination_bench_side_is_broadcast(spark):
     """The benchmark shingle set must broadcast (eval suites are MBs against
     a 100 TB corpus) — the training side must never shuffle for the join."""
+    from plan_utils import final_plan, has_node
+
     df = REGISTRY["decontamination_overlap"].spark(spark, SF_DIR)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    head = plan.split("== Initial Plan ==")[0]
-    assert "BroadcastHashJoin" in head
+    assert has_node(final_plan(df), "BroadcastHashJoin")
 
 
 def test_sequence_packing_invariants(spark):
@@ -382,11 +383,14 @@ def test_sequence_packing_invariants(spark):
 
     out = REGISTRY["sequence_packing"].spark(spark, SF_DIR).toPandas()
     assert out.doc_id.is_unique and len(out) > 0
-    # recompute the deterministic order key independently (md5 prefix)
+    # recompute the deterministic order key independently (md5 of the TEXT —
+    # the ordering is a pure function of content, not of the doc id)
     import hashlib as _h
 
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    tmap = dict(zip(texts.doc_id, texts.text, strict=True))
     out["h"] = [
-        int(_h.md5(str(d).encode()).hexdigest()[:8], 16) for d in out.doc_id
+        int(_h.md5(tmap[d].encode()).hexdigest()[:8], 16) for d in out.doc_id
     ]
     for shard, grp in out.groupby("shard"):
         grp = grp.sort_values(["h", "doc_id"])
@@ -403,15 +407,14 @@ def test_sequence_packing_plan_single_shard_exchange(spark):
     """Packing's 100 TB shape: exactly ONE Exchange (hash on shard), a
     PER-PARTITION sort feeding the window — never a rangepartitioning
     global sort (the shape that serializes a corpus-wide total order)."""
-    import re
+    from plan_utils import count_exchanges, final_plan, has_node
 
     df = REGISTRY["sequence_packing"].spark(spark, SF_DIR)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    head = plan.split("== Initial Plan ==")[0]
-    assert len(re.findall(r"Exchange hashpartitioning\(shard", head)) == 1
-    assert len(re.findall(r"Exchange ", head)) == 1
-    assert "rangepartitioning" not in head
+    head = final_plan(df)
+    assert count_exchanges(head, key="shard") == 1
+    assert count_exchanges(head) == 1
+    assert not has_node(head, "rangepartitioning")
 
 
 def test_budgeted_sample_invariants(spark):
@@ -440,7 +443,7 @@ def test_budgeted_sample_invariants(spark):
         for t in docs.text
     ]
     docs["h"] = [
-        int(_h.md5(str(d).encode()).hexdigest()[:8], 16) for d in docs.doc_id
+        int(_h.md5(t.encode()).hexdigest()[:8], 16) for t in docs.text
     ]
     docs["shard"] = docs.h % BUDGET_N_SHARDS
     want_ids = set()
