@@ -630,6 +630,119 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- passage-level (substring) dedup ---------------------------------------
+PASSAGE_GRAM_WORDS = 10  # long grams: random collisions vanish, reuse stays
+PASSAGE_MIN_DOCS = 2  # a gram is "repeated" when >= this many docs carry it
+
+
+@query(
+    "repeated_passage_spans",
+    oracle=f"""
+        WITH starts AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       1, greatest(len(w) - {PASSAGE_GRAM_WORDS - 1}, 0))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(
+                       list_slice(w, i, i + {PASSAGE_GRAM_WORDS - 1}), ' ')) AS g
+            FROM starts
+        ),
+        rep AS (
+            SELECT g FROM grams
+            GROUP BY g HAVING count(DISTINCT doc_id) >= {PASSAGE_MIN_DOCS}
+        ),
+        hits AS (
+            SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM rep)
+        ),
+        prev AS (
+            SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, i,
+                   sum(CASE WHEN pi IS NULL
+                            OR i - pi > {PASSAGE_GRAM_WORDS} THEN 1
+                            ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM prev
+        )
+        SELECT doc_id,
+               CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) + {PASSAGE_GRAM_WORDS - 1} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM isl
+        GROUP BY doc_id, island
+    """,
+    doc=f"PASSAGE-LEVEL (substring) dedup — the repeated-passage removal op "
+    "of LLM corpus curation (document-granular dedup misses boilerplate "
+    "and licence blocks recurring INSIDE otherwise-distinct docs). Every "
+    f"word {PASSAGE_GRAM_WORDS}-gram is md5-fingerprinted at every "
+    f"position; grams carried by >= {PASSAGE_MIN_DOCS} distinct docs are "
+    "flagged (one shuffle on the gram hash — map-side distinct first, so "
+    "the corpus never ships raw text); flagged positions semi-join back "
+    "(AQE broadcasts the flagged set when small) and merge per-doc into "
+    "MAXIMAL spans via gaps-and-islands (adjacent grams closer than one "
+    "gram length coalesce; one shuffle on doc_id). Output is the (doc_id, "
+    "word-span) removal list a training pipeline subtracts before "
+    "packing. The suffix-array construction of 'Deduplicating Training "
+    "Data' finds arbitrary-length repeats; fixed long grams are its "
+    "shuffle-friendly approximation — any repeated passage of >= "
+    f"{PASSAGE_GRAM_WORDS} words is found exactly, shorter ones are "
+    "ignored by design.",
+    bench=True,
+)
+def repeated_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = PASSAGE_GRAM_WORDS
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    # sequence(1, 0) counts DOWN in Spark — short docs need the empty array
+    positions = F.when(
+        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    starts = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(positions).alias("i"),
+    )
+    grams = starts.select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.expr(f"slice(w, i, {k})")).cast("binary")).alias(
+            "g"
+        ),
+    )
+    rep = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .count()
+        .filter(F.col("count") >= PASSAGE_MIN_DOCS)
+        .select("g")
+    )
+    hits = grams.join(rep, "g").select("doc_id", "i")
+    bypos = Window.partitionBy("doc_id").orderBy("i")
+    prev = hits.withColumn("pi", F.lag("i").over(bypos))
+    isl = prev.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pi").isNull() | (F.col("i") - F.col("pi") > k), 1)
+            .otherwise(0)
+        ).over(bypos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") + (k - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("island")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
@@ -1880,6 +1993,123 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.orderBy(F.col("dot").desc(), "vec_id")
         .limit(10)
         .select("vec_id", F.round("dot", 6).alias("score"))
+    )
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+SEMDEDUP_K = 8  # coarse clusters; quadratic work is per-cluster only
+SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
+                   {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, embedding AS c_emb, nrm AS c_nrm
+            FROM e ORDER BY h, vec_id LIMIT {SEMDEDUP_K}
+        ),
+        scored AS (
+            SELECT e.vec_id, s.seed_id,
+                   ({dot_chain_sql("e.embedding", "s.c_emb")})
+                       / (e.nrm * s.c_nrm) AS cos
+            FROM e CROSS JOIN seeds s
+        ),
+        assign AS (
+            SELECT vec_id, seed_id AS cluster FROM (
+                SELECT vec_id, seed_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, seed_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        m AS (
+            SELECT a.vec_id, a.cluster, e.embedding, e.nrm
+            FROM assign a JOIN e ON e.vec_id = a.vec_id
+        ),
+        losers AS (
+            SELECT DISTINCT b.vec_id
+            FROM m a JOIN m b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE ({dot_chain_sql("a.embedding", "b.embedding")})
+                  / (a.nrm * b.nrm) >= {SEMDEDUP_COSINE}
+        )
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               CAST(CASE WHEN vec_id IN (SELECT vec_id FROM losers)
+                         THEN 0 ELSE 1 END AS INT) AS kept
+        FROM m
+    """,
+    doc=f"SEMANTIC DEDUP (SemDeDup-style): embedding-space near-duplicate "
+    f"removal. {SEMDEDUP_K} deterministic seed centroids (the vectors with "
+    "the smallest md5 id-hashes — reproducible across runs/engines, no "
+    "random init), every vector assigned to its max-cosine seed via a "
+    "BROADCAST cross join (centroid table is K rows), then within each "
+    "cluster a self-join drops any vector at cosine >= "
+    f"{SEMDEDUP_COSINE} to an EARLIER (smaller-id) member — each cluster's "
+    "canonical survivors keep kept=1. The cluster stage is the scale "
+    "design: pairwise work is quadratic ONLY within a cluster (the "
+    "SemDeDup cost model), the self-join shuffles on the cluster id, and "
+    "K grows with the corpus so per-cluster membership stays bounded. "
+    "Candidate shrinkage vs all-pairs and planted-near-dup removal are "
+    "asserted in tests/test_extensions.py.",
+    bench=True,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.sources.tables import content_hash32
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
+        content_hash32("vec_id").alias("h"),
+    )
+    seeds = (
+        e.orderBy("h", "vec_id")
+        .limit(SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        (
+            dot_chain_col("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("cos"),
+    )
+    byvec = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "seed_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(byvec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"))
+    )
+    m = assign.join(e, "vec_id").select("vec_id", "cluster", "embedding", "nrm")
+    a, b = m.alias("a"), m.alias("b")
+    pair_cos = dot_chain_col("a.embedding", "b.embedding") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEMDEDUP_COSINE)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(losers.withColumn("_lost", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.when(F.col("_lost").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
 
 

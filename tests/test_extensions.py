@@ -460,3 +460,104 @@ def test_budgeted_sample_invariants(spark):
     for lang, total in per_lang.items():
         if full_langs[lang] >= 2 * BUDGET_TOKENS_PER_LANG:
             assert total >= BUDGET_TOKENS_PER_LANG * 0.8, (lang, total)
+
+
+def test_repeated_passage_spans_planted(spark, tmp_path):
+    """A verbatim 14-word passage planted in two docs at different word
+    offsets must come back as one maximal span per doc covering exactly the
+    planted words; a doc carrying TWO well-separated repeats must yield two
+    islands; clean docs must not appear."""
+    passage = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut"  # 14 words
+    )
+    filler_a = " ".join(f"fa{i}" for i in range(5))
+    filler_b = " ".join(f"fb{i}" for i in range(9))
+    filler_c = " ".join(f"fc{i}" for i in range(30))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                filler_a + " " + passage + " tail1 tail2",  # words 6..19
+                passage + " " + filler_b,  # words 1..14
+                # two repeats of the SAME passage, separated by >10 words
+                passage + " " + filler_c + " " + passage,
+                "completely unrelated clean text with unique words only",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["repeated_passage_spans"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    spans = {
+        d: [(r.span_start, r.span_end) for r in g.itertuples()]
+        for d, g in out.groupby("doc_id")
+    }
+    # 14-word passage -> 5 grams of 10 words; span covers the passage exactly
+    assert spans[1] == [(6, 19)]
+    assert spans[2] == [(1, 14)]
+    # doc 3: repeats at words 1..14 and 45..58 (second starts after the
+    # 14-word passage + 30 filler words)
+    assert spans[3] == [(1, 14), (45, 58)]
+    assert 4 not in spans
+    assert (out.n_grams == 5).all()
+
+
+def test_semantic_dedup_planted_and_shrinkage(spark, tmp_path):
+    """A near-identical embedding pair must land in one cluster with the
+    later vector dropped (kept=0); every drop must be justified by a real
+    >= 0.95 cosine to an earlier same-cluster member (numpy recheck); and
+    the pairwise work must be within-cluster only (sum nc*(nc-1)/2 well
+    under the all-pairs count)."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=64).astype(np.float32)
+    near = (base + rng.normal(scale=0.005, size=64).astype(np.float32)).astype(
+        np.float32
+    )
+    others = rng.normal(size=(60, 64)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    out = (
+        REGISTRY["semantic_dedup"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == len(vecs)
+    # the planted pair: same cluster, earlier kept, later dropped
+    assert out.loc[0, "cluster"] == out.loc[1, "cluster"]
+    assert out.loc[0, "kept"] == 1
+    assert out.loc[1, "kept"] == 0
+
+    # every drop is justified: cosine >= 0.95 to some earlier cluster-mate
+    V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    nrm = np.linalg.norm(V, axis=1)
+    for vid in out.index[out.kept == 0]:
+        mates = out.index[
+            (out.cluster == out.loc[vid, "cluster"]) & (out.index < vid)
+        ]
+        cos = [V[vid] @ V[m] / (nrm[vid] * nrm[m]) for m in mates]
+        assert max(cos) >= 0.95 - 1e-9, (vid, max(cos, default=None))
+
+    # quadratic work is within-cluster only
+    sizes = out.groupby("cluster").size()
+    pair_work = int((sizes * (sizes - 1) // 2).sum())
+    n = len(vecs)
+    assert pair_work < n * (n - 1) // 2 / 2, pair_work
