@@ -98,3 +98,16 @@ def adaptive_bits_sql(
         f"GREATEST({min_bits}, LEAST({max_bits}, "
         f"LENGTH(BIN((count(*) + {target_rows - 1}) // {target_rows} - 1))))"
     )
+
+
+def adaptive_bits_py(
+    n: int, target_rows: int, min_bits: int, max_bits: int = MAX_SIGN_BITS
+) -> int:
+    """Python twin of :func:`adaptive_bits_col`, digit-for-digit (``bin(x)``
+    renders identically to Spark's/DuckDB's BIN for x >= 0).  Used when the
+    input cardinality is already known driver-side — e.g. read from parquet
+    footers — so the bucket width becomes a plan LITERAL and the query needs
+    no pre-count job (the ann_signbucket_topk cold-path fix)."""
+    ceil_div = (n + target_rows - 1) // target_rows
+    bits = len(format(max(ceil_div - 1, 0), "b"))
+    return max(min_bits, min(max_bits, bits))

@@ -1341,8 +1341,10 @@ def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
     """,
     doc="Approximate nearest neighbours via sign-bit LSH with a DATA-ADAPTIVE "
-    "key width: nbits = ceil(log2(n / target-bucket-rows)) is computed from "
-    "the input count as a broadcast 1-row aggregate, so expected bucket "
+    "key width: nbits = ceil(log2(n / target-bucket-rows)), with n read "
+    "from the parquet FOOTERS driver-side (catalog row stats at 100 TB) so "
+    "the width is a plan literal and the query launches no pre-count job "
+    "— the round-5 bench's 10x cold-start tax removed. Expected bucket "
     f"occupancy stays ~{ANN_TARGET_BUCKET_ROWS} rows as data grows (each "
     "extra bit halves the probed fraction — no recompile at 100x scale). "
     "Multiprobe radius 1: the nbits+1 probe keys (exact bucket + each 1-bit "
@@ -1354,20 +1356,24 @@ def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from seisdb_spark.functions.vectors import adaptive_bits_py
+    from seisdb_spark.sources.tables import parquet_row_count
+
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    nbdf = emb.agg(
-        adaptive_bits_col(
-            F.count(F.lit(1)), ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS
-        ).alias("nbits")
-    )
-    sb = emb.crossJoin(F.broadcast(nbdf)).select(
+    # cardinality from parquet footers (driver-side metadata, no pre-count
+    # job) -> nbits is a plan LITERAL; the oracle derives the same width
+    # from count(*) over the same table, so the two stay in lockstep
+    n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    nbits = adaptive_bits_py(n, ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS)
+    sb = emb.select(
         "vec_id",
         "embedding",
-        sign_string_expr("embedding").substr(F.lit(1), F.col("nbits")).alias("bucket"),
-        "nbits",
+        sign_string_expr("embedding").substr(1, nbits).alias("bucket"),
     )
     q = sb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb"), "nbits"
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb")
     )
     i = F.col("i").cast("int")
     flipped = F.concat(
@@ -1376,8 +1382,7 @@ def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qb").substr(i + 1, F.lit(MAX_SIGN_BITS)),
     )
     probes = (
-        q.crossJoin(spark.range(0, MAX_SIGN_BITS + 1).select(F.col("id").alias("i")))
-        .filter(i <= F.col("nbits"))
+        q.crossJoin(spark.range(0, nbits + 1).select(F.col("id").alias("i")))
         .select("q_emb", F.when(i == 0, F.col("qb")).otherwise(flipped).alias("pb"))
     )
     cand = sb.join(F.broadcast(probes), F.col("bucket") == F.col("pb")).select(

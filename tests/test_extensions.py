@@ -119,12 +119,16 @@ def _expected_bits(n: int, target: int, minb: int, maxb: int = 16) -> int:
 
 
 def test_adaptive_bits_formula_lockstep(spark, duck):
-    """The Spark and DuckDB bucket-width expressions must agree with each
-    other and with the closed form ceil(log2(ceil(n/target))) for counts
-    spanning six orders of magnitude (clamps included)."""
+    """The Spark, DuckDB, and Python bucket-width expressions must agree
+    with each other and with the closed form ceil(log2(ceil(n/target)))
+    for counts spanning six orders of magnitude (clamps included)."""
     from pyspark.sql import functions as F
 
-    from seisdb_spark.functions.vectors import adaptive_bits_col, adaptive_bits_sql
+    from seisdb_spark.functions.vectors import (
+        adaptive_bits_col,
+        adaptive_bits_py,
+        adaptive_bits_sql,
+    )
 
     for n in (1, 7, 64, 500, 513, 2000, 4096, 10**6, 10**9):
         for target, minb in ((64, 2), (8, 4)):
@@ -141,7 +145,10 @@ def test_adaptive_bits_formula_lockstep(spark, duck):
             got_duck = duck.execute(
                 f"SELECT {adaptive_bits_sql(target, minb)} FROM range({n})"
             ).fetchone()[0]
-            assert got_spark == got_duck == want, (n, target, minb, got_spark, got_duck, want)
+            got_py = adaptive_bits_py(n, target, minb)
+            assert got_spark == got_duck == got_py == want, (
+                n, target, minb, got_spark, got_duck, got_py, want,
+            )
 
 
 @pytest.mark.parametrize("n_background", [40, 2048])
