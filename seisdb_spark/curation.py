@@ -4,17 +4,23 @@
 pipeline a 100 TB corpus actually runs, as lazy plans plus exactly two
 actions (the shard write and the manifest):
 
-1. **quality gate** — length window + stopword-ratio ceiling (pushed
+1. **decontamination** — drop the benchmark holdout and every train doc
+   sharing an 8-word shingle with it (broadcast semi-join — eval suites
+   are MBs against the corpus);
+2. **quality gate** — length window + stopword-ratio ceiling (pushed
    predicates, no shuffle);
-2. **exact dedup** — md5 content hash, keep the minimum doc_id per hash
+3. **exact dedup** — md5 content hash, keep the minimum doc_id per hash
    (one shuffle on the digest);
-3. **near-dup clustering** — banded MinHash-LSH candidates, exact-Jaccard
+4. **near-dup clustering** — banded MinHash-LSH candidates, exact-Jaccard
    verify on candidates only, connected components over the verified
    pairs, keep each component's canonical (minimum) doc;
-4. **stratified sample** — per-language keep rates via a content-stable
-   hash bucket (reproducible across runs/engines);
-5. **deterministic shards** — ``write_training_shards``: content-hash
-   shard assignment, per-shard sorted parquet, audit manifest.
+5. **sample** — stratified per-language keep rates via a content-stable
+   hash bucket (default), or greedy per-language token budgets
+   (``sample="budgeted"``);
+6. **deterministic shards** — ``write_training_shards``: content-hash
+   shard assignment, per-shard sorted parquet, audit manifest; with
+   ``pack=True`` each doc additionally carries its sequence-packing
+   (seq, offset) assignment and shards coincide with packing shards.
 
 Every stage is the already-verified registry operator (the per-stage
 oracles live on ``quality_filter_pipeline`` / ``dedup_exact`` /
@@ -42,20 +48,36 @@ from seisdb_spark.queries.extensions import (
     CURATION_MAX_STOPWORD_RATIO as MAX_STOPWORD_RATIO,
 )
 from seisdb_spark.queries.extensions import (
+    DECON_BENCH_MOD,
     JACCARD_THRESHOLD,
     SAMPLE_RATES,
     STOPWORD_PATTERN,
     _jaccard_on_candidates,
+    budgeted_selection,
+    decon_join,
+    packing_assignment,
 )
 from seisdb_spark.sources.tables import load_table, spread, write_training_shards
 
 
 def curate(
-    docs: DataFrame, cc: Callable[[DataFrame], DataFrame] = cc_exact_lazy
+    docs: DataFrame,
+    cc: Callable[[DataFrame], DataFrame] = cc_exact_lazy,
+    sample: str = "stratified",
 ) -> DataFrame:
-    """The keep-set plan over a documents table: gate -> exact dedup ->
-    near-dup canonical selection -> stratified sample.  Returns the
+    """The keep-set plan over a documents table: decontaminate -> gate ->
+    exact dedup -> near-dup canonical selection -> sample.  Returns the
     surviving (doc_id, lang, text) rows.
+
+    Decontamination drops the benchmark holdout (doc_id % mod == 0, the
+    eval-suite stand-in) and every train doc sharing an 8-word shingle
+    with it — the broadcast semi-join of ``decontamination_overlap``
+    applied as a gate stage.
+
+    ``sample`` picks the final rebalancing stage: ``"stratified"`` (the
+    driver-query contract: per-language keep rates via a content-stable
+    hash bucket) or ``"budgeted"`` (greedy per-language token budgets via
+    :func:`~seisdb_spark.queries.extensions.budgeted_selection`).
 
     ``cc`` picks the connected-components form for the near-dup stage.
     The default (:func:`cc_exact_lazy`) keeps the whole plan lazy — the
@@ -64,16 +86,24 @@ def curate(
     verified pairs and switches to distributed pointer jumping when the
     edge list outgrows one task.
 
-    Any gate changed HERE must be mirrored in the ``curation_keep_set``
-    oracle and the pandas cross-check in tests/test_curation_build.py, or
-    the driver hash gate silently breaks."""
+    Any gate changed HERE (on the default path) must be mirrored in the
+    ``curation_keep_set`` oracle and the pandas cross-check in
+    tests/test_curation_build.py, or the driver hash gate silently
+    breaks."""
+    contaminated = decon_join(docs).select("doc_id").distinct()
     n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
     stopword_hits = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)
     )
-    gated = docs.filter(
-        n_words.between(MIN_WORDS, MAX_WORDS)
-        & (stopword_hits.cast("double") / n_words <= MAX_STOPWORD_RATIO)
+    gated = (
+        docs.filter(
+            (F.col("doc_id") % DECON_BENCH_MOD != 0)
+            & n_words.between(MIN_WORDS, MAX_WORDS)
+            & (stopword_hits.cast("double") / n_words <= MAX_STOPWORD_RATIO)
+        )
+        # the contaminated set is overlap-dependent: AQE broadcasts this
+        # anti-join when it is small, as with the near-dup losers below
+        .join(contaminated, "doc_id", "left_anti")
     )
 
     # exact dedup: keep the minimum doc_id per content hash
@@ -93,6 +123,13 @@ def curate(
     )
     neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
+    if sample == "budgeted":
+        # greedy per-language token budgets (id-reassignment-invariant
+        # text-hash ordering) instead of rate-based thinning
+        return budgeted_selection(neardup_kept).select("doc_id", "lang", "text")
+    if sample != "stratified":
+        raise ValueError(f"unknown sample mode {sample!r}")
+
     # deterministic stratified sample (content-stable hash bucket)
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
     bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
@@ -103,7 +140,12 @@ def curate(
 
 
 def build_training_set(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    sample: str = "stratified",
+    pack: bool = False,
 ) -> DataFrame:
     """Run the full curation over ``<sf_dir>/documents.parquet`` and write
     the surviving docs as deterministic training shards under ``out_dir``.
@@ -113,6 +155,20 @@ def build_training_set(
     through :func:`cc_auto`: the verified-pair list is materialized once,
     counted, and routed to distributed pointer jumping when it outgrows a
     single task — at a web-scale dup rate the pair list is billions of
-    edges, which the lazy single-task union-find must never receive."""
-    kept = curate(spread(load_table(spark, sf_dir, "documents")), cc=cc_auto)
+    edges, which the lazy single-task union-find must never receive.
+
+    ``sample`` selects curate()'s final rebalancing stage (``"stratified"``
+    or ``"budgeted"``).  ``pack=True`` appends the sequence-packing stage:
+    each surviving doc gains (n_tokens, seq_in_shard, offset_in_seq) from
+    :func:`~seisdb_spark.queries.extensions.packing_assignment` before the
+    shard write, and the shard key switches to the TEXT digest so the
+    writer's shard assignment coincides with the packing shards (both are
+    content_hash32(text) mod n_shards) — the written layout IS the packed
+    training set a dataloader streams."""
+    kept = curate(
+        spread(load_table(spark, sf_dir, "documents")), cc=cc_auto, sample=sample
+    )
+    if pack:
+        packed = packing_assignment(kept, n_shards=n_shards)
+        return write_training_shards(packed, out_dir, "text", n_shards=n_shards)
     return write_training_shards(kept, out_dir, "doc_id", n_shards=n_shards)

@@ -1645,11 +1645,11 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_SHINGLE_K = 8  # long n-grams: random collisions vanish, true reuse stays
 DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval set
 
-
-@query(
-    "decontamination_overlap",
-    oracle=f"""
-        WITH train_starts AS (
+# The train/bench shingle CTE pair, shared by the decontamination_overlap
+# oracle and the composed curation_keep_set oracle (which applies the same
+# drop as a gate stage) — one definition so the two can't drift.
+_DECON_SH_CTES = f"""
+        train_starts AS (
             SELECT doc_id, w,
                    unnest(generate_series(1, greatest(len(w) - {DECON_SHINGLE_K - 1}, 0))) AS i
             FROM (SELECT doc_id, string_split(text, ' ') AS w
@@ -1671,6 +1671,28 @@ DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval s
                    {" || ' ' || ".join(f"w[i + {j}]" for j in range(DECON_SHINGLE_K))} AS sh
             FROM bench_starts
         )
+"""
+
+
+def decon_join(docs: DataFrame) -> DataFrame:
+    """The train-x-benchmark shingle hit set: (sh, doc_id, bench_id) rows,
+    one per train-doc 8-shingle colliding with a benchmark shingle.  The
+    benchmark side (doc_id % {mod} == 0 stands in for an eval suite) is
+    BROADCAST — eval suites are MBs against a 100 TB corpus — so the train
+    side streams through a map-side hash join.  Shared by the standalone
+    overlap report and curate()'s decontamination gate."""
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    train_sh = shingle_tokens(docs.filter(~is_bench), k=DECON_SHINGLE_K)
+    return train_sh.join(F.broadcast(bench_sh), "sh")
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+        WITH {_DECON_SH_CTES}
         SELECT t.doc_id,
                CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
                CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
@@ -1690,18 +1712,9 @@ DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval s
 )
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
-        F.col("doc_id").alias("bench_id"), "sh"
-    )
-    train_sh = shingle_tokens(docs.filter(~is_bench), k=DECON_SHINGLE_K)
-    return (
-        train_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("sh").alias("n_shared_shingles"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
+    return decon_join(docs).groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_shared_shingles"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
     )
 
 
@@ -1713,6 +1726,88 @@ _BPE_TOKENS_SQL = (
     "CAST(greatest(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')),"
     " ceil(octet_length(encode(text)) / 4.0)) AS BIGINT)"
 )
+
+
+BUDGET_TOKENS_PER_LANG = 8192  # target tokens per language in the mixture
+BUDGET_N_SHARDS = 4  # budget split across content-hash shards (see doc)
+_BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
+
+
+def _bpe_tokens_col() -> F.Column:
+    """The Spark twin of ``_BPE_TOKENS_SQL``: BPE-ish token estimate =
+    max(regex word/punct count, utf-8 bytes / 4)."""
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    sub = F.ceil(F.octet_length("text") / 4.0)
+    return F.greatest(toks.cast("long"), sub.cast("long"))
+
+
+def packing_assignment(
+    docs: DataFrame,
+    n_shards: int = PACK_N_SHARDS,
+    seq_tokens: int = PACK_SEQ_TOKENS,
+) -> DataFrame:
+    """Concat-then-chunk sequence-packing columns over any (doc_id, text)
+    relation: adds ``n_tokens``, ``shard`` (text-hash mod n_shards),
+    ``seq_in_shard``, ``offset_in_seq``; all input columns preserved.
+    One hash Exchange on ``shard``, per-shard running-sum window, no
+    global sort.  Shared by the ``sequence_packing`` driver query and
+    ``build_training_set(pack=True)``."""
+    from pyspark.sql import Window
+
+    from seisdb_spark.sources.tables import content_hash32
+
+    h = content_hash32("text")
+    t = (
+        docs.withColumn("n_tokens", _bpe_tokens_col())
+        .withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("_h", h)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("seq_in_shard", F.floor(start / seq_tokens))
+        .withColumn("offset_in_seq", start % seq_tokens)
+        .drop("_h")
+    )
+
+
+def budgeted_selection(
+    docs: DataFrame,
+    budget_per_shard: int = _BUDGET_PER_SHARD,
+    n_shards: int = BUDGET_N_SHARDS,
+) -> DataFrame:
+    """Greedy per-(lang, shard) token-budget prefix over any (doc_id, lang,
+    text) relation: adds ``n_tokens``, ``shard``, ``budget_used_before``
+    and keeps only rows whose prior running total is under the shard
+    budget; all input columns preserved.  Docs are ordered by md5 text
+    digest (id-reassignment invariant).  Shared by the
+    ``budgeted_sample_per_lang`` driver query and
+    ``build_training_set(sample='budgeted')``."""
+    from pyspark.sql import Window
+
+    from seisdb_spark.sources.tables import content_hash32
+
+    h = content_hash32("text")
+    t = (
+        docs.withColumn("n_tokens", _bpe_tokens_col())
+        .withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("_h", h)
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    used = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("budget_used_before", used)
+        .filter(F.col("budget_used_before") < budget_per_shard)
+        .drop("_h")
+    )
 
 
 @query(
@@ -1756,41 +1851,13 @@ _BPE_TOKENS_SQL = (
     bench=True,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from seisdb_spark.sources.tables import content_hash32
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
-    sub = F.ceil(F.octet_length("text") / 4.0)
-    h = content_hash32("text")
-    t = docs.select(
-        "doc_id",
-        F.greatest(toks.cast("long"), sub.cast("long")).alias("n_tokens"),
-        (h % PACK_N_SHARDS).cast("int").alias("shard"),
-        h.alias("h"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.floor(start / PACK_SEQ_TOKENS).alias("seq_in_shard"),
-        (start % PACK_SEQ_TOKENS).alias("offset_in_seq"),
+    return packing_assignment(docs).select(
+        "doc_id", "shard", "n_tokens", "seq_in_shard", "offset_in_seq"
     )
 
 
 # --- token-budgeted sampling ----------------------------------------------
-BUDGET_TOKENS_PER_LANG = 8192  # target tokens per language in the mixture
-BUDGET_N_SHARDS = 4  # budget split across content-hash shards (see doc)
-_BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
-
-
 @query(
     "budgeted_sample_per_lang",
     oracle=f"""
@@ -1832,31 +1899,9 @@ _BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
     bench=True,
 )
 def budgeted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from seisdb_spark.sources.tables import content_hash32
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
-    sub = F.ceil(F.octet_length("text") / 4.0)
-    h = content_hash32("text")
-    t = docs.select(
-        "doc_id",
-        "lang",
-        F.greatest(toks.cast("long"), sub.cast("long")).alias("n_tokens"),
-        (h % BUDGET_N_SHARDS).cast("int").alias("shard"),
-        h.alias("h"),
-    )
-    w = (
-        Window.partitionBy("lang", "shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    used = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        t.withColumn("budget_used_before", used)
-        .filter(F.col("budget_used_before") < _BUDGET_PER_SHARD)
-        .select("doc_id", "lang", "n_tokens", "shard", "budget_used_before")
+    return budgeted_selection(docs).select(
+        "doc_id", "lang", "n_tokens", "shard", "budget_used_before"
     )
 
 
@@ -2215,9 +2260,16 @@ CURATION_MAX_STOPWORD_RATIO = 0.5
 @query(
     "curation_keep_set",
     oracle=f"""
-        WITH RECURSIVE gated AS (
+        WITH RECURSIVE {_DECON_SH_CTES.strip()},
+        decon AS (
+            SELECT DISTINCT t.doc_id
+            FROM train_sh t JOIN bench_sh b ON t.sh = b.sh
+        ),
+        gated AS (
             SELECT doc_id, lang, text FROM documents
-            WHERE length(text) - length(replace(text, ' ', '')) + 1
+            WHERE doc_id % {DECON_BENCH_MOD} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM decon)
+              AND length(text) - length(replace(text, ' ', '')) + 1
                   BETWEEN {CURATION_MIN_WORDS} AND {CURATION_MAX_WORDS}
               AND CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
                   / (length(text) - length(replace(text, ' ', '')) + 1)
@@ -2269,8 +2321,11 @@ CURATION_MAX_STOPWORD_RATIO = 0.5
                   {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
                   ELSE 0.5 END)
     """,
-    doc="The COMPOSED curation closure as one hash-checked query: quality "
-    "gate -> exact dedup (min doc_id per content hash) -> banded-LSH near-"
+    doc="The COMPOSED curation closure as one hash-checked query: "
+    "benchmark DECONTAMINATION (drop the eval holdout and any train doc "
+    "sharing an 8-word shingle with it — broadcast semi-join, the "
+    "decontamination_overlap drop applied as a gate) -> quality gate -> "
+    "exact dedup (min doc_id per content hash) -> banded-LSH near-"
     "dup candidates on the survivors -> exact-Jaccard verify -> connected-"
     "components canonical keep (only a component's minimum doc survives — "
     "the transitive guarantee the pairwise loser-drop can't give) -> "

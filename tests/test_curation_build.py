@@ -22,7 +22,29 @@ from seisdb_spark.queries.registry import REGISTRY
 from tests.conftest import SF_DIR
 
 
-def _expected_keep_set(spark) -> set[int]:
+def _decon_dropped(docs: pd.DataFrame) -> set[int]:
+    """Independent decontamination: train docs sharing any 8-word shingle
+    with the doc_id % 10 == 0 benchmark holdout."""
+
+    def sh8(t: str) -> set[str]:
+        w = t.split(" ")
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+
+    is_bench = docs.doc_id % 10 == 0
+    bench_sh: set[str] = set()
+    for t in docs.text[is_bench]:
+        bench_sh |= sh8(t)
+    return {
+        int(r.doc_id)
+        for r in docs[~is_bench].itertuples()
+        if sh8(r.text) & bench_sh
+    }
+
+
+def _expected_survivors(spark) -> set[int]:
+    """Independent pandas re-derivation of curate()'s keep set BEFORE the
+    sampling stage: decontaminate -> gate -> exact dedup -> near-dup
+    canonical selection."""
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     n_words = docs.text.str.count(" ") + 1
     # content gate: stopword density ceiling, counted with Python re
@@ -30,8 +52,11 @@ def _expected_keep_set(spark) -> set[int]:
     stopword_hits = docs.text.map(
         lambda t: len(re.findall(r"\b(?:the|a|of|and|to)\b", t))
     )
+    contaminated = _decon_dropped(docs)
     gated = docs[
-        (n_words >= MIN_WORDS)
+        (docs.doc_id % 10 != 0)
+        & ~docs.doc_id.isin(contaminated)
+        & (n_words >= MIN_WORDS)
         & (n_words <= MAX_WORDS)
         & (stopword_hits / n_words <= MAX_STOPWORD_RATIO)
     ]
@@ -67,7 +92,12 @@ def _expected_keep_set(spark) -> set[int]:
         comp_min[find(v)] = min(comp_min[find(v)], v)
     losers = {v for v in parent if comp_min[find(v)] != v}
     kept_ids -= losers
+    return {int(d) for d in kept_ids}
 
+
+def _expected_keep_set(spark) -> set[int]:
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    kept_ids = _expected_survivors(spark)
     # stratified sample: first 4 md5 hex digits of str(doc_id)
     lang_of = dict(zip(docs.doc_id, docs.lang, strict=True))
     out = set()
@@ -135,3 +165,67 @@ def test_curate_distributed_cc_path_matches_lazy(spark):
     }
     assert dist_ids == lazy_ids
     assert len(lazy_ids) > 0
+
+def test_build_training_set_budgeted_packed(spark, tmp_path):
+    """The composed build with sample='budgeted' and pack=True: the written
+    shards must contain exactly the independent pandas keep-set (greedy
+    per-(lang, shard) token budgets over the curation survivors), and every
+    doc's (shard, seq_in_shard, offset_in_seq) must equal an independent
+    cumulative-sum packing recompute."""
+    from seisdb_spark.queries.extensions import (
+        _BUDGET_PER_SHARD,
+        BUDGET_N_SHARDS,
+        PACK_SEQ_TOKENS,
+    )
+
+    n_shards = BUDGET_N_SHARDS  # = 4; output shards align with budget shards
+    out_dir = str(tmp_path / "packed")
+    manifest = build_training_set(
+        spark, SF_DIR, out_dir, n_shards=n_shards, sample="budgeted", pack=True
+    )
+    man = manifest.toPandas()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sub = docs[docs.doc_id.isin(_expected_survivors(spark))].copy()
+    sub["n_tokens"] = [
+        max(len(re.findall(r"\w+|[^\w\s]", t)), -(-len(t.encode()) // 4))
+        for t in sub.text
+    ]
+    sub["h"] = [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in sub.text
+    ]
+    sub["shard"] = sub.h % n_shards
+    want_ids = set()
+    for (_lang, _shard), grp in sub.groupby(["lang", "shard"]):
+        grp = grp.sort_values(["h", "doc_id"])
+        used = grp.n_tokens.cumsum().shift(fill_value=0)
+        want_ids |= {int(d) for d in grp.doc_id[used < _BUDGET_PER_SHARD]}
+    kept = sub[sub.doc_id.isin(want_ids)]
+
+    exp = {}
+    for shard, grp in kept.groupby("shard"):
+        grp = grp.sort_values(["h", "doc_id"])
+        start = grp.n_tokens.cumsum().shift(fill_value=0)
+        for d, st in zip(grp.doc_id, start, strict=True):
+            exp[int(d)] = (
+                int(shard),
+                int(st // PACK_SEQ_TOKENS),
+                int(st % PACK_SEQ_TOKENS),
+            )
+
+    got = {}
+    for d in os.listdir(out_dir):
+        m = re.match(r"shard=(\d+)", d)
+        if not m:
+            continue
+        pdf = pd.read_parquet(os.path.join(out_dir, d))
+        for r in pdf.itertuples():
+            got[int(r.doc_id)] = (
+                int(m.group(1)),
+                int(r.seq_in_shard),
+                int(r.offset_in_seq),
+            )
+    assert set(got) == want_ids
+    assert got == exp
+    assert int(man.n_rows.sum()) == len(exp)
+    assert len(exp) > 0
