@@ -1,4 +1,5 @@
-"""Shared helpers for executed-plan shape assertions.
+"""Executed-plan shape introspection (used by plan-shape tests and the
+scale-stress harness).
 
 Plan assertions match the AQE-FINAL physical plan.  ``executedPlan()`` on an
 executed AdaptiveSparkPlan stringifies as ``<final plan> == Initial Plan ==

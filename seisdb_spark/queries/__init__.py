@@ -43,6 +43,15 @@ was built as well — ``streaming.stateful.running_type_totals_tws`` — but
 its state-server protocol needs google.protobuf, absent here, so it is
 env-gated like h5py/PIL and NOT registered as a driver query.)
 
+Round-6 rotation: the two NEW operators (``repeated_passage_spans`` —
+passage-level dedup — and ``semantic_dedup`` — SemDeDup-style embedding
+clustering) rotate IN, plus ``sessionize_events`` (the batch sessionize
+twin: no driver row since r3, and it sits in the events family that went
+silently wrong in r4 — cheap insurance).  Rotating OUT per the r5 verdict's
+eligibility call: ``tfidf_top_terms``, ``approx_quantile_gate``,
+``doc_repetition_stats`` (each green in r4+r5, family-covered by the
+in-window text surface).
+
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
@@ -87,10 +96,12 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_score",
     "multimodal_payload_stats",
     "multimodal_decode_features",
-    # --- round-4 rotation: first-ever driver rows for these 8 -----------------
-    "tfidf_top_terms",
-    "approx_quantile_gate",
-    "doc_repetition_stats",
+    # --- round-6 rotation: first driver rows for the two new ops, plus the
+    # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
+    # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
+    "repeated_passage_spans",
+    "semantic_dedup",
+    "sessionize_events",
     "pii_scan_counts",
     "multimodal_header_fields",
     "doc_fingerprint",

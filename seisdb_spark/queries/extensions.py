@@ -684,8 +684,10 @@ PASSAGE_MIN_DOCS = 2  # a gram is "repeated" when >= this many docs carry it
     f"word {PASSAGE_GRAM_WORDS}-gram is md5-fingerprinted at every "
     f"position; grams carried by >= {PASSAGE_MIN_DOCS} distinct docs are "
     "flagged (one shuffle on the gram hash — map-side distinct first, so "
-    "the corpus never ships raw text); flagged positions semi-join back "
-    "(AQE broadcasts the flagged set when small) and merge per-doc into "
+    "the corpus never ships raw text); flagged positions rejoin via a "
+    "pinned SHUFFLE-hash join (the flagged set is corpus-fraction-sized "
+    "on boilerplate-heavy corpora — broadcasting it OOMs, as the 100x "
+    "stress run proved) and merge per-doc into "
     "MAXIMAL spans via gaps-and-islands (adjacent grams closer than one "
     "gram length coalesce; one shuffle on doc_id). Output is the (doc_id, "
     "word-span) removal list a training pipeline subtracts before "
@@ -726,7 +728,11 @@ def repeated_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") >= PASSAGE_MIN_DOCS)
         .select("g")
     )
-    hits = grams.join(rep, "g").select("doc_id", "i")
+    # The flagged-gram set is corpus-fraction-sized on boilerplate-heavy
+    # corpora (the 10x->100x stress run OOMed the driver when AQE chose to
+    # broadcast it), so pin a SHUFFLE hash join on the gram hash — both
+    # sides partition by g, no driver-side build, skew absorbed by AQE.
+    hits = grams.join(rep.hint("shuffle_hash"), "g").select("doc_id", "i")
     bypos = Window.partitionBy("doc_id").orderBy("i")
     prev = hits.withColumn("pi", F.lag("i").over(bypos))
     isl = prev.withColumn(
@@ -2047,8 +2053,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
-SEMDEDUP_K = 8  # coarse clusters; quadratic work is per-cluster only
+# Cluster count ADAPTS to the input: K = ceil(n / target-cluster-rows),
+# clamped — with K fixed, 10x the data means 100x the within-cluster pair
+# work; with K scaling, expected cluster size (and so per-cluster quadratic
+# cost) stays ~constant and total work stays ~linear.  Same pattern as the
+# ANN key width: n from parquet footers, K a plan literal, the oracle
+# deriving the identical K from count(*).
+SEMDEDUP_TARGET_CLUSTER_ROWS = 64
+SEMDEDUP_MIN_K = 4
+SEMDEDUP_MAX_K = 65536
 SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
+
+
+def semdedup_k(n: int) -> int:
+    """ceil(n / target) clamped to [MIN_K, MAX_K] — the Python/oracle
+    lockstep cluster-count formula."""
+    k = (n + SEMDEDUP_TARGET_CLUSTER_ROWS - 1) // SEMDEDUP_TARGET_CLUSTER_ROWS
+    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, k))
+
+
+_SEMDEDUP_K_SQL = (
+    f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
+    f"(count(*) + {SEMDEDUP_TARGET_CLUSTER_ROWS - 1}) "
+    f"// {SEMDEDUP_TARGET_CLUSTER_ROWS}))"
+)
 
 
 @query(
@@ -2060,9 +2088,15 @@ SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
                    {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h
             FROM embeddings
         ),
+        nk AS (SELECT {_SEMDEDUP_K_SQL} AS k FROM embeddings),
+        ranked AS (
+            SELECT vec_id, embedding, nrm,
+                   row_number() OVER (ORDER BY h, vec_id) AS rn
+            FROM e
+        ),
         seeds AS (
             SELECT vec_id AS seed_id, embedding AS c_emb, nrm AS c_nrm
-            FROM e ORDER BY h, vec_id LIMIT {SEMDEDUP_K}
+            FROM ranked WHERE rn <= (SELECT k FROM nk)
         ),
         scored AS (
             SELECT e.vec_id, s.seed_id,
@@ -2095,24 +2129,29 @@ SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
         FROM m
     """,
     doc=f"SEMANTIC DEDUP (SemDeDup-style): embedding-space near-duplicate "
-    f"removal. {SEMDEDUP_K} deterministic seed centroids (the vectors with "
+    "removal. K deterministic seed centroids (the vectors with "
     "the smallest md5 id-hashes — reproducible across runs/engines, no "
-    "random init), every vector assigned to its max-cosine seed via a "
+    f"random init), K = ceil(n / {SEMDEDUP_TARGET_CLUSTER_ROWS}) from the "
+    "parquet footer row count so expected cluster size stays ~constant as "
+    "data grows (fixed K would make 10x data cost 100x within-cluster "
+    "work). Every vector is assigned to its max-cosine seed via a "
     "BROADCAST cross join (centroid table is K rows), then within each "
     "cluster a self-join drops any vector at cosine >= "
     f"{SEMDEDUP_COSINE} to an EARLIER (smaller-id) member — each cluster's "
-    "canonical survivors keep kept=1. The cluster stage is the scale "
-    "design: pairwise work is quadratic ONLY within a cluster (the "
-    "SemDeDup cost model), the self-join shuffles on the cluster id, and "
-    "K grows with the corpus so per-cluster membership stays bounded. "
-    "Candidate shrinkage vs all-pairs and planted-near-dup removal are "
-    "asserted in tests/test_extensions.py.",
+    "canonical survivors keep kept=1. Pairwise work is quadratic ONLY "
+    "within a cluster (the SemDeDup cost model), and the self-join "
+    "shuffles on the cluster id. Candidate shrinkage vs all-pairs and "
+    "planted-near-dup removal are asserted in tests/test_extensions.py.",
     bench=True,
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.sources.tables import content_hash32
+    import os
+
+    from seisdb_spark.sources.tables import content_hash32, parquet_row_count
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    k = semdedup_k(n)
     e = emb.select(
         "vec_id",
         "embedding",
@@ -2121,7 +2160,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = (
         e.orderBy("h", "vec_id")
-        .limit(SEMDEDUP_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("seed_id"),
             F.col("embedding").alias("c_emb"),

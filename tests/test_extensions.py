@@ -232,7 +232,7 @@ def test_ann_probe_is_broadcast_equijoin(spark):
     """The ANN probe set (nbits+1 keys) must broadcast into an equi-join on
     the bucket key — never a scan-and-filter over every row's Hamming
     distance (the shape that stops pruning at scale)."""
-    from plan_utils import final_plan, has_node
+    from seisdb_spark.plancheck import final_plan, has_node
 
     df = REGISTRY["ann_signbucket_topk"].spark(spark, SF_DIR)
     df.collect()
@@ -244,7 +244,7 @@ def test_neardup_band_self_join_reuses_exchange(spark):
     """The banded near-dup self-join's two sides must share one computation
     of the band table (ReusedExchange), not recompute the sign-string
     lineage twice."""
-    from plan_utils import final_plan, has_node
+    from seisdb_spark.plancheck import final_plan, has_node
 
     df = REGISTRY["embedding_neardup_pairs"].spark(spark, SF_DIR)
     df.collect()
@@ -374,7 +374,7 @@ def test_decontamination_planted_overlap(spark, tmp_path):
 def test_decontamination_bench_side_is_broadcast(spark):
     """The benchmark shingle set must broadcast (eval suites are MBs against
     a 100 TB corpus) — the training side must never shuffle for the join."""
-    from plan_utils import final_plan, has_node
+    from seisdb_spark.plancheck import final_plan, has_node
 
     df = REGISTRY["decontamination_overlap"].spark(spark, SF_DIR)
     df.collect()
@@ -414,7 +414,7 @@ def test_sequence_packing_plan_single_shard_exchange(spark):
     """Packing's 100 TB shape: exactly ONE Exchange (hash on shard), a
     PER-PARTITION sort feeding the window — never a rangepartitioning
     global sort (the shape that serializes a corpus-wide total order)."""
-    from plan_utils import count_exchanges, final_plan, has_node
+    from seisdb_spark.plancheck import count_exchanges, final_plan, has_node
 
     df = REGISTRY["sequence_packing"].spark(spark, SF_DIR)
     df.collect()

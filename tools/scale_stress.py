@@ -1,0 +1,216 @@
+"""Scale-stress harness: empirical evidence for the 100 TB design claims.
+
+Every "100 TB shape" claim in the operator docstrings is backed by
+plan-shape assertions at sf0.1 (~17 MB).  This harness adds one order of
+magnitude of EMPIRICAL scaling: it synthesizes a factor-N corpus from the
+sf0.1 driver tables, re-times the heaviest pipelines at both scales, and
+re-asserts the executed-plan shapes at the larger scale (broadcasts must
+stay broadcasts, the packing shuffle must stay a single hash Exchange,
+nothing may flip to a cartesian product).
+
+Corpus construction (deterministic, no RNG state):
+  * documents — replica 0 is the original; replica r suffixes every word
+    with ``_r{r}``.  This preserves the length/language/dup-structure of
+    each replica EXACTLY (the suffix map is a bijection on shingles) while
+    sharing zero shingles across replicas — so the corpus-wide duplicate
+    RATE is constant and ~linear runtime is the correct expectation.  Doc
+    ids offset by r * 10^7 (a multiple of 10, preserving the benchmark
+    holdout fraction).
+  * embeddings — replica 0 original; replica r gets fresh pseudo-random
+    vectors from a hash-sin generator (fract(sin(a*i + b*d + c) * 43758.5)
+    — the classic shader hash), decorrelated from the originals so near-dup
+    and cluster populations stay realistic instead of exploding with exact
+    copies.
+  * events — replica r shifts ts by r hours and offsets event/user ids, so
+    per-user and per-window volumes stay constant while total volume scales.
+
+Usage:
+    python tools/scale_stress.py [--factor 10] [--out /tmp/seisdb_scale]
+Writes BENCH_SCALE.json (machine) and refreshes the table in BENCH_SCALE.md
+(human; committed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from seisdb_spark.plancheck import count_exchanges, final_plan, has_node  # noqa: E402
+from seisdb_spark.queries import REGISTRY  # noqa: E402
+from seisdb_spark.sources.tables import load_table  # noqa: E402
+
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_OFFSET = 10**7  # multiple of DECON_BENCH_MOD: holdout fraction preserved
+
+#: The stress set: the heaviest composed pipelines + the two round-6 ops.
+#: Each entry: name -> plan predicate (applied at BOTH scales).
+STRESS_QUERIES = {
+    "curation_keep_set": lambda p: not has_node(p, "CartesianProduct"),
+    "dedup_cluster_components": lambda p: not has_node(p, "CartesianProduct"),
+    "dedup_incremental_probe": lambda p: not has_node(p, "CartesianProduct"),
+    # the probe set must stay a broadcast equi-join on the bucket key
+    "ann_signbucket_topk": lambda p: has_node(p, "BroadcastHashJoin [bucket"),
+    # the benchmark shingle set must stay broadcast (never corpus-shuffled)
+    "decontamination_overlap": lambda p: has_node(p, "BroadcastHashJoin"),
+    # exactly ONE shuffle (hash on shard), never a global range sort
+    "sequence_packing": lambda p: (
+        count_exchanges(p, key="shard") == 1
+        and count_exchanges(p) == 1
+        and not has_node(p, "rangepartitioning")
+    ),
+    "repeated_passage_spans": lambda p: not has_node(p, "CartesianProduct"),
+    # seeds broadcast; within-cluster join must not degenerate to cartesian
+    "semantic_dedup": lambda p: (
+        has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
+    ),
+}
+
+
+def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
+    parts = [docs]
+    for r in range(1, factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.expr(f"transform(split(text, ' '), x -> concat(x, '_r{r}'))")
+                ).alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text"))
+        )
+    out = parts[0].select("doc_id", "text", "lang", "source", "n_chars")
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _gen_embeddings(emb: DataFrame, factor: int) -> DataFrame:
+    dim = 64
+    parts = [emb]
+    for r in range(1, factor):
+        # fract(sin(vec_id*12.9898 + d*78.233 + r*37.719) * 43758.5453) - 0.5
+        rand = (
+            f"transform(sequence(0, {dim - 1}), d -> CAST("
+            f"(sin(CAST(vec_id AS DOUBLE) * 12.9898 + CAST(d AS DOUBLE) * 78.233"
+            f" + {r} * 37.719) * 43758.5453) - "
+            f"floor(sin(CAST(vec_id AS DOUBLE) * 12.9898 + CAST(d AS DOUBLE) * 78.233"
+            f" + {r} * 37.719) * 43758.5453) - 0.5 AS FLOAT))"
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * ID_OFFSET).alias("vec_id"),
+                F.expr(rand).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0].select("vec_id", "embedding", "label")
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _gen_events(ev: DataFrame, factor: int) -> DataFrame:
+    parts = [ev]
+    for r in range(1, factor):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + r * ID_OFFSET).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {r} HOURS")).alias("ts"),
+                (F.col("user_id") + r * ID_OFFSET).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0].select("event_id", "ts", "user_id", "event_type", "value", "props")
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark: SparkSession, out_dir: str, factor: int) -> None:
+    gens = {
+        "documents": _gen_documents,
+        "embeddings": _gen_embeddings,
+        "events": _gen_events,
+    }
+    for name, gen in gens.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        src = load_table(spark, SRC_DIR, name)
+        gen(src, factor).write.mode("overwrite").parquet(path)
+        print(f"generated {path}", file=sys.stderr)
+
+
+def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
+    """Median wall time over n warm runs (one untimed warm-up) + the
+    AQE-final executed plan of the last run."""
+    spec = REGISTRY[name]
+    spec.spark(spark, sf_dir).collect()  # warm-up: codegen + shuffle reuse
+    times, df = [], None
+    for _ in range(n):
+        df = spec.spark(spark, sf_dir)
+        t0 = time.time()
+        df.collect()
+        times.append(time.time() - t0)
+    return statistics.median(times), final_plan(df)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/seisdb_scale")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from seisdb_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_dir = os.path.join(args.out, f"x{args.factor}")
+    os.makedirs(scale_dir, exist_ok=True)
+    generate(spark, scale_dir, args.factor)
+
+    results = {}
+    for name, plan_ok in STRESS_QUERIES.items():
+        t_base, p_base = time_query(spark, name, SRC_DIR, args.runs)
+        t_big, p_big = time_query(spark, name, scale_dir, args.runs)
+        results[name] = {
+            "t_sf0.1_sec": round(t_base, 3),
+            f"t_x{args.factor}_sec": round(t_big, 3),
+            "ratio": round(t_big / t_base, 2),
+            "plan_ok_sf0.1": bool(plan_ok(p_base)),
+            f"plan_ok_x{args.factor}": bool(plan_ok(p_big)),
+        }
+        print(name, results[name], file=sys.stderr)
+
+    out = {
+        "factor": args.factor,
+        "src": SRC_DIR,
+        "scale_dir": scale_dir,
+        "queries": results,
+    }
+    with open("BENCH_SCALE.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    bad_plans = [
+        n
+        for n, r in results.items()
+        if not (r["plan_ok_sf0.1"] and r[f"plan_ok_x{args.factor}"])
+    ]
+    return 1 if bad_plans else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
