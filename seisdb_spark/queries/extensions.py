@@ -2053,29 +2053,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
-# Cluster count ADAPTS to the input: K = ceil(n / target-cluster-rows),
-# clamped — with K fixed, 10x the data means 100x the within-cluster pair
-# work; with K scaling, expected cluster size (and so per-cluster quadratic
-# cost) stays ~constant and total work stays ~linear.  Same pattern as the
-# ANN key width: n from parquet footers, K a plan literal, the oracle
-# deriving the identical K from count(*).
-SEMDEDUP_TARGET_CLUSTER_ROWS = 64
+# Cluster count ADAPTS to the input as K = ceil(sqrt(n)), clamped.  The
+# cost model has two stages that pull K in opposite directions: centroid
+# ASSIGNMENT is n*K dot products (small K wins) and within-cluster
+# verification is ~n * (n/K) pairs (large K wins); K = sqrt(n) balances
+# them at n^1.5 each — the SemDeDup operating point.  The first stress run
+# proved both failure modes empirically: fixed K=8 made 10x data cost
+# ~100x in verification, and K = n/64 made the 100x assignment stage
+# compute n^2/64 dots (625M at 200k vectors) and stall.  n comes from the
+# parquet footers (no pre-count job), K is a plan literal, and the oracle
+# derives the identical K from count(*) (exact for all practical n:
+# doubles represent counts < 2^53 exactly and sqrt is correctly rounded).
 SEMDEDUP_MIN_K = 4
 SEMDEDUP_MAX_K = 65536
 SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
 
 
 def semdedup_k(n: int) -> int:
-    """ceil(n / target) clamped to [MIN_K, MAX_K] — the Python/oracle
-    lockstep cluster-count formula."""
-    k = (n + SEMDEDUP_TARGET_CLUSTER_ROWS - 1) // SEMDEDUP_TARGET_CLUSTER_ROWS
+    """ceil(sqrt(n)) clamped to [MIN_K, MAX_K] — the Python/oracle
+    lockstep cluster-count formula (integer-exact via isqrt)."""
+    import math
+
+    k = math.isqrt(n - 1) + 1 if n > 0 else 0
     return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, k))
 
 
 _SEMDEDUP_K_SQL = (
     f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
-    f"(count(*) + {SEMDEDUP_TARGET_CLUSTER_ROWS - 1}) "
-    f"// {SEMDEDUP_TARGET_CLUSTER_ROWS}))"
+    f"CAST(CEIL(SQRT(count(*))) AS BIGINT)))"
 )
 
 
@@ -2131,10 +2136,12 @@ _SEMDEDUP_K_SQL = (
     doc=f"SEMANTIC DEDUP (SemDeDup-style): embedding-space near-duplicate "
     "removal. K deterministic seed centroids (the vectors with "
     "the smallest md5 id-hashes — reproducible across runs/engines, no "
-    f"random init), K = ceil(n / {SEMDEDUP_TARGET_CLUSTER_ROWS}) from the "
-    "parquet footer row count so expected cluster size stays ~constant as "
-    "data grows (fixed K would make 10x data cost 100x within-cluster "
-    "work). Every vector is assigned to its max-cosine seed via a "
+    "random init), K = ceil(sqrt(n)) from the parquet footer row count — "
+    "the balance point where the n*K assignment stage and the n*(n/K) "
+    "within-cluster verification both cost n^1.5 (fixed K blows up "
+    "verification at 10x; K ~ n blows up assignment, as the 100x stress "
+    "run proved empirically). Every vector is assigned to its max-cosine "
+    "seed via a "
     "BROADCAST cross join (centroid table is K rows), then within each "
     "cluster a self-join drops any vector at cosine >= "
     f"{SEMDEDUP_COSINE} to an EARLIER (smaller-id) member — each cluster's "
