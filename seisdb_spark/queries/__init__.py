@@ -102,10 +102,16 @@ DRIVER_WINDOW: list[str] = [
     "repeated_passage_spans",
     "semantic_dedup",
     "sessionize_events",
-    "pii_scan_counts",
-    "multimodal_header_fields",
-    "doc_fingerprint",
-    "embedding_norms_by_label",
+    # --- round-6 additions: first driver rows for the retrieval/model-
+    # --- inference surface (BM25 search, quality-classifier inference,
+    # --- vocabulary induction, corpus data card), in place of
+    # --- pii_scan_counts / multimodal_header_fields / doc_fingerprint /
+    # --- embedding_norms_by_label (each green r4+r5; text, multimodal,
+    # --- fingerprint, and embedding families all keep in-window members) ----
+    "bm25_topk",
+    "quality_classifier_score",
+    "vocab_coverage",
+    "corpus_datacard",
     "stratified_sample",
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /

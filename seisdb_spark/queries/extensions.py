@@ -2386,3 +2386,317 @@ def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return curate(docs).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# retrieval & model-inference surface: BM25 search, quality-classifier
+# inference, vocabulary induction, corpus data card
+# ---------------------------------------------------------------------------
+
+# BM25 constants (Robertson/Sparck Jones defaults) and the fixed demo query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("hash", "join", "vector")
+
+
+def _bm25_score_sql(term_scores: list[str]) -> str:
+    """Left-associated sum of the per-term score expressions — a FIXED fp
+    addition order both engines honour (a SUM() across an exploded terms
+    relation would accumulate in engine-chosen order and drift ulps)."""
+    total = term_scores[0]
+    for s in term_scores[1:]:
+        total = f"({total} + {s})"
+    return total
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   {", ".join(
+                       f"len(list_filter(string_split(text, ' '), "
+                       f"x -> x = '{t}')) AS tf{i}"
+                       for i, t in enumerate(BM25_QUERY_TERMS)
+                   )}
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   {", ".join(
+                       f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                       for i in range(len(BM25_QUERY_TERMS))
+                   )}
+            FROM d
+        )
+        SELECT doc_id, round({_bm25_score_sql([
+            f"(((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+            f" * ((tf{i} * {BM25_K1 + 1.0}) / (tf{i} + {BM25_K1} *"
+            f" ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))))"
+            for i in range(len(BM25_QUERY_TERMS))
+        ])}, 6) AS score
+        FROM d CROSS JOIN stats
+        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    doc="BM25 full-text retrieval over the corpus for a fixed 3-term query: "
+    "per-document term frequencies as JVM array ops (size(filter(split))), "
+    "corpus stats (N, avgdl, per-term document frequency) as ONE broadcast "
+    "1-row aggregate, then the BM25 score with k1=1.2, b=0.75 and top-10 "
+    "via TakeOrderedAndProject. Determinism discipline: idf is the RATIONAL "
+    "form (N-df+0.5)/(df+0.5)+1 — the classic formula's ln() of it differs "
+    "by ulps across libm implementations (same deviation tfidf_top_terms "
+    "documents); per-term scores are added in FIXED left-associative order, "
+    "never via an engine-ordered SUM over exploded terms. Scale shape: two "
+    "scans (stats + scoring) with the 1-row stats broadcast, no shuffle of "
+    "corpus-sized data, top-k never sorts globally.",
+    bench=True,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = list(BM25_QUERY_TERMS)
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        *[
+            F.expr(f"size(filter(split(text, ' '), x -> x = '{t}'))").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = F.expr(
+        _bm25_score_sql(
+            [
+                f"(((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                f" * ((tf{i} * {BM25_K1 + 1.0}) / (tf{i} + {BM25_K1} *"
+                f" ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))))"
+                for i in range(len(terms))
+            ]
+        )
+    )
+    any_hit = sum(F.col(f"tf{i}") for i in range(len(terms))) > 0
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# Quality-classifier weights: a deterministic hashed-feature linear model.
+# w(word) = (h(word) mod QC_WEIGHT_MOD) - QC_WEIGHT_SHIFT, an INTEGER in
+# [-1000, 1000] — integer weights make the per-document sum exact and
+# order-independent, so both engines produce bit-identical margins from ONE
+# final fp division (a float-weight SUM would accumulate in engine order).
+QC_WEIGHT_MOD = 2001
+QC_WEIGHT_SHIFT = 1000
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+        ),
+        w AS (
+            SELECT doc_id,
+                   (({_duck_hexparse8("word")}) % {QC_WEIGHT_MOD})
+                       - {QC_WEIGHT_SHIFT} AS wt
+            FROM tok
+        ),
+        agg AS (
+            SELECT doc_id, CAST(sum(wt) AS BIGINT) AS sum_w,
+                   count(*) AS n_tok
+            FROM w GROUP BY doc_id
+        )
+        SELECT doc_id,
+               round(CAST(sum_w AS DOUBLE) / ({QC_WEIGHT_SHIFT}.0 * n_tok), 6)
+                   AS quality_margin,
+               CASE WHEN sum_w >= 0 THEN 1 ELSE 0 END AS keep
+        FROM agg
+    """,
+    doc="Model-based quality filtering (the fastText-classifier stage of "
+    "C4/CCNet-style pipelines) as pure engine inference: a hashed bag-of-"
+    "words LINEAR model whose per-token weights are a deterministic "
+    "function of md5(token) — the engine-side contract is exactly a real "
+    "exported linear classifier (hash token -> weight lookup -> mean "
+    "margin), with the learned weight table replaced by a hash-derived "
+    "stand-in since no model artifact ships in-container. Integer weights "
+    "in [-1000,1000] keep the document sum exact and order-independent "
+    "(bit-identical across engines); the margin (sum / (1000 * n_tokens)) "
+    "is ONE fp division, and keep = margin >= 0 is the filter verdict "
+    "(sigmoid is monotone — thresholding the margin IS thresholding the "
+    "probability). Scale: one projection + one groupBy(doc_id) shuffle, "
+    "all JVM expressions; a real weight table would broadcast-join on the "
+    "token hash.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = with_token_hash(word_tokens(docs), token_col="word")
+    wt = (F.col("h") % QC_WEIGHT_MOD - QC_WEIGHT_SHIFT).alias("wt")
+    agg = (
+        tok.select("doc_id", wt)
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("sum_w"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    return agg.select(
+        "doc_id",
+        F.round(
+            F.col("sum_w").cast("double")
+            / (F.lit(float(QC_WEIGHT_SHIFT)) * F.col("n_tok")),
+            6,
+        ).alias("quality_margin"),
+        F.when(F.col("sum_w") >= 0, 1).otherwise(0).alias("keep"),
+    )
+
+
+VOCAB_SIZE = 32
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+        WITH occ AS (
+            SELECT lang, word, count(*) AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) GROUP BY lang, word
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word,
+                       row_number() OVER (ORDER BY sum(c) DESC, word) AS rk
+                FROM occ GROUP BY word
+            ) WHERE rk <= {VOCAB_SIZE}
+        )
+        SELECT occ.lang,
+               CAST(sum(occ.c) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN vocab.word IS NULL THEN occ.c ELSE 0 END)
+                    AS BIGINT) AS oov_tokens,
+               round(CAST(sum(CASE WHEN vocab.word IS NULL THEN occ.c ELSE 0
+                               END) AS DOUBLE) / sum(occ.c), 6) AS oov_rate
+        FROM occ LEFT JOIN vocab ON occ.word = vocab.word
+        GROUP BY occ.lang
+    """,
+    doc="Tokenizer-vocabulary induction + coverage audit: build the top-"
+    f"{VOCAB_SIZE} corpus vocabulary by total occurrence count "
+    "(deterministic count-then-word tiebreak), then per-language total "
+    "tokens, out-of-vocabulary tokens, and OOV rate — the coverage check "
+    "run before freezing a tokenizer on a new corpus. Scale shape: "
+    "occurrences pre-aggregate per (lang, word) — corpus-sized text "
+    "collapses to vocabulary-sized counts in ONE shuffle with map-side "
+    "combine; the global top-V is TakeOrderedAndProject over those counts "
+    "(never a single-partition window over the full vocabulary); the "
+    "tiny vocab then BROADCASTS back for the anti-membership sums. The "
+    "OOV rate is a single division of exact integer sums.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    occ = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        occ.groupBy("word")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "word")
+        .limit(VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    joined = occ.join(F.broadcast(vocab), "word", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.sum(oov_c).alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_words,
+               count(DISTINCT md5(text)) AS distinct_texts,
+               round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 6) AS dup_rate,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
+    doc="The corpus DATA CARD: per (lang, source) slice plus per-lang and "
+    "whole-corpus rollups of document count, token volume, exact-duplicate "
+    "rate (via count-distinct of the md5 content digest), and length "
+    "stats — the audit table published alongside a released training set. "
+    "ROLLUP expands all three grouping levels in ONE shuffle (Spark Expand "
+    "+ single aggregate); the distinct-digest count adds the usual "
+    "two-phase distinct-aggregate expansion, still map-side-combined. "
+    "avg is computed as sum/count of exact integers on both sides — never "
+    "an engine AVG whose incremental accumulation order could drift.",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+    return (
+        base.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.count_distinct("digest").alias("distinct_texts"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_words",
+            "distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("distinct_texts")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "min_chars",
+            "max_chars",
+            F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+        )
+    )

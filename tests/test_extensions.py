@@ -568,3 +568,143 @@ def test_semantic_dedup_planted_and_shrinkage(spark, tmp_path):
     pair_work = int((sizes * (sizes - 1) // 2).sum())
     n = len(vecs)
     assert pair_work < n * (n - 1) // 2 / 2, pair_work
+
+
+def test_bm25_planted_ranking(spark, tmp_path):
+    """BM25 must rank by term coverage and tf, normalize by doc length, and
+    exclude docs matching no query term."""
+    q1, q2, q3 = ("hash", "join", "vector")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{q1} {q2} {q3} {q1} {q2} {q3}",  # all terms, dense
+                f"{q1} filler filler filler filler filler filler filler",
+                f"{q1} filler",  # same tf as doc 2, much shorter
+                "no query terms at all here",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = REGISTRY["bm25_topk"].spark(spark, str(tmp_path)).toPandas()
+    assert list(out.doc_id) == [1, 3, 2]  # 4 excluded; 3 beats 2 on length
+    assert out.score.is_monotonic_decreasing
+
+
+def test_bm25_plan_broadcast_stats_and_takeordered(spark):
+    """The 1-row corpus-stats side must broadcast (never shuffle the corpus
+    for it) and top-k must be TakeOrderedAndProject, not a global sort."""
+    from seisdb_spark.plancheck import final_plan, has_node
+
+    df = REGISTRY["bm25_topk"].spark(spark, SF_DIR)
+    df.collect()
+    head = final_plan(df)
+    assert has_node(head, "BroadcastNestedLoopJoin") or has_node(
+        head, "BroadcastExchange"
+    )
+    assert has_node(head, "TakeOrderedAndProject")
+    # no KEYED shuffle of corpus data: the only allowed exchanges are the
+    # test-table spread() round-robin and the 1-row stats consolidation
+    assert not has_node(head, "hashpartitioning")
+    assert not has_node(head, "rangepartitioning")
+
+
+def test_quality_classifier_margin_matches_manual(spark, tmp_path):
+    """The margin must equal the hand-computed hashed-weight mean, and the
+    keep verdict must be its sign."""
+    import hashlib
+
+    from seisdb_spark.queries.extensions import QC_WEIGHT_MOD, QC_WEIGHT_SHIFT
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma alpha", "delta epsilon"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [1] * 2,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["quality_classifier_score"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def margin(words: set[str]) -> float:
+        ws = [
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % QC_WEIGHT_MOD
+            - QC_WEIGHT_SHIFT
+            for w in words
+        ]
+        return round(sum(ws) / (QC_WEIGHT_SHIFT * len(ws)), 6)
+
+    # distinct-word set semantics: the repeated 'alpha' counts once
+    m1 = margin({"alpha", "beta", "gamma"})
+    m2 = margin({"delta", "epsilon"})
+    assert out.loc[1, "quality_margin"] == pytest.approx(m1, abs=1e-9)
+    assert out.loc[2, "quality_margin"] == pytest.approx(m2, abs=1e-9)
+    assert (out.quality_margin.abs() <= 1.0).all()
+    assert (out.keep == (out.quality_margin >= 0).astype(int)).all()
+
+
+def test_vocab_coverage_matches_pandas(spark, docs_pdf):
+    """Per-language totals and OOV rates must match an independent pandas
+    rederivation of the top-V vocabulary."""
+    from collections import Counter
+
+    from seisdb_spark.queries.extensions import VOCAB_SIZE
+
+    out = REGISTRY["vocab_coverage"].spark(spark, SF_DIR).toPandas().set_index("lang")
+    counts: Counter = Counter()
+    per_lang: dict[str, Counter] = {}
+    for r in docs_pdf.itertuples():
+        words = r.text.split(" ")
+        counts.update(words)
+        per_lang.setdefault(r.lang, Counter()).update(words)
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]
+    }
+    for lang, c in per_lang.items():
+        total = sum(c.values())
+        oov = sum(n for w, n in c.items() if w not in vocab)
+        assert out.loc[lang, "total_tokens"] == total
+        assert out.loc[lang, "oov_tokens"] == oov
+        assert out.loc[lang, "oov_rate"] == pytest.approx(
+            round(oov / total, 6), abs=1e-9
+        )
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark):
+    """The induced vocabulary must come back as a BROADCAST to the
+    occurrence counts — the corpus-sized side never reshuffles for it."""
+    from seisdb_spark.plancheck import final_plan, has_node
+
+    df = REGISTRY["vocab_coverage"].spark(spark, SF_DIR)
+    df.collect()
+    head = final_plan(df)
+    assert has_node(head, "BroadcastHashJoin")
+    assert has_node(head, "TakeOrderedAndProject")  # top-V, not global sort
+
+
+def test_corpus_datacard_rollup_consistency(spark, docs_pdf):
+    """The rollup levels must be mutually consistent: the ALL/ALL row is the
+    whole corpus, per-lang rows sum to it, and stats are well-formed."""
+    out = REGISTRY["corpus_datacard"].spark(spark, SF_DIR).toPandas()
+    top = out[(out.lang == "ALL") & (out.source == "ALL")].iloc[0]
+    assert top.n_docs == len(docs_pdf)
+    lang_rows = out[(out.lang != "ALL") & (out.source == "ALL")]
+    assert lang_rows.n_docs.sum() == len(docs_pdf)
+    leaf = out[(out.lang != "ALL") & (out.source != "ALL")]
+    assert leaf.n_docs.sum() == len(docs_pdf)
+    assert ((out.dup_rate >= 0) & (out.dup_rate < 1)).all()
+    assert (out.min_chars <= out.max_chars).all()
+    assert ((out.avg_chars >= out.min_chars) & (out.avg_chars <= out.max_chars)).all()
+    exp_words = sum(len(t.split(" ")) for t in docs_pdf.text)
+    assert top.total_words == exp_words
