@@ -108,11 +108,14 @@ DRIVER_WINDOW: list[str] = [
     # --- pii_scan_counts / multimodal_header_fields / doc_fingerprint /
     # --- embedding_norms_by_label (each green r4+r5; text, multimodal,
     # --- fingerprint, and embedding families all keep in-window members) ----
+    # --- (stratified_sample also rotates out — green r4+r5; the sampling
+    # --- family keeps budgeted_sample_per_lang and curation_keep_set's
+    # --- stratified stage in-window) ----------------------------------------
     "bm25_topk",
     "quality_classifier_score",
     "vocab_coverage",
     "corpus_datacard",
-    "stratified_sample",
+    "packing_efficiency",
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------

@@ -2700,3 +2700,69 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "packing_efficiency",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_BPE_TOKENS_SQL} AS n_tokens,
+                   {_hash32_sql("text")} % {PACK_N_SHARDS} AS shard
+            FROM documents
+        ),
+        per_shard AS (
+            SELECT CAST(shard AS INT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM toks GROUP BY shard
+        )
+        SELECT shard, n_docs, total_tokens,
+               CAST((total_tokens + {PACK_SEQ_TOKENS - 1})
+                    // {PACK_SEQ_TOKENS} AS BIGINT) AS n_seqs,
+               CAST((total_tokens + {PACK_SEQ_TOKENS - 1})
+                    // {PACK_SEQ_TOKENS} * {PACK_SEQ_TOKENS} - total_tokens
+                    AS BIGINT) AS waste_tokens,
+               round(CAST(total_tokens AS DOUBLE)
+                     / ((total_tokens + {PACK_SEQ_TOKENS - 1})
+                        // {PACK_SEQ_TOKENS} * {PACK_SEQ_TOKENS}), 6)
+                   AS fill_rate
+        FROM per_shard
+    """,
+    doc="Packing-efficiency audit for the sequence_packing layout: per "
+    "shard, document count, total tokens, packed sequence count, padding "
+    "waste, and fill rate. Under concat-then-chunk the ONLY slack is each "
+    "shard's final partially-filled window — n_seqs is exactly "
+    f"ceil(total/{PACK_SEQ_TOKENS}) — so the whole audit reduces to ONE "
+    "map-side-combined groupBy(shard) aggregate of exact integers (no "
+    "window function, no per-sequence pass); fill_rate is a single fp "
+    "division. This is the metric that justifies packing over per-doc "
+    "padding: compare against padding waste = sum(window - n_tokens % "
+    "window) per doc. Scale: one shuffle of shard-count rows.",
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.sources.tables import content_hash32
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        _bpe_tokens_col().alias("n_tokens"),
+        (content_hash32("text") % PACK_N_SHARDS).cast("int").alias("shard"),
+    )
+    per = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    n_seqs = F.floor(
+        (F.col("total_tokens") + (PACK_SEQ_TOKENS - 1)) / PACK_SEQ_TOKENS
+    ).cast("bigint")
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        (n_seqs * PACK_SEQ_TOKENS - F.col("total_tokens")).alias("waste_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / (n_seqs * PACK_SEQ_TOKENS),
+            6,
+        ).alias("fill_rate"),
+    )

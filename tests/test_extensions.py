@@ -708,3 +708,31 @@ def test_corpus_datacard_rollup_consistency(spark, docs_pdf):
     assert ((out.avg_chars >= out.min_chars) & (out.avg_chars <= out.max_chars)).all()
     exp_words = sum(len(t.split(" ")) for t in docs_pdf.text)
     assert top.total_words == exp_words
+
+
+def test_packing_efficiency_consistent_with_assignment(spark):
+    """The per-shard audit must agree with the actual packing assignment:
+    n_seqs = the last doc's final window + 1, totals match, and the only
+    slack is each shard's final window."""
+    from seisdb_spark.queries.extensions import PACK_SEQ_TOKENS
+
+    eff = (
+        REGISTRY["packing_efficiency"].spark(spark, SF_DIR).toPandas().set_index("shard")
+    )
+    packed = REGISTRY["sequence_packing"].spark(spark, SF_DIR).toPandas()
+    for shard, grp in packed.groupby("shard"):
+        total = grp.n_tokens.sum()
+        assert eff.loc[shard, "total_tokens"] == total
+        assert eff.loc[shard, "n_docs"] == len(grp)
+        # the window the final token lands in (concat-then-chunk: last doc's
+        # start + its tokens - 1, integer-divided by the budget)
+        last_end = (
+            grp.seq_in_shard * PACK_SEQ_TOKENS + grp.offset_in_seq + grp.n_tokens
+        ).max()
+        exp_seqs = -(-total // PACK_SEQ_TOKENS)
+        assert eff.loc[shard, "n_seqs"] == exp_seqs
+        assert last_end == total  # no internal gaps: pure concat
+        assert (
+            eff.loc[shard, "waste_tokens"] == exp_seqs * PACK_SEQ_TOKENS - total
+        )
+    assert ((eff.fill_rate > 0) & (eff.fill_rate <= 1)).all()
