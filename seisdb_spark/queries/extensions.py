@@ -2506,10 +2506,8 @@ QC_WEIGHT_SHIFT = 1000
     "quality_classifier_score",
     oracle=f"""
         WITH tok AS (
-            SELECT DISTINCT doc_id, word FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                FROM documents
-            )
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
         ),
         w AS (
             SELECT doc_id,
@@ -2534,18 +2532,26 @@ QC_WEIGHT_SHIFT = 1000
     "function of md5(token) — the engine-side contract is exactly a real "
     "exported linear classifier (hash token -> weight lookup -> mean "
     "margin), with the learned weight table replaced by a hash-derived "
-    "stand-in since no model artifact ships in-container. Integer weights "
-    "in [-1000,1000] keep the document sum exact and order-independent "
-    "(bit-identical across engines); the margin (sum / (1000 * n_tokens)) "
-    "is ONE fp division, and keep = margin >= 0 is the filter verdict "
-    "(sigmoid is monotone — thresholding the margin IS thresholding the "
-    "probability). Scale: one projection + one groupBy(doc_id) shuffle, "
-    "all JVM expressions; a real weight table would broadcast-join on the "
-    "token hash.",
+    "stand-in since no model artifact ships in-container. BAG semantics "
+    "(every token occurrence contributes, as fastText averages input "
+    "vectors) — deliberately NOT a distinct word set, which would cost a "
+    "second (doc_id, word) dedup shuffle. Integer weights in [-1000,1000] "
+    "keep the document sum exact and order-independent (bit-identical "
+    "across engines); the margin (sum / (1000 * n_tokens)) is ONE fp "
+    "division, and keep = margin >= 0 is the filter verdict (sigmoid is "
+    "monotone — thresholding the margin IS thresholding the probability). "
+    "Scale: one projection + ONE groupBy(doc_id) shuffle with map-side "
+    "partial sums, all JVM expressions (asserted at 10x/100x in the scale "
+    "harness); a real weight table would broadcast-join on the token hash.",
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = with_token_hash(word_tokens(docs), token_col="word")
+    tok = with_token_hash(
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        ),
+        token_col="word",
+    )
     wt = (F.col("h") % QC_WEIGHT_MOD - QC_WEIGHT_SHIFT).alias("wt")
     agg = (
         tok.select("doc_id", wt)
@@ -2766,3 +2772,27 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_rate"),
     )
+
+
+@query(
+    "kmeans_refine_assign",
+    oracle=None,  # iterative + distributed fp means: not SQL-expressible
+    doc="ITERATIVE Lloyd k-means refinement of the embedding clustering "
+    "(the loop that upgrades ann_ivf_topk / semantic_dedup one-shot seeds "
+    "to converged centroids): 2 iterations, k=8, deterministic md5-seeded "
+    "init. Spark shape per iteration (functions/cluster.py): assignment "
+    "is a MAP-ONLY projection — centroids are plan literals, nearest id "
+    "via k HOF folds + array argmin, no join/shuffle; re-estimation is "
+    "one posexplode + groupBy(cluster, dim) average whose exchange "
+    "carries at most k*dim rows per partition after partial agg; driver "
+    "state is k*dim doubles. Declared rows-only: the loop needs "
+    "driver-side iteration and distributed fp means are not bit-portable "
+    "to DuckDB — tests/test_cluster.py asserts planted-cluster recovery, "
+    "monotone inertia, and numpy-Lloyd centroid agreement instead.",
+)
+def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions.cluster import lloyd_refine
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = lloyd_refine(emb)
+    return assigned.select("vec_id", "cluster")

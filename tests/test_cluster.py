@@ -1,0 +1,147 @@
+"""Lloyd k-means refinement (functions/cluster.py): planted-cluster
+recovery, monotone inertia, and agreement with an independent numpy Lloyd
+re-implementation from identical seeds."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from seisdb_spark.functions.cluster import (
+    assign_clusters,
+    lloyd_refine,
+    seed_centroids,
+)
+from seisdb_spark.queries.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _planted(tmp_path, n_per=40, k=3, dim=64, sep=20.0):
+    """k well-separated Gaussian blobs, arranged so the k deterministic
+    seeds (smallest md5(vec_id) digests) land in k DISTINCT blobs — with
+    one seed per blob, Lloyd's local optimum IS the planted partition;
+    with arbitrary seeds two could share a blob and recovery would be an
+    unfair ask of any k-means."""
+    n = n_per * k
+    seed_ids = sorted(
+        range(n), key=lambda v: hashlib.md5(str(v).encode()).hexdigest()
+    )[:k]
+    labels = [-1] * n
+    for c, v in enumerate(seed_ids):
+        labels[v] = c
+    fill = [c for c in range(k) for _ in range(n_per - 1)]
+    it = iter(fill)
+    for v in range(n):
+        if labels[v] < 0:
+            labels[v] = next(it)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(k, dim)) * sep
+    vecs = [
+        (centers[labels[v]] + rng.normal(scale=0.05, size=dim))
+        .astype(np.float32)
+        .tolist()
+        for v in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": vecs, "label": labels}
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    return pdf
+
+
+def _numpy_lloyd(vecs, seeds, iters):
+    cent = np.asarray(seeds, dtype=np.float64)
+    x = np.asarray(vecs, dtype=np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(cent)):
+            if (a == c).any():
+                cent[c] = x[a == c].mean(axis=0)
+    d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), cent
+
+
+def test_seeds_are_smallest_md5_digests(spark, tmp_path):
+    pdf = _planted(tmp_path)
+    from seisdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    seeds = seed_centroids(emb, 3)
+    order = sorted(
+        pdf.vec_id, key=lambda v: hashlib.md5(str(v).encode()).hexdigest()
+    )[:3]
+    expected = [
+        [float(x) for x in pdf.set_index("vec_id").loc[v, "embedding"]]
+        for v in order
+    ]
+    assert seeds == expected
+
+
+def test_lloyd_recovers_planted_partition_and_matches_numpy(spark, tmp_path):
+    pdf = _planted(tmp_path)
+    from seisdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    assigned, cent = lloyd_refine(emb, k=3, iters=3)
+    out = assigned.select("vec_id", "cluster").toPandas().set_index("vec_id")
+    # exact recovery: every planted group lands in ONE cluster, all distinct
+    got = pdf.assign(c=out.loc[pdf.vec_id, "cluster"].values)
+    by_label = got.groupby("label").c.nunique()
+    assert (by_label == 1).all(), "a planted cluster was split"
+    assert got.groupby("label").c.first().nunique() == 3, "clusters merged"
+
+    # numpy re-derivation from the same seeds: same partition + close means
+    seeds = seed_centroids(emb, 3)
+    np_assign, np_cent = _numpy_lloyd(list(pdf.embedding), seeds, iters=3)
+    assert (got.c.values == np_assign).all()
+    order = sorted(range(3))
+    assert np.allclose(np.asarray(cent)[order], np_cent[order], atol=1e-4)
+
+
+def test_lloyd_inertia_decreases(spark, tmp_path):
+    _planted(tmp_path)
+    from seisdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    seeds = seed_centroids(emb, 3)
+    inertias = []
+    centroids = seeds
+    from seisdb_spark.functions.cluster import lloyd_refine as _lr
+
+    for iters in (0, 1, 2):
+        if iters == 0:
+            assigned = assign_clusters(emb, seeds)
+        else:
+            assigned, _ = _lr(emb, k=3, iters=iters)
+        inertias.append(
+            assigned.agg({"dist2": "sum"}).head()[0]
+        )
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    assert inertias[2] < inertias[0]
+
+
+def test_assignment_is_map_only(spark):
+    """The 100 TB contract: assignment adds NO exchange beyond the input's
+    own — centroid literals, HOF folds, argmin projection."""
+    from seisdb_spark.plancheck import count_exchanges, final_plan
+    from seisdb_spark.sources.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_DIR, "embeddings"))
+    base_df = emb.select("vec_id")
+    base_df.collect()
+    base = count_exchanges(final_plan(base_df))
+    seeds = seed_centroids(emb, 4)
+    df = assign_clusters(emb, seeds).select("vec_id", "cluster")
+    df.collect()
+    assert count_exchanges(final_plan(df)) == base
+
+
+def test_registry_query_runs(spark):
+    out = REGISTRY["kmeans_refine_assign"].spark(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    assert len(out) == len(emb)
+    assert out.vec_id.is_unique
+    assert out.cluster.between(0, 7).all()

@@ -636,7 +636,7 @@ def test_quality_classifier_margin_matches_manual(spark, tmp_path):
         .set_index("doc_id")
     )
 
-    def margin(words: set[str]) -> float:
+    def margin(words: list[str]) -> float:
         ws = [
             int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % QC_WEIGHT_MOD
             - QC_WEIGHT_SHIFT
@@ -644,9 +644,9 @@ def test_quality_classifier_margin_matches_manual(spark, tmp_path):
         ]
         return round(sum(ws) / (QC_WEIGHT_SHIFT * len(ws)), 6)
 
-    # distinct-word set semantics: the repeated 'alpha' counts once
-    m1 = margin({"alpha", "beta", "gamma"})
-    m2 = margin({"delta", "epsilon"})
+    # bag semantics: the repeated 'alpha' contributes twice
+    m1 = margin(["alpha", "beta", "gamma", "alpha"])
+    m2 = margin(["delta", "epsilon"])
     assert out.loc[1, "quality_margin"] == pytest.approx(m1, abs=1e-9)
     assert out.loc[2, "quality_margin"] == pytest.approx(m2, abs=1e-9)
     assert (out.quality_margin.abs() <= 1.0).all()

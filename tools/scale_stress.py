@@ -72,6 +72,29 @@ STRESS_QUERIES = {
     "semantic_dedup": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
     ),
+    # 1-row corpus stats must stay broadcast; top-k must stay TakeOrdered —
+    # no keyed shuffle of corpus-sized data at any scale
+    "bm25_topk": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "hashpartitioning")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # exactly the one groupBy(doc_id) shuffle of hashed-weight partial sums
+    "quality_classifier_score": lambda p: (
+        count_exchanges(p, key="doc_id") == 1
+        and not has_node(p, "rangepartitioning")
+    ),
+    # the induced vocab must broadcast back; top-V must stay TakeOrdered
+    "vocab_coverage": lambda p: (
+        has_node(p, "BroadcastHashJoin")
+        and has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # the audit is one shard-keyed aggregate — no window pass, no sort
+    "packing_efficiency": lambda p: (
+        count_exchanges(p, key="shard") == 1
+        and not has_node(p, "rangepartitioning")
+    ),
 }
 
 
