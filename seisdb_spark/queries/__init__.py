@@ -50,7 +50,16 @@ twin: no driver row since r3, and it sits in the events family that went
 silently wrong in r4 — cheap insurance).  Rotating OUT per the r5 verdict's
 eligibility call: ``tfidf_top_terms``, ``approx_quantile_gate``,
 ``doc_repetition_stats`` (each green in r4+r5, family-covered by the
-in-window text surface).
+in-window text surface).  Later round-6 additions rotate IN the six new
+operators (``bm25_topk``, ``quality_classifier_score``,
+``vocab_coverage``, ``corpus_datacard``, ``packing_efficiency``,
+``streaming_quality_gate``) in place of ``pii_scan_counts``,
+``multimodal_header_fields``, ``doc_fingerprint``,
+``embedding_norms_by_label`` (green r4+r5), ``stratified_sample`` (green
+r4+r5; sampling covered by budgeted_sample_per_lang + the keep-set's
+stratified stage), and ``doc_chunking`` (green r3+r4+r5).
+``kmeans_refine_assign`` is rows-only (iterative Lloyd; numpy-golden
+pytest) and stays outside the window like the other rows-only entries.
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -87,7 +96,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_signbucket_topk",
     "ann_ivf_topk",
     "embedding_neardup_pairs",
-    "doc_chunking",
     "curation_keep_set",
     "quality_filter_pipeline",
     "salted_skew_agg",
@@ -122,13 +130,16 @@ DRIVER_WINDOW: list[str] = [
     "decontamination_overlap",
     "sequence_packing",
     "budgeted_sample_per_lang",
-    # --- Structured Streaming (now 6 oracle-bearing entries) ----------------
+    # --- Structured Streaming (now 7 oracle-bearing entries; the round-6
+    # --- streaming_quality_gate takes doc_chunking's slot — thrice-green
+    # --- r3+r4+r5, chunking covered by the packing pair + pytest) -----------
     "streaming_tumbling_counts",
     "streaming_sessionize",
     "streaming_sliding_counts",
     "streaming_dedup_events",
     "streaming_static_enrich",
     "streaming_incremental_dedup",
+    "streaming_quality_gate",
     # --- core §2 operators (one per family; twice-green siblings rotated out) -
     "p1_positional_projection",
     "j1_gather_join",

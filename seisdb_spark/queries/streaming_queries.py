@@ -262,3 +262,75 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     customers = load_table(spark, sf_dir, "customer")
     return run_to_memory(enrich_stream_static(events, customers), _unique("drv_enrich"))
+
+
+@query(
+    "streaming_quality_gate",
+    oracle=None,  # set right after definition: shares the derived batch SQL
+    doc="STREAMING model-based quality filtering: the hashed bag-of-words "
+    "linear classifier (quality_classifier_score) applied to an arriving "
+    "documents stream. The per-document margin is computed as a PER-ROW "
+    "higher-order fold (transform + aggregate over the token array, "
+    "weights derived from md5(token)) — a stateless projection, so the "
+    "stream needs NO state store and NO watermark; the only stateful step "
+    "is the final (lang, keep) count aggregation in complete mode. This "
+    "per-row form is the inference shape a stream REQUIRES (a per-doc "
+    "groupBy would force stateful aggregation); integer weight sums keep "
+    "it bit-identical to the batch twin. Oracle: the same per-row fold in "
+    "DuckDB lambdas, aggregated per (lang, keep) — stream==batch on "
+    "complete data.",
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.extensions import QC_WEIGHT_MOD, QC_WEIGHT_SHIFT
+    from seisdb_spark.streaming import read_documents_stream
+
+    sum_w = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        "w -> cast(conv(substring(md5(cast(w as binary)), 1, 8), 16, 10) "
+        f"as bigint) % {QC_WEIGHT_MOD} - {QC_WEIGHT_SHIFT}), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = read_documents_stream(spark, sf_dir).select(
+        "lang",
+        sum_w.alias("sum_w"),
+    )
+    agg = scored.groupBy(
+        "lang", F.when(F.col("sum_w") >= 0, 1).otherwise(0).alias("keep")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sum_w").alias("total_weight"),
+    )
+    return run_to_memory(agg, _unique("drv_quality"))
+
+
+def _share_quality_oracle() -> None:
+    from dataclasses import replace
+
+    from seisdb_spark.queries.extensions import (
+        QC_WEIGHT_MOD,
+        QC_WEIGHT_SHIFT,
+        _duck_hexparse8,
+    )
+
+    sql = f"""
+        WITH per AS (
+            SELECT lang,
+                   list_aggregate(list_transform(string_split(text, ' '),
+                       w -> ({_duck_hexparse8("w")}) % {QC_WEIGHT_MOD}
+                            - {QC_WEIGHT_SHIFT}), 'sum') AS sum_w
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN sum_w >= 0 THEN 1 ELSE 0 END AS keep,
+               count(*) AS n_docs,
+               CAST(sum(sum_w) AS BIGINT) AS total_weight
+        FROM per GROUP BY lang, CASE WHEN sum_w >= 0 THEN 1 ELSE 0 END
+    """
+    REGISTRY["streaming_quality_gate"] = replace(
+        REGISTRY["streaming_quality_gate"], oracle=sql
+    )
+
+
+_share_quality_oracle()
