@@ -60,6 +60,11 @@ r4+r5; sampling covered by budgeted_sample_per_lang + the keep-set's
 stratified stage), and ``doc_chunking`` (green r3+r4+r5).
 ``kmeans_refine_assign`` is rows-only (iterative Lloyd; numpy-golden
 pytest) and stays outside the window like the other rows-only entries.
+Finally ``token_rarity_score`` (corpus-frequency LM proxy) and
+``source_mix_weights`` (mixture reweighting) take the slots of
+``text_quality_score`` and ``multimodal_payload_stats`` (each green
+r3+r4+r5; quality_filter_pipeline / multimodal_decode_features keep those
+families in-window).
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -101,8 +106,13 @@ DRIVER_WINDOW: list[str] = [
     "salted_skew_agg",
     "curation_pipeline_stats",
     "training_shard_manifest",
-    "text_quality_score",
-    "multimodal_payload_stats",
+    # --- round-6 late additions: corpus-frequency rarity scoring + mixture
+    # --- reweighting take the slots of text_quality_score and
+    # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and
+    # --- multimodal families keep quality_filter_pipeline /
+    # --- multimodal_decode_features in-window) ------------------------------
+    "token_rarity_score",
+    "source_mix_weights",
     "multimodal_decode_features",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)

@@ -2796,3 +2796,115 @@ def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     assigned, _ = lloyd_refine(emb)
     return assigned.select("vec_id", "cluster")
+
+
+
+@query(
+    "token_rarity_score",
+    oracle="""
+        WITH occ AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS cf FROM occ GROUP BY word),
+        per AS (
+            SELECT occ.doc_id,
+                   count(*) AS n_tok,
+                   CAST(sum(freq.cf) AS BIGINT) AS sum_cf
+            FROM occ JOIN freq USING (word)
+            GROUP BY occ.doc_id
+        )
+        SELECT doc_id, n_tok,
+               round(CAST(sum_cf AS DOUBLE) / n_tok, 6) AS mean_token_freq
+        FROM per
+    """,
+    doc="Corpus-frequency rarity scoring — the unigram-LM stage of "
+    "CCNet-style quality bucketing, in the exact-arithmetic form this "
+    "engine's determinism discipline requires: instead of summing "
+    "log-probabilities (libm ln differs by ulps across engines), score "
+    "each document by the MEAN CORPUS FREQUENCY of its tokens — exact "
+    "integer sums, one fp division per doc; low mean frequency = "
+    "rare-token-heavy = the same docs a unigram perplexity flags (the "
+    "per-token statistic is rank-monotone in probability). Two-pass "
+    "shape: (1) corpus term frequencies in one map-side-combined "
+    "groupBy(word); (2) tokens equi-join the frequency table on word "
+    "(vocabulary-sized, shuffle-join — a real vocabulary outgrows "
+    "broadcast) and re-aggregate per doc_id. Three keyed shuffles total, "
+    "all on pre-aggregated or token-id-sized rows.",
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    freq = occ.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    per = (
+        occ.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("cf").alias("sum_cf"))
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("sum_cf").cast("double") / F.col("n_tok"), 6).alias(
+            "mean_token_freq"
+        ),
+    )
+
+
+@query(
+    "source_mix_weights",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
+               round(CAST(total_tokens AS DOUBLE)
+                     / (n_sources * n_tokens), 6) AS uniform_weight
+        FROM per CROSS JOIN tot
+    """,
+    doc="Training-mixture reweighting factors per source: each source's "
+    "token count, its share of the corpus, and the up/down-sampling "
+    "weight that would equalize the mixture (total / (n_sources * "
+    "tokens_s) — weight > 1 means upsample). This is the computation "
+    "behind 'train on a balanced mix' configs, complementing "
+    "budgeted_sample_per_lang (which enforces absolute budgets) with "
+    "RELATIVE factors a dataloader can apply. Shape: one "
+    "map-side-combined groupBy(source) collapses the corpus to "
+    "source-count rows; the 1-row total then BROADCASTS back — two "
+    "scans of nothing larger than the per-source table, exact integer "
+    "sums, two fp divisions per row.",
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("share"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )

@@ -736,3 +736,51 @@ def test_packing_efficiency_consistent_with_assignment(spark):
             eff.loc[shard, "waste_tokens"] == exp_seqs * PACK_SEQ_TOKENS - total
         )
     assert ((eff.fill_rate > 0) & (eff.fill_rate <= 1)).all()
+
+
+def test_token_rarity_matches_pandas(spark, docs_pdf):
+    """Per-doc mean corpus token frequency must match an independent pandas
+    rederivation (bag semantics, exact integer sums)."""
+    from collections import Counter
+
+    out = (
+        REGISTRY["token_rarity_score"].spark(spark, SF_DIR).toPandas().set_index("doc_id")
+    )
+    freq: Counter = Counter()
+    toks = {}
+    for r in docs_pdf.itertuples():
+        words = r.text.split(" ")
+        toks[r.doc_id] = words
+        freq.update(words)
+    assert len(out) == len(docs_pdf)
+    for doc_id, words in list(toks.items())[:50]:
+        exp = round(sum(freq[w] for w in words) / len(words), 6)
+        assert out.loc[doc_id, "n_tok"] == len(words)
+        assert out.loc[doc_id, "mean_token_freq"] == pytest.approx(exp, abs=1e-9)
+    # rare-token-heavy docs score LOW: the doc built only of corpus-unique
+    # tokens would score 1.0, the minimum possible
+    assert (out.mean_token_freq >= 1.0).all()
+
+
+def test_source_mix_weights_invariants(spark, docs_pdf):
+    """Shares sum to 1, weights invert shares around uniform, and totals
+    match a pandas rederivation."""
+    out = REGISTRY["source_mix_weights"].spark(spark, SF_DIR).toPandas()
+    exp = (
+        docs_pdf.assign(n_tokens=docs_pdf.text.str.split(" ").str.len())
+        .groupby("source")
+        .agg(n_docs=("doc_id", "count"), n_tokens=("n_tokens", "sum"))
+    )
+    got = out.set_index("source").sort_index()
+    assert (got.n_docs == exp.sort_index().n_docs).all()
+    assert (got.n_tokens == exp.sort_index().n_tokens).all()
+    assert got.share.sum() == pytest.approx(1.0, abs=1e-4)
+    n_sources = len(got)
+    # uniform_weight == 1 / (n_sources * share), up to the 6 dp rounding
+    assert (
+        (got.uniform_weight - 1.0 / (n_sources * got.share)).abs() < 1e-2
+    ).all()
+    # below-average sources get weight > 1 (upsample), above-average < 1
+    assert (
+        (got.share < 1.0 / n_sources) == (got.uniform_weight > 1.0)
+    ).all()
