@@ -7,9 +7,16 @@ is an Arrow-batched ``mapInPandas``.
 
     text.py        shingling, MinHash, SimHash, token estimates, lang scoring
     vectors.py     dot/norm chains, sign-bucket LSH keys for embeddings
+    cluster.py     iterative Lloyd k-means refinement (map-only assignment)
+    graph.py       connected components (lazy union-find / pointer jumping)
     multimodal.py  BinaryType payload + typed-metadata plumbing and decode
 """
 
+from seisdb_spark.functions.cluster import (  # noqa: F401
+    assign_clusters,
+    lloyd_refine,
+    seed_centroids,
+)
 from seisdb_spark.functions.graph import (  # noqa: F401
     cc_exact_lazy,
     connected_components,

@@ -2409,6 +2409,25 @@ def _bm25_score_sql(term_scores: list[str]) -> str:
     return total
 
 
+def _bm25_term_sql(i: int) -> str:
+    """One query term's BM25 contribution, with every operand explicitly
+    CAST to DOUBLE: a bare ``0.5`` literal parses as DECIMAL in both Spark
+    and DuckDB, and bigint+decimal arithmetic then follows engine-specific
+    precision/scale rules — explicit doubles keep the whole tree in
+    IEEE-754 with the identical operation order on both sides."""
+    d = "CAST({} AS DOUBLE)".format
+    idf = (
+        f"(({d(f'n - df{i}')} + {d(0.5)}) / ({d(f'df{i}')} + {d(0.5)})"
+        f" + {d(1.0)})"
+    )
+    tfn = (
+        f"(({d(f'tf{i}')} * {d(BM25_K1 + 1.0)}) / ({d(f'tf{i}')}"
+        f" + {d(BM25_K1)} * ({d(1.0 - BM25_B)}"
+        f" + {d(BM25_B)} * {d('dl')} / avgdl)))"
+    )
+    return f"({idf} * {tfn})"
+
+
 @query(
     "bm25_topk",
     oracle=f"""
@@ -2430,12 +2449,9 @@ def _bm25_score_sql(term_scores: list[str]) -> str:
                    )}
             FROM d
         )
-        SELECT doc_id, round({_bm25_score_sql([
-            f"(((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
-            f" * ((tf{i} * {BM25_K1 + 1.0}) / (tf{i} + {BM25_K1} *"
-            f" ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))))"
-            for i in range(len(BM25_QUERY_TERMS))
-        ])}, 6) AS score
+        SELECT doc_id, round({_bm25_score_sql(
+            [_bm25_term_sql(i) for i in range(len(BM25_QUERY_TERMS))]
+        )}, 6) AS score
         FROM d CROSS JOIN stats
         WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
         ORDER BY score DESC, doc_id
@@ -2474,14 +2490,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     score = F.expr(
-        _bm25_score_sql(
-            [
-                f"(((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
-                f" * ((tf{i} * {BM25_K1 + 1.0}) / (tf{i} + {BM25_K1} *"
-                f" ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))))"
-                for i in range(len(terms))
-            ]
-        )
+        _bm25_score_sql([_bm25_term_sql(i) for i in range(len(terms))])
     )
     any_hit = sum(F.col(f"tf{i}") for i in range(len(terms))) > 0
     return (

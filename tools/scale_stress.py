@@ -95,6 +95,16 @@ STRESS_QUERIES = {
         count_exchanges(p, key="shard") == 1
         and not has_node(p, "rangepartitioning")
     ),
+    # freq-table join may be broadcast OR shuffle (AQE picks by vocabulary
+    # size — the flip at scale is the designed behavior); never cartesian
+    "token_rarity_score": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # corpus collapses to source-sized rows before the 1-row total rejoins
+    "source_mix_weights": lambda p: (
+        has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
+    ),
 }
 
 
