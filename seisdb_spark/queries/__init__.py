@@ -64,7 +64,10 @@ Finally ``token_rarity_score`` (corpus-frequency LM proxy) and
 ``source_mix_weights`` (mixture reweighting) take the slots of
 ``text_quality_score`` and ``multimodal_payload_stats`` (each green
 r3+r4+r5; quality_filter_pipeline / multimodal_decode_features keep those
-families in-window).
+families in-window), and ``streaming_decontamination`` (ingest-path
+decontamination, batch twin's oracle — 8th streaming entry) takes
+``simhash_fingerprint``'s slot (green r3+r4+r5; fingerprint family keeps
+``doc_winnowing_fingerprints`` in-window).
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -94,7 +97,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_jaccard_pairs",
     "dedup_cluster_components",
     "dedup_incremental_probe",
-    "simhash_fingerprint",
     "doc_winnowing_fingerprints",
     "similarity_topk_dot",
     "knn_cosine_labeled",
@@ -150,6 +152,7 @@ DRIVER_WINDOW: list[str] = [
     "streaming_static_enrich",
     "streaming_incremental_dedup",
     "streaming_quality_gate",
+    "streaming_decontamination",
     # --- core §2 operators (one per family; twice-green siblings rotated out) -
     "p1_positional_projection",
     "j1_gather_join",

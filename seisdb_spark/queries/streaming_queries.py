@@ -334,3 +334,96 @@ def _share_quality_oracle() -> None:
 
 
 _share_quality_oracle()
+
+
+@query(
+    "streaming_decontamination",
+    oracle=None,  # set right after definition: shares the batch twin's SQL
+    doc="STREAMING DECONTAMINATION — the ingest-path form of "
+    "decontamination_overlap: the benchmark 8-word shingle set is computed "
+    "ONCE from the static eval holdout and BROADCAST; each microbatch of "
+    "arriving training documents shingles itself and probes it via "
+    "foreachBatch, appending per-doc collision counts to a staging table. "
+    "Per-doc results are complete within the doc's own microbatch (a "
+    "document row is atomic in the file stream), so the union over batches "
+    "equals the batch twin — whose oracle this query shares. This is how "
+    "a production pipeline keeps eval contamination out at the door "
+    "instead of sweeping the full corpus after the fact; per-ingest cost "
+    "scales with the batch, never the corpus.",
+)
+def streaming_decontamination(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions.text import shingle_tokens
+    from seisdb_spark.queries.extensions import DECON_BENCH_MOD, DECON_SHINGLE_K
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_sh = (
+        shingle_tokens(
+            load_table(spark, sf_dir, "documents").filter(is_bench),
+            k=DECON_SHINGLE_K,
+        )
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+        .persist()
+    )
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_decon_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(root)
+    else:
+        root = out_dir
+    shutil.rmtree(root, ignore_errors=True)
+    hits_dir = os.path.join(root, "hits")
+    ckpt = os.path.join(root, "ckpt")
+
+    def probe(bdf: DataFrame, _batch_id: int) -> None:
+        batch_sh = shingle_tokens(bdf.filter(~is_bench), k=DECON_SHINGLE_K)
+        (
+            batch_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("sh").alias("n_shared_shingles"),
+                F.countDistinct("bench_id").alias("n_bench_docs"),
+            )
+            .write.mode("append")
+            .parquet(hits_dir)
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        bench_sh.unpersist()
+    return spark.read.schema(
+        "doc_id long, n_shared_shingles long, n_bench_docs long"
+    ).parquet(hits_dir)
+
+
+def _share_decon_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_decontamination"] = replace(
+        REGISTRY["streaming_decontamination"],
+        oracle=REGISTRY["decontamination_overlap"].oracle,
+    )
+
+
+_share_decon_oracle()

@@ -389,3 +389,28 @@ def test_streaming_quality_gate_equals_batch_classifier(spark):
     sr = s.reset_index()
     assert (sr.loc[sr.keep == 1, "total_weight"] >= 0).all()
     assert (sr.loc[sr.keep == 0, "total_weight"] < 0).all()
+
+
+def test_streaming_decontamination_equals_batch(spark):
+    """The streamed per-doc collision counts must equal the batch twin's
+    output exactly — per-doc results are complete within the doc's own
+    microbatch, so the union over batches is the full answer."""
+    from tests.conftest import SF_DIR
+
+    streamed = (
+        REGISTRY["streaming_decontamination"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        REGISTRY["decontamination_overlap"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed.astype("int64"), batch.astype("int64")
+    )
