@@ -1691,7 +1691,14 @@ def decon_join(docs: DataFrame) -> DataFrame:
     bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )
-    train_sh = shingle_tokens(docs.filter(~is_bench), k=DECON_SHINGLE_K)
+    # distinct=False on the TRAIN side: deduping (doc_id, sh) would shuffle
+    # the full corpus shingle table before the broadcast join, and every
+    # consumer already dedups AFTER the (tiny) hit set exists — the overlap
+    # report via countDistinct, the curate() gate via doc_id distinct.  The
+    # bench side keeps distinct (it shrinks the broadcast and is eval-sized).
+    train_sh = shingle_tokens(
+        docs.filter(~is_bench), k=DECON_SHINGLE_K, distinct=False
+    )
     return train_sh.join(F.broadcast(bench_sh), "sh")
 
 
