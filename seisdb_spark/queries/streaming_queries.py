@@ -389,7 +389,11 @@ def streaming_decontamination(
     ckpt = os.path.join(root, "ckpt")
 
     def probe(bdf: DataFrame, _batch_id: int) -> None:
-        batch_sh = shingle_tokens(bdf.filter(~is_bench), k=DECON_SHINGLE_K)
+        # distinct=False: the countDistinct aggregate dedups after the tiny
+        # hit set exists — same redundant-shuffle removal as decon_join
+        batch_sh = shingle_tokens(
+            bdf.filter(~is_bench), k=DECON_SHINGLE_K, distinct=False
+        )
         (
             batch_sh.join(F.broadcast(bench_sh), "sh")
             .groupBy("doc_id")
