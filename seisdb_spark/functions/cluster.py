@@ -34,8 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seisdb_spark.functions.vectors import EMBEDDING_DIM
-
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -83,12 +81,21 @@ def lloyd_refine(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     col: str = "embedding",
-    dim: int = EMBEDDING_DIM,
 ) -> tuple[DataFrame, list[list[float]]]:
     """``iters`` Lloyd iterations from deterministic seeds; returns the
     final assignment DataFrame (input columns + ``cluster`` + ``dist2``)
-    and the refined centroids.  Driver state: k*dim doubles per iteration."""
+    and the refined centroids.  Driver state: k*dim doubles per iteration.
+
+    ``dim`` is DERIVED from the first seed vector rather than taken as a
+    parameter: a caller-supplied dim longer than the actual embeddings
+    would make ``_dist2_expr``'s zip_with NULL-pad and the re-estimation
+    zero-fill unobserved trailing dims — wrong centroids with no error
+    (flagged in the round-6 advice).  A mean row outside [0, dim) now
+    raises instead of being silently dropped."""
     centroids = seed_centroids(emb, k, col)
+    if not centroids:
+        raise ValueError("lloyd_refine: input has no rows to seed from")
+    dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_clusters(emb, centroids, col)
         means = (
@@ -100,6 +107,11 @@ def lloyd_refine(
         new = [list(c) for c in centroids]  # empty cluster keeps its centroid
         acc: dict[int, list[float]] = {}
         for r in means:
+            if not (0 <= r.d < dim):
+                raise ValueError(
+                    f"lloyd_refine: dimension index {r.d} outside the seed "
+                    f"dim {dim} — ragged embedding arrays in the input"
+                )
             acc.setdefault(r.cluster, [0.0] * dim)[r.d] = r.m
         for cid, vec in acc.items():
             new[cid] = vec

@@ -2060,34 +2060,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semantic dedup (SemDeDup-style) ---------------------------------------
-# Cluster count ADAPTS to the input as K = ceil(sqrt(n)), clamped.  The
-# cost model has two stages that pull K in opposite directions: centroid
-# ASSIGNMENT is n*K dot products (small K wins) and within-cluster
-# verification is ~n * (n/K) pairs (large K wins); K = sqrt(n) balances
-# them at n^1.5 each — the SemDeDup operating point.  The first stress run
-# proved both failure modes empirically: fixed K=8 made 10x data cost
-# ~100x in verification, and K = n/64 made the 100x assignment stage
-# compute n^2/64 dots (625M at 200k vectors) and stall.  n comes from the
-# parquet footers (no pre-count job), K is a plan literal, and the oracle
-# derives the identical K from count(*) (exact for all practical n:
-# doubles represent counts < 2^53 exactly and sqrt is correctly rounded).
+# Round-7 redesign: BOTH stages are now ~linear in n.
+#
+# The round-6 scheme ran K = ceil(sqrt(n)) clusters with an EXACT pairwise
+# verify inside each cluster — the SemDeDup n^1.5 operating point, measured
+# at a 73x cost ratio for 100x data (BENCH_SCALE.md) and flagged as the one
+# scale-weak pipeline.  The n^1.5 was forced by the exact verify: cluster
+# count had to grow with n to bound the quadratic within-cluster work.
+# Replacing the exact verify with the banded sign-LSH candidate machinery
+# (the same family as embedding_neardup_pairs) removes that forcing —
+# within-cluster pair work is bounded by bucket occupancy, not cluster
+# size — so K no longer needs to grow: it is CAPPED at a constant.
+#
+#   * K = min(K_CAP, ceil(sqrt(n))): sqrt keeps tiny inputs sensible
+#     (tests, sf0.001), the cap makes K a bounded constant at scale.
+#   * assignment is a MAP-ONLY broadcast argmax: the K seeds are one
+#     broadcast row holding a sorted array<struct(seed_id, c_emb, c_nrm)>,
+#     and each vector's cluster is array_max(transform(cents, ...)) over
+#     K cosine folds — n*K dot products with bounded K, NO per-vector
+#     window and NO hashpartitioning(vec_id) exchange of n*K rows (the
+#     round-6 plan shuffled n*K scored rows to run the argmax window).
+#   * within-cluster verification: NEARDUP_BANDS sign-bit bands keyed on
+#     (cluster, band, bucket); the bucket width adapts to the EXPECTED
+#     CLUSTER SIZE n/K (footer-derived, plan literal), so within-bucket
+#     pair work stays ~target-occupancy-bounded as n grows.  Exact cosine
+#     runs on band collisions only; a vector is dropped (kept=0) iff some
+#     band collision pairs it with an EARLIER same-cluster member at
+#     cosine >= the threshold — LSH recall instead of exact recall, the
+#     same documented trade embedding_neardup_pairs makes.
 SEMDEDUP_MIN_K = 4
-SEMDEDUP_MAX_K = 65536
+SEMDEDUP_K_CAP = 32
 SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
 
 
 def semdedup_k(n: int) -> int:
-    """ceil(sqrt(n)) clamped to [MIN_K, MAX_K] — the Python/oracle
-    lockstep cluster-count formula (integer-exact via isqrt)."""
+    """ceil(sqrt(n)) clamped to [MIN_K, K_CAP] — the Python/oracle
+    lockstep cluster-count formula (integer-exact via isqrt).  The cap is
+    what makes assignment cost n*K LINEAR in n at scale; sqrt only governs
+    small inputs where fewer clusters than K_CAP make semantic sense."""
     import math
 
     k = math.isqrt(n - 1) + 1 if n > 0 else 0
-    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, k))
+    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_K_CAP, k))
+
+
+def semdedup_band_bits(n: int) -> int:
+    """Band-key width for the within-cluster LSH: adaptive to the expected
+    cluster size n/K (not to n itself — the cluster id is already part of
+    the bucket key), so expected within-bucket occupancy stays
+    ~NEARDUP_TARGET_BUCKET_ROWS per cluster as the corpus grows."""
+    from seisdb_spark.functions.vectors import adaptive_bits_py
+
+    per_cluster = (n + semdedup_k(n) - 1) // semdedup_k(n) if n else 1
+    return adaptive_bits_py(
+        per_cluster, NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS
+    )
 
 
 _SEMDEDUP_K_SQL = (
-    f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_MAX_K}, "
+    f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_K_CAP}, "
     f"CAST(CEIL(SQRT(count(*))) AS BIGINT)))"
+)
+# DuckDB twin of semdedup_band_bits, over the nk CTE's (n, k) columns —
+# integer-only, digit-for-digit with adaptive_bits_py (ceil-div chain +
+# LENGTH(BIN(x - 1))).
+_SEMDEDUP_R_SQL = (
+    f"GREATEST({NEARDUP_MIN_BITS}, LEAST({MAX_SIGN_BITS}, LENGTH(BIN("
+    f"((n + k - 1) // k + {NEARDUP_TARGET_BUCKET_ROWS - 1}) "
+    f"// {NEARDUP_TARGET_BUCKET_ROWS} - 1))))"
 )
 
 
@@ -2097,10 +2137,12 @@ _SEMDEDUP_K_SQL = (
         WITH e AS (
             SELECT vec_id, embedding,
                    sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
-                   {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h
+                   {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h,
+                   {sign_string_sql("embedding")} AS fb
             FROM embeddings
         ),
-        nk AS (SELECT {_SEMDEDUP_K_SQL} AS k FROM embeddings),
+        nk AS (SELECT {_SEMDEDUP_K_SQL} AS k, count(*) AS n FROM embeddings),
+        wb AS (SELECT {_SEMDEDUP_R_SQL} AS r FROM nk),
         ranked AS (
             SELECT vec_id, embedding, nrm,
                    row_number() OVER (ORDER BY h, vec_id) AS rn
@@ -2125,13 +2167,21 @@ _SEMDEDUP_K_SQL = (
             ) WHERE rn = 1
         ),
         m AS (
-            SELECT a.vec_id, a.cluster, e.embedding, e.nrm
+            SELECT a.vec_id, a.cluster, e.embedding, e.nrm, e.fb
             FROM assign a JOIN e ON e.vec_id = a.vec_id
+        ),
+        bands AS (
+            SELECT vec_id, cluster, embedding, nrm, band,
+                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
+            FROM m CROSS JOIN wb
+            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
+                        AS band)
         ),
         losers AS (
             SELECT DISTINCT b.vec_id
-            FROM m a JOIN m b
-              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            FROM bands a JOIN bands b
+              ON a.cluster = b.cluster AND a.band = b.band AND a.bk = b.bk
+             AND a.vec_id < b.vec_id
             WHERE ({dot_chain_sql("a.embedding", "b.embedding")})
                   / (a.nrm * b.nrm) >= {SEMDEDUP_COSINE}
         )
@@ -2140,22 +2190,24 @@ _SEMDEDUP_K_SQL = (
                          THEN 0 ELSE 1 END AS INT) AS kept
         FROM m
     """,
-    doc=f"SEMANTIC DEDUP (SemDeDup-style): embedding-space near-duplicate "
-    "removal. K deterministic seed centroids (the vectors with "
-    "the smallest md5 id-hashes — reproducible across runs/engines, no "
-    "random init), K = ceil(sqrt(n)) from the parquet footer row count — "
-    "the balance point where the n*K assignment stage and the n*(n/K) "
-    "within-cluster verification both cost n^1.5 (fixed K blows up "
-    "verification at 10x; K ~ n blows up assignment, as the 100x stress "
-    "run proved empirically). Every vector is assigned to its max-cosine "
-    "seed via a "
-    "BROADCAST cross join (centroid table is K rows), then within each "
-    "cluster a self-join drops any vector at cosine >= "
-    f"{SEMDEDUP_COSINE} to an EARLIER (smaller-id) member — each cluster's "
-    "canonical survivors keep kept=1. Pairwise work is quadratic ONLY "
-    "within a cluster (the SemDeDup cost model), and the self-join "
-    "shuffles on the cluster id. Candidate shrinkage vs all-pairs and "
-    "planted-near-dup removal are asserted in tests/test_extensions.py.",
+    doc=f"SEMANTIC DEDUP (SemDeDup-style), LINEAR at scale: embedding-space "
+    "near-duplicate removal with BOTH stages ~O(n). K deterministic seed "
+    "centroids (the vectors with the smallest md5 id-hashes — "
+    "reproducible across runs/engines, no random init), K = min("
+    f"{SEMDEDUP_K_CAP}, ceil(sqrt(n))) from the parquet footer row count "
+    "— BOUNDED, because the within-cluster verify no longer needs K to "
+    "grow (the round-6 K=sqrt(n) + exact-pairwise scheme measured 73x "
+    "cost at 100x data; see the module comment). Assignment is a MAP-ONLY "
+    "broadcast argmax: the seeds travel as ONE broadcast row holding a "
+    "sorted array<struct>, each vector computes K cosine folds and an "
+    "array_max — no per-vector window, no n*K-row shuffle. Verification "
+    f"runs {NEARDUP_BANDS} sign-bit LSH bands keyed on (cluster, band, "
+    "bucket) with the bucket width adapted to the expected cluster size "
+    "n/K, exact cosine on band collisions only: a vector is dropped "
+    f"(kept=0) iff a collision pairs it at cosine >= {SEMDEDUP_COSINE} "
+    "with an EARLIER (smaller-id) same-cluster member. Planted-near-dup "
+    "recall, drop justification, and the shuffle-free assignment plan "
+    "(no Window node) are asserted in tests/test_extensions.py.",
     bench=True,
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2166,12 +2218,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
     k = semdedup_k(n)
+    r = semdedup_band_bits(n)
     e = emb.select(
         "vec_id",
         "embedding",
         F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
         content_hash32("vec_id").alias("h"),
+        sign_string_expr("embedding").alias("fb"),
     )
+    # K seed centroids -> ONE row holding a seed_id-sorted array<struct>;
+    # broadcasting this single row (K * dim floats) is what keeps the
+    # assignment below a pure projection.
     seeds = (
         e.orderBy("h", "vec_id")
         .limit(k)
@@ -2180,22 +2237,47 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
+        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "c_emb", "c_nrm"))).alias("cents"))
     )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
+    # argmax cosine over the broadcast seed array: struct(cos, -seed_id)
+    # under lexicographic array_max = max cosine, ties to the LOWEST
+    # seed_id — byte-identical to the oracle's row_number() tie rule.
+    cos_fold = (
+        f"aggregate(zip_with(slice(embedding, 1, {EMBEDDING_DIM}), "
+        f"slice(c.c_emb, 1, {EMBEDDING_DIM}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * c.c_nrm)"
+    )
+    best = F.expr(
+        f"array_max(transform(cents, c -> struct({cos_fold} AS cos, "
+        "-c.seed_id AS nsid)))"
+    )
+    m = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("_b", best)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "fb",
+            (-F.col("_b.nsid")).alias("cluster"),
+        )
+    )
+    bands = m.crossJoin(
+        F.broadcast(
+            spark.range(0, NEARDUP_BANDS).select(F.col("id").cast("int").alias("band"))
+        )
+    ).select(
         "vec_id",
-        "seed_id",
-        (
-            dot_chain_col("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-        ).alias("cos"),
+        "cluster",
+        "embedding",
+        "nrm",
+        "band",
+        F.col("fb")
+        .substr(F.col("band") * NEARDUP_BAND_STRIDE + 1, F.lit(r))
+        .alias("bk"),
     )
-    byvec = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "seed_id")
-    assign = (
-        scored.withColumn("rn", F.row_number().over(byvec))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"))
-    )
-    m = assign.join(e, "vec_id").select("vec_id", "cluster", "embedding", "nrm")
-    a, b = m.alias("a"), m.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     pair_cos = dot_chain_col("a.embedding", "b.embedding") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -2203,6 +2285,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(pair_cos >= SEMDEDUP_COSINE)

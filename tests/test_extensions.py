@@ -570,6 +570,23 @@ def test_semantic_dedup_planted_and_shrinkage(spark, tmp_path):
     assert pair_work < n * (n - 1) // 2 / 2, pair_work
 
 
+def test_semantic_dedup_plan_maponly_assignment(spark):
+    """The round-7 redesign's contract: centroid assignment must be a
+    map-only broadcast argmax — NO Window node (the round-6 plan shuffled
+    n*K scored rows through a hashpartitioning(vec_id) exchange to run the
+    per-vector argmax window), the seed row must broadcast, and nothing may
+    degenerate to a cartesian product."""
+    from seisdb_spark.plancheck import final_plan, has_node
+
+    df = REGISTRY["semantic_dedup"].spark(spark, SF_DIR)
+    df.collect()
+    plan = final_plan(df)
+    assert not has_node(plan, "Window"), "assignment regressed to a window"
+    assert has_node(plan, "Broadcast")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "rangepartitioning")
+
+
 def test_bm25_planted_ranking(spark, tmp_path):
     """BM25 must rank by term coverage and tf, normalize by doc length, and
     exclude docs matching no query term."""

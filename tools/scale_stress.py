@@ -68,9 +68,12 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
     ),
     "repeated_passage_spans": lambda p: not has_node(p, "CartesianProduct"),
-    # seeds broadcast; within-cluster join must not degenerate to cartesian
+    # seeds broadcast; assignment stays map-only (no per-vector argmax
+    # Window — the round-6 n*K-row shuffle); no cartesian degeneration
     "semantic_dedup": lambda p: (
-        has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
+        has_node(p, "Broadcast")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "Window")
     ),
     # 1-row corpus stats must stay broadcast; top-k must stay TakeOrdered —
     # no keyed shuffle of corpus-sized data at any scale
@@ -220,6 +223,13 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/seisdb_scale")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="stress only these queries (iterating on one pipeline); the "
+        "committed BENCH_SCALE.json must come from a full run",
+    )
     args = ap.parse_args()
 
     from seisdb_spark.session import get_spark
@@ -230,8 +240,13 @@ def main() -> int:
     os.makedirs(scale_dir, exist_ok=True)
     generate(spark, scale_dir, args.factor)
 
+    stress = {
+        n: p
+        for n, p in STRESS_QUERIES.items()
+        if args.only is None or n in args.only
+    }
     results = {}
-    for name, plan_ok in STRESS_QUERIES.items():
+    for name, plan_ok in stress.items():
         t_base, p_base = time_query(spark, name, SRC_DIR, args.runs)
         t_big, p_big = time_query(spark, name, scale_dir, args.runs)
         results[name] = {
@@ -249,8 +264,9 @@ def main() -> int:
         "scale_dir": scale_dir,
         "queries": results,
     }
-    with open("BENCH_SCALE.json", "w") as fh:
-        json.dump(out, fh, indent=2)
+    if args.only is None:  # partial runs must not clobber the full artifact
+        with open("BENCH_SCALE.json", "w") as fh:
+            json.dump(out, fh, indent=2)
     print(json.dumps(out))
     bad_plans = [
         n
