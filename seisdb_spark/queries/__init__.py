@@ -59,7 +59,8 @@ operators (``bm25_topk``, ``quality_classifier_score``,
 r4+r5; sampling covered by budgeted_sample_per_lang + the keep-set's
 stratified stage), and ``doc_chunking`` (green r3+r4+r5).
 ``kmeans_refine_assign`` is rows-only (iterative Lloyd; numpy-golden
-pytest) and stays outside the window like the other rows-only entries.
+pytest) and stayed outside the window in round 6 (rotated IN in round 7 —
+see below).
 Finally ``token_rarity_score`` (corpus-frequency LM proxy) and
 ``source_mix_weights`` (mixture reweighting) take the slots of
 ``text_quality_score`` and ``multimodal_payload_stats`` (each green
@@ -68,6 +69,19 @@ families in-window), and ``streaming_decontamination`` (ingest-path
 decontamination, batch twin's oracle — 8th streaming entry) takes
 ``simhash_fingerprint``'s slot (green r3+r4+r5; fingerprint family keeps
 ``doc_winnowing_fingerprints`` in-window).
+
+Round-7 rotation: the two NEW retrieval operators (``bm25_multiquery`` —
+the queries-table BM25 batch-serving form — and ``hybrid_rrf_topk`` —
+BM25 x ANN reciprocal-rank fusion) rotate IN, plus ``kmeans_refine_assign``
+(rows-only smoke: the r6 verdict flagged it as the ONLY registry entry
+never driver-windowed — even rows-only entries get a no_oracle row-count/
+schema execution under the driver, which it has never had).  Rotating OUT
+per thrice-green (r4+r5+r6) eligibility with family coverage preserved:
+``knn_cosine_labeled`` (similarity family keeps ``similarity_topk_dot``
+and both ANN entries), ``dedup_jaccard_pairs`` (the Jaccard verify stage
+stays exercised inside ``curation_keep_set``'s oracle and the candidates
+stay via ``minhash_lsh_candidates``), ``training_shard_manifest`` (shard
+audit family keeps ``sequence_packing`` + ``packing_efficiency``).
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -94,20 +108,23 @@ DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
     "dedup_exact",
     "minhash_lsh_candidates",
-    "dedup_jaccard_pairs",
     "dedup_cluster_components",
     "dedup_incremental_probe",
     "doc_winnowing_fingerprints",
     "similarity_topk_dot",
-    "knn_cosine_labeled",
     "ann_signbucket_topk",
     "ann_ivf_topk",
+    # --- round-7 rotation: the retrieval pair + the never-windowed k-means
+    # --- smoke, in place of knn_cosine_labeled / dedup_jaccard_pairs /
+    # --- training_shard_manifest (each green r4+r5+r6, families covered) --
+    "bm25_multiquery",
+    "hybrid_rrf_topk",
+    "kmeans_refine_assign",
     "embedding_neardup_pairs",
     "curation_keep_set",
     "quality_filter_pipeline",
     "salted_skew_agg",
     "curation_pipeline_stats",
-    "training_shard_manifest",
     # --- round-6 late additions: corpus-frequency rarity scoring + mixture
     # --- reweighting take the slots of text_quality_score and
     # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and

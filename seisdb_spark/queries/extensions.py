@@ -68,7 +68,7 @@ from seisdb_spark.functions.vectors import (
     sign_string_expr,
     sign_string_sql,
 )
-from seisdb_spark.queries.registry import query
+from seisdb_spark.queries.registry import REGISTRY, query
 from seisdb_spark.sources.tables import load_table, spread
 
 STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
@@ -2591,6 +2591,260 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- parameterized multi-query BM25 ----------------------------------------
+# The round-6 bm25_topk hard-codes one 3-term query as plan literals; a real
+# retrieval consumer issues MANY queries at once.  This variant takes a
+# (query_id, term) QUERIES TABLE, broadcast-joins it against the token
+# stream, scores per (query_id, doc), and emits per-query top-k.
+#
+# Determinism discipline: with a VARIABLE number of terms per query, the
+# fixed left-associative addition chain bm25_topk uses is unavailable — a
+# SUM over exploded per-term scores would accumulate in engine-chosen order
+# and drift ulps.  Instead each term's contribution is quantized to a
+# fixed-point BIGINT (floor(x * 10^9) — floor, not round: no tie rule to
+# disagree on), so the per-(query, doc) accumulation is an INTEGER sum —
+# exact, order-free, engine-independent — and the top-k ordering compares
+# integers (no fp tiebreaks).  Same trick as the integer-weight quality
+# classifier.  The published score is the de-quantized sum.
+BM25_MULTI_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("hash", "join"),
+    2: ("vector", "scan", "filter"),
+    3: ("window", "stream"),
+    4: ("sort", "merge", "join"),  # shares 'join' with q1: df is per TERM
+}
+BM25_MULTI_TOPK = 5
+BM25_QUANT = 10**9
+
+# One (query_id, doc) term contribution over columns (n, avgdl, df, tf, dl)
+# — the same rational-idf / k1-b tf normalization as bm25_topk, with every
+# operand an explicit DOUBLE; evaluated from the IDENTICAL string by both
+# engines.
+_BM25_SCALAR_SQL = (
+    "(((CAST(n - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    f" * ((CAST(tf AS DOUBLE) * CAST({BM25_K1 + 1.0} AS DOUBLE))"
+    f" / (CAST(tf AS DOUBLE) + CAST({BM25_K1} AS DOUBLE)"
+    f" * (CAST({1.0 - BM25_B} AS DOUBLE)"
+    f" + CAST({BM25_B} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))))"
+)
+_BM25_QUANT_SQL = (
+    f"CAST(FLOOR({_BM25_SCALAR_SQL} * CAST({BM25_QUANT} AS DOUBLE)) AS BIGINT)"
+)
+
+_BM25_QUERIES_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_MULTI_QUERIES.items() for t in terms
+)
+
+
+@query(
+    "bm25_multiquery",
+    oracle=f"""
+        WITH q(query_id, term) AS (VALUES {_BM25_QUERIES_VALUES}),
+        d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, dl, unnest(w) AS word FROM d),
+        hits AS (
+            SELECT query_id, term, doc_id, dl, count(*) AS tf
+            FROM tok JOIN q ON word = term
+            GROUP BY query_id, term, doc_id, dl
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM d
+        ),
+        dfs AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term
+        ),
+        contrib AS (
+            SELECT query_id, doc_id, {_BM25_QUANT_SQL} AS c
+            FROM hits JOIN dfs USING (term) CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS c
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id, doc_id,
+               CAST(rn AS INT) AS rank,
+               round(CAST(c AS DOUBLE) / {BM25_QUANT}, 6) AS score
+        FROM (
+            SELECT query_id, doc_id, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, doc_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= {BM25_MULTI_TOPK}
+    """,
+    doc=f"PARAMETERIZED MULTI-QUERY BM25: a (query_id, term) queries table "
+    "(here a literal demo set of 4 queries; in production an arbitrary "
+    "DataFrame) BROADCAST-joins against the corpus token stream, so one "
+    "corpus scan serves every query at once — the retrieval batch-serving "
+    "shape. Per-(query, doc, term) tf from the hit set only (docs matching "
+    "no term never enter the aggregation), per-term df re-derived from the "
+    "hit set, 1-row corpus stats broadcast. Each term contribution is "
+    f"quantized to floor(score * 10^9) so the per-(query, doc) sum is an "
+    "exact order-free INTEGER — the accumulation-order determinism a "
+    "variable-length term sum cannot otherwise give — and per-query top-"
+    f"{BM25_MULTI_TOPK} ranks by that integer (no fp ties). Scale shape: "
+    "map-side token explode + tiny broadcast joins, shuffles touch only "
+    "hit rows (selective terms), final window partitions by query_id — "
+    "per-query candidate sets, never the corpus.",
+    bench=True,
+)
+def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    qrows = [
+        (qid, t) for qid, terms in BM25_MULTI_QUERIES.items() for t in terms
+    ]
+    q = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    tok = d.select("doc_id", "dl", F.explode("w").alias("word"))
+    hits = (
+        tok.join(F.broadcast(q), tok.word == q.term)
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        hits.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_QUANT_SQL).alias("c"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    byq = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(byq))
+        .filter(F.col("rn") <= BM25_MULTI_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.round(F.col("c").cast("double") / BM25_QUANT, 6).alias("score"),
+        )
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN ----
+# The standard RAG retrieval stage: a lexical ranker (bm25_topk) and a
+# vector ranker (ann_ivf_topk) each produce a top-N list; reciprocal-rank
+# fusion scores each candidate 1/(k + rank) per list it appears in (k=60,
+# the Cormack/Clarke/Buettcher constant) and re-ranks by the sum.  RRF is
+# rank-only — it never compares the two engines' incommensurable scores —
+# and its arithmetic here is two exact double divisions added in a FIXED
+# order, so the fused ordering is engine-independent.  vec_id indexes the
+# same corpus as doc_id (embeddings.parquet is the documents' embedding
+# column split out), which is what makes the join meaningful.
+RRF_K = 60
+RRF_TOPK = 10
+
+
+@query(
+    "hybrid_rrf_topk",
+    # the two sub-pipelines' oracles are composed verbatim as nested CTE
+    # bodies — fusion correctness is checked END-TO-END through both.
+    oracle=None,  # filled in right below (needs the registered sub-oracles)
+    doc=f"HYBRID RETRIEVAL (RRF): fuse bm25_topk (lexical) and ann_ivf_topk "
+    f"(vector) top-10 lists by reciprocal-rank fusion with k={RRF_K} — "
+    "score = sum over lists of 1/(k + rank), absent list contributes 0 "
+    "(COALESCE), ties broken by doc_id. Both input lists are bounded "
+    f"(top-10), so ranking windows and the FULL OUTER join run on ≤10-row "
+    "inputs regardless of corpus size — the expensive work happens inside "
+    "the two sub-pipelines, each already scale-shaped (broadcast stats / "
+    "partition-pruned IVF probes). Planted-relevant-doc fusion test in "
+    "tests/test_extensions.py.",
+    bench=True,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = bm25_topk(spark, sf_dir)
+    ann = ann_ivf_topk(spark, sf_dir)
+    # ranks re-derived from each list's own (rounded) score with the same
+    # total order its oracle uses; both lists are 10 rows, so the
+    # unpartitioned windows are single-task by construction, not by luck
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    wa = Window.orderBy(F.col("score").desc(), "vec_id")
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("r"))
+    annr = ann.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wa).alias("r")
+    )
+    fused = bmr.alias("b").join(
+        annr.alias("a"), F.col("b.doc_id") == F.col("a.doc_id"), "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("b.r")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("a.r")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("b.doc_id"), F.col("a.doc_id")).alias("doc_id"),
+            rrf.alias("_rrf"),
+            F.col("b.r").cast("int").alias("bm25_rank"),
+            F.col("a.r").cast("int").alias("ann_rank"),
+        )
+        .orderBy(F.col("_rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("_rrf"), 6).alias("rrf_score"),
+            "bm25_rank",
+            "ann_rank",
+        )
+    )
+
+
+def _set_hybrid_oracle() -> None:
+    from dataclasses import replace
+
+    bm_sql = REGISTRY["bm25_topk"].oracle
+    ann_sql = REGISTRY["ann_ivf_topk"].oracle
+    sql = f"""
+        WITH bm AS ({bm_sql}),
+        ann AS ({ann_sql}),
+        bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm
+        ),
+        annr AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
+            FROM ann
+        ),
+        fused AS (
+            SELECT COALESCE(bmr.doc_id, annr.doc_id) AS doc_id,
+                   (COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + bmr.r),
+                             CAST(0.0 AS DOUBLE))
+                    + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + annr.r),
+                               CAST(0.0 AS DOUBLE))) AS rrf,
+                   bmr.r AS bm25_rank, annr.r AS ann_rank
+            FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf_score,
+               CAST(bm25_rank AS INT) AS bm25_rank,
+               CAST(ann_rank AS INT) AS ann_rank
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {RRF_TOPK}
+    """
+    REGISTRY["hybrid_rrf_topk"] = replace(REGISTRY["hybrid_rrf_topk"], oracle=sql)
+
+
+_set_hybrid_oracle()
 
 
 # Quality-classifier weights: a deterministic hashed-feature linear model.

@@ -629,6 +629,88 @@ def test_bm25_plan_broadcast_stats_and_takeordered(spark):
     assert not has_node(head, "rangepartitioning")
 
 
+def test_bm25_multiquery_planted_and_shared_term(spark, tmp_path):
+    """Each query must rank its own relevant docs; a term shared by two
+    queries (join) must contribute the SAME df to both; docs matching no
+    term of a query must not appear under that query."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash join hash join hash",  # q1 dense, q4 partial (join)
+                "vector scan filter vector scan",  # q2 dense
+                "window stream window stream window",  # q3 dense
+                "sort merge join sort merge",  # q4 dense, q1 partial (join)
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = REGISTRY["bm25_multiquery"].spark(spark, str(tmp_path)).toPandas()
+    top = {
+        qid: list(g.sort_values("rank").doc_id)
+        for qid, g in out.groupby("query_id")
+    }
+    assert top[1][0] == 1 and top[2] == [2] and top[3] == [3]
+    assert top[4][0] == 4
+    # 'join' appears in docs 1 and 4 -> both listed under q1 AND q4
+    assert set(top[1]) == {1, 4} and set(top[4]) == {1, 4}
+    # doc 2/3 never surface for queries whose terms they lack
+    assert 2 not in top[1] + top[3] + top[4]
+    # per-query ranks are 1..n with strictly descending scores
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g.score.is_monotonic_decreasing
+
+
+def test_hybrid_rrf_planted_consensus_doc(spark, tmp_path):
+    """A doc that is top in BOTH the lexical and the vector list must win
+    the fusion, and single-list docs must carry a null rank for the list
+    they miss."""
+    # doc 7: contains the BM25 query terms densely AND its embedding is the
+    # ANN query vector's near-twin (same label -> probed partition)
+    rng = np.random.default_rng(7)
+    qv = rng.normal(size=64).astype(np.float32)
+    near = (qv + rng.normal(scale=0.01, size=64).astype(np.float32)).astype(
+        np.float32
+    )
+    others = rng.normal(size=(20, 64)).astype(np.float32)
+    vecs = {0: qv, 7: near}
+    texts = {7: "hash join vector hash join vector"}
+    doc_ids = [0, 7] + list(range(100, 120))
+    emb_rows, doc_rows = [], []
+    for i, d in enumerate(doc_ids):
+        emb_rows.append(
+            {
+                "vec_id": d,
+                "embedding": vecs.get(d, others[i % 20]).tolist(),
+                "label": 0 if d in (0, 7) else 1 + (i % 3),
+            }
+        )
+        doc_rows.append(
+            {
+                "doc_id": d,
+                "text": texts.get(d, f"filler words only number {i} here"),
+                "lang": "en",
+                "source": "t",
+                "n_chars": 1,
+            }
+        )
+    pd.DataFrame(emb_rows).to_parquet(tmp_path / "embeddings.parquet")
+    pd.DataFrame(doc_rows).to_parquet(tmp_path / "documents.parquet")
+    out = REGISTRY["hybrid_rrf_topk"].spark(spark, str(tmp_path)).toPandas()
+    assert out.iloc[0].doc_id == 7
+    assert out.iloc[0].bm25_rank == 1  # only doc with any query term
+    assert not pd.isna(out.iloc[0].ann_rank)
+    # docs surfaced by ANN only carry a null bm25_rank (they match no term)
+    ann_only = out[out.doc_id != 7]
+    assert ann_only.bm25_rank.isna().all()
+    assert out.rrf_score.is_monotonic_decreasing
+
+
 def test_quality_classifier_margin_matches_manual(spark, tmp_path):
     """The margin must equal the hand-computed hashed-weight mean, and the
     keep verdict must be its sign."""
