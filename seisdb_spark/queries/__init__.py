@@ -82,6 +82,9 @@ and both ANN entries), ``dedup_jaccard_pairs`` (the Jaccard verify stage
 stays exercised inside ``curation_keep_set``'s oracle and the candidates
 stay via ``minhash_lsh_candidates``), ``training_shard_manifest`` (shard
 audit family keeps ``sequence_packing`` + ``packing_efficiency``).
+A fourth swap late in the round: ``vocab_coverage_32k`` (the production-V
+vocabulary audit, new) rotates in for ``dedup_exact`` (green r2–r6; the
+dedup family keeps five in-window members).
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -106,7 +109,6 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 #: The 50 queries the driver must hash-check, in priority order.
 DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
-    "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_cluster_components",
     "dedup_incremental_probe",
@@ -120,6 +122,7 @@ DRIVER_WINDOW: list[str] = [
     "bm25_multiquery",
     "hybrid_rrf_topk",
     "kmeans_refine_assign",
+    "vocab_coverage_32k",
     "embedding_neardup_pairs",
     "curation_keep_set",
     "quality_filter_pipeline",

@@ -108,7 +108,27 @@ STRESS_QUERIES = {
     "source_mix_weights": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
     ),
+    # the PRODUCTION-V (32768) vocab audit, stressed on the vocab-rich
+    # corpus (see RICHVOCAB below): the top-32768 selection must stay a
+    # TakeOrderedAndProject (never a global sort / single-partition window
+    # over the vocabulary) and the 32768-row induced vocab must still
+    # broadcast back for the anti-membership sums
+    "vocab_coverage_32k": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and has_node(p, "BroadcastHashJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
 }
+
+#: Queries stressed on a DERIVED corpus instead of the plain scaled one.
+#: vocab_coverage_32k needs a vocabulary LARGER than V=32768 for the top-V
+#: and broadcast-back claims to be non-vacuous; the driver corpus has only
+#: ~31 distinct words (~3100 at x100).  RICHVOCAB suffixes every word with
+#: _d{doc_id % 4096}, a per-doc bijection on the token stream: ~127k
+#: distinct words even at base scale, with per-(lang, word) counts still
+#: realistic (Zipf-ish head preserved within each doc class).
+DIR_OVERRIDE = {"vocab_coverage_32k": "richvocab"}
 
 
 def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
@@ -174,6 +194,27 @@ def _gen_events(ev: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def _gen_documents_richvocab(docs: DataFrame, factor: int) -> DataFrame:
+    """The scaled corpus with every word suffixed _d{doc_id % 4096}: a
+    per-doc-class bijection on tokens, so distinct-word count multiplies by
+    the number of doc classes (~127k words at factor 1) while per-word
+    count shapes stay realistic.  Exists to make V=32768 vocabulary
+    induction non-vacuous (see DIR_OVERRIDE)."""
+    scaled = _gen_documents(docs, factor)
+    return scaled.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(split(text, ' '), "
+                "x -> concat(x, '_d', CAST(doc_id % 4096 AS STRING)))"
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+
+
 def generate(spark: SparkSession, out_dir: str, factor: int) -> None:
     gens = {
         "documents": _gen_documents,
@@ -187,6 +228,20 @@ def generate(spark: SparkSession, out_dir: str, factor: int) -> None:
         src = load_table(spark, SRC_DIR, name)
         gen(src, factor).write.mode("overwrite").parquet(path)
         print(f"generated {path}", file=sys.stderr)
+
+
+def generate_richvocab(spark: SparkSession, root: str, factor: int) -> str:
+    """Writes the vocab-rich documents table for DIR_OVERRIDE queries at
+    the given factor (factor 1 = the rich-vocab BASELINE dir) and returns
+    the directory usable as an sf_dir."""
+    out_dir = os.path.join(root, f"richvocab_x{factor}")
+    path = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(out_dir, exist_ok=True)
+        src = load_table(spark, SRC_DIR, "documents")
+        _gen_documents_richvocab(src, factor).write.mode("overwrite").parquet(path)
+        print(f"generated {path}", file=sys.stderr)
+    return out_dir
 
 
 def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
@@ -247,8 +302,13 @@ def main() -> int:
     }
     results = {}
     for name, plan_ok in stress.items():
-        t_base, p_base = time_query(spark, name, SRC_DIR, args.runs)
-        t_big, p_big = time_query(spark, name, scale_dir, args.runs)
+        if name in DIR_OVERRIDE:
+            base_dir = generate_richvocab(spark, args.out, 1)
+            big_dir = generate_richvocab(spark, args.out, args.factor)
+        else:
+            base_dir, big_dir = SRC_DIR, scale_dir
+        t_base, p_base = time_query(spark, name, base_dir, args.runs)
+        t_big, p_big = time_query(spark, name, big_dir, args.runs)
         results[name] = {
             "t_sf0.1_sec": round(t_base, 3),
             f"t_x{args.factor}_sec": round(t_big, 3),
