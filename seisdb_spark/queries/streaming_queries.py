@@ -184,7 +184,7 @@ def streaming_incremental_dedup(
     pairs_dir = os.path.join(root, "pairs")
     ckpt = os.path.join(root, "ckpt")
 
-    def probe(bdf: DataFrame, _batch_id: int) -> None:
+    def probe(bdf: DataFrame, batch_id: int) -> None:
         batch = bdf.filter(F.col("doc_id") % 10 == 0)
         bsh = shingle_tokens(batch)
         cand = (
@@ -205,8 +205,13 @@ def streaming_incremental_dedup(
                 F.col("doc_b").alias("corpus_doc"),
                 F.round("jaccard", 4).alias("jaccard"),
             )
-            .write.mode("append")
-            .parquet(pairs_dir)
+            # batch_id-derived OVERWRITE path: a checkpoint-recovery replay
+            # of an already-committed epoch rewrites its own directory
+            # instead of appending duplicates — foreachBatch's contract is
+            # at-least-once per batch_id, so the sink must be idempotent
+            # per batch_id to get the exactly-once the doc string claims
+            .write.mode("overwrite")
+            .parquet(os.path.join(pairs_dir, f"batch-{batch_id}"))
         )
 
     q = (
@@ -221,9 +226,11 @@ def streaming_incremental_dedup(
     finally:
         corpus_bands.unpersist()
         corpus_sh.unpersist()
-    return spark.read.schema(
-        "batch_doc long, corpus_doc long, jaccard double"
-    ).parquet(pairs_dir)
+    return (
+        spark.read.schema("batch_doc long, corpus_doc long, jaccard double")
+        .option("recursiveFileLookup", "true")
+        .parquet(pairs_dir)
+    )
 
 
 # stream==batch equivalence: the streaming probe's oracle IS the batch
@@ -388,7 +395,7 @@ def streaming_decontamination(
     hits_dir = os.path.join(root, "hits")
     ckpt = os.path.join(root, "ckpt")
 
-    def probe(bdf: DataFrame, _batch_id: int) -> None:
+    def probe(bdf: DataFrame, batch_id: int) -> None:
         # distinct=False: the countDistinct aggregate dedups after the tiny
         # hit set exists — same redundant-shuffle removal as decon_join
         batch_sh = shingle_tokens(
@@ -401,8 +408,11 @@ def streaming_decontamination(
                 F.countDistinct("sh").alias("n_shared_shingles"),
                 F.countDistinct("bench_id").alias("n_bench_docs"),
             )
-            .write.mode("append")
-            .parquet(hits_dir)
+            # idempotent per batch_id (overwrite of a batch-derived path),
+            # so checkpoint-recovery replays cannot duplicate per-doc rows
+            # — same fix as the incremental-dedup probe above
+            .write.mode("overwrite")
+            .parquet(os.path.join(hits_dir, f"batch-{batch_id}"))
         )
 
     q = (
@@ -416,9 +426,11 @@ def streaming_decontamination(
         q.awaitTermination()
     finally:
         bench_sh.unpersist()
-    return spark.read.schema(
-        "doc_id long, n_shared_shingles long, n_bench_docs long"
-    ).parquet(hits_dir)
+    return (
+        spark.read.schema("doc_id long, n_shared_shingles long, n_bench_docs long")
+        .option("recursiveFileLookup", "true")
+        .parquet(hits_dir)
+    )
 
 
 def _share_decon_oracle() -> None:
