@@ -84,7 +84,11 @@ stay via ``minhash_lsh_candidates``), ``training_shard_manifest`` (shard
 audit family keeps ``sequence_packing`` + ``packing_efficiency``).
 A fourth swap late in the round: ``vocab_coverage_32k`` (the production-V
 vocabulary audit, new) rotates in for ``dedup_exact`` (green r2–r6; the
-dedup family keeps five in-window members).
+dedup family keeps five in-window members), and a fifth:
+``split_leakage_audit`` (near-dup eval-leakage across hash-bucket
+train/val/test splits, new) rotates in for ``quality_filter_pipeline``
+(green r4+r5+r6; the quality family keeps ``quality_classifier_score``
+and ``streaming_quality_gate`` in-window).
 
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
@@ -125,7 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "vocab_coverage_32k",
     "embedding_neardup_pairs",
     "curation_keep_set",
-    "quality_filter_pipeline",
+    "split_leakage_audit",
     "salted_skew_agg",
     "curation_pipeline_stats",
     # --- round-6 late additions: corpus-frequency rarity scoring + mixture

@@ -1647,6 +1647,115 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(sharded, "doc_id")
 
 
+# --- split leakage audit ----------------------------------------------------
+# Hash-bucket train/val/test split (80/10/10 by content hash — reproducible
+# across runs and cluster layouts, like the shard writer) + the eval-
+# integrity question every training pipeline must answer before trusting a
+# held-out metric: how many NEAR-DUPLICATE pairs cross a split boundary?
+# Exact-duplicate leakage is caught by exact dedup; near-dup leakage (same
+# doc lightly edited, landing in train AND test) silently inflates eval and
+# is exactly what the banded-LSH + Jaccard machinery detects.
+SPLIT_MOD = 10  # buckets 0-7 train, 8 val, 9 test
+
+
+def _split_cls_sql(h: str) -> str:
+    return (
+        f"CASE WHEN ({h}) % {SPLIT_MOD} <= 7 THEN 0 "
+        f"WHEN ({h}) % {SPLIT_MOD} = 8 THEN 1 ELSE 2 END"
+    )
+
+
+def _split_name_sql(c: str) -> str:
+    return f"CASE WHEN {c} = 0 THEN 'train' WHEN {c} = 1 THEN 'val' ELSE 'test' END"
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        {_CAND_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
+        shared AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+            FROM cand c
+            JOIN shingle ta ON ta.doc_id = c.doc_a
+            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM shared
+            JOIN cnt ca ON shared.doc_a = ca.doc_id
+            JOIN cnt cb ON shared.doc_b = cb.doc_id
+            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        cls AS (
+            SELECT doc_id,
+                   {_split_cls_sql(_hash32_sql("CAST(doc_id AS VARCHAR)"))} AS c
+            FROM documents
+        ),
+        pairs AS (
+            SELECT least(a.c, b.c) AS ca, greatest(a.c, b.c) AS cb
+            FROM verified v
+            JOIN cls a ON a.doc_id = v.doc_a
+            JOIN cls b ON b.doc_id = v.doc_b
+        )
+        SELECT {_split_name_sql("ca")} AS split_a,
+               {_split_name_sql("cb")} AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN ca <> cb THEN 1 ELSE 0 END AS INT) AS cross_split
+        FROM pairs
+        GROUP BY ca, cb
+    """,
+    doc=f"SPLIT LEAKAGE AUDIT: assign train/val/test (80/10/10) by content "
+    f"hash (md5(doc_id) % {SPLIT_MOD} — reproducible across runs/cluster "
+    "layouts, the same discipline as the shard writer), then count "
+    f"verified near-duplicate pairs (banded MinHash-LSH candidates + exact "
+    f"Jaccard >= {JACCARD_THRESHOLD}) per ordered split pair. Rows with "
+    "cross_split=1 are EVAL LEAKAGE — near-dups straddling a split "
+    "boundary that exact dedup cannot catch and that silently inflate "
+    "held-out metrics. Scale shape: identical to the dedup path (one "
+    "shingle explode, candidates-only verify) plus two candidate-sized "
+    "joins against the split assignment and a split-pair-sized aggregate.",
+    bench=True,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.sources.tables import content_hash32
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    verified = (
+        _jaccard_on_candidates(docs)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    bucket = content_hash32("doc_id") % SPLIT_MOD
+    cls = docs.select(
+        "doc_id",
+        F.when(bucket <= 7, 0).when(bucket == 8, 1).otherwise(2).alias("c"),
+    )
+    ca, cb = cls.alias("ca"), cls.alias("cb")
+    paired = (
+        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            F.least(F.col("ca.c"), F.col("cb.c")).alias("lo"),
+            F.greatest(F.col("ca.c"), F.col("cb.c")).alias("hi"),
+        )
+    )
+    name = lambda c: (  # noqa: E731
+        F.when(F.col(c) == 0, "train").when(F.col(c) == 1, "val").otherwise("test")
+    )
+    return paired.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        name("lo").alias("split_a"),
+        name("hi").alias("split_b"),
+        "n_pairs",
+        (F.col("lo") != F.col("hi")).cast("int").alias("cross_split"),
+    )
+
+
 # --- train/test decontamination ------------------------------------------
 DECON_SHINGLE_K = 8  # long n-grams: random collisions vanish, true reuse stays
 DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval set

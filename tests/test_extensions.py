@@ -629,6 +629,44 @@ def test_bm25_plan_broadcast_stats_and_takeordered(spark):
     assert not has_node(head, "rangepartitioning")
 
 
+def test_split_leakage_planted_cross_split_neardup(spark, tmp_path):
+    """Two near-duplicate docs whose content hashes land in different
+    splits must surface as a cross_split=1 pair; a near-dup pair inside
+    one split must not."""
+    import hashlib
+
+    from seisdb_spark.queries.extensions import SPLIT_MOD
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % SPLIT_MOD
+
+    # find ids: two in train (bucket<=7), one in test (bucket==9)
+    train_ids = [i for i in range(1, 200) if bucket(i) <= 7][:2]
+    test_id = next(i for i in range(1, 200) if bucket(i) == 9)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("theta", "thetaX", 1)  # 1-word edit: J >> 0.7
+    rows = [
+        {"doc_id": train_ids[0], "text": base},
+        {"doc_id": train_ids[1], "text": near},  # train-train near-dup
+        {"doc_id": test_id, "text": base},  # train-test LEAK
+    ]
+    # unrelated filler so LSH has non-candidates too
+    for i, d in enumerate(j for j in range(200, 240) if bucket(j) <= 7):
+        rows.append({"doc_id": d, "text": f"unrelated text number {i} " * 10})
+    pdf = pd.DataFrame(rows)
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "t", 1
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["split_leakage_audit"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index(["split_a", "split_b"])
+    )
+    assert out.loc[("train", "test"), "cross_split"] == 1
+    assert out.loc[("train", "test"), "n_pairs"] >= 1
+    assert out.loc[("train", "train"), "cross_split"] == 0
+
+
 def test_bm25_multiquery_planted_and_shared_term(spark, tmp_path):
     """Each query must rank its own relevant docs; a term shared by two
     queries (join) must contribute the SAME df to both; docs matching no
