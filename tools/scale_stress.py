@@ -108,6 +108,24 @@ STRESS_QUERIES = {
     "source_mix_weights": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
     ),
+    # one corpus scan serves the whole query batch: queries table, per-term
+    # df, and 1-row stats all broadcast; shuffles touch hit rows only
+    "bm25_multiquery": lambda p: (
+        has_node(p, "BroadcastHashJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # fusion of two BOUNDED top-10 lists — expensive work stays inside the
+    # sub-pipelines; the fused re-rank must stay a TakeOrdered, no cartesian
+    "hybrid_rrf_topk": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # same candidates-only dedup shape plus candidate-sized split joins
+    "split_leakage_audit": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
     # the PRODUCTION-V (32768) vocab audit, stressed on the vocab-rich
     # corpus (see RICHVOCAB below): the top-32768 selection must stay a
     # TakeOrderedAndProject (never a global sort / single-partition window
