@@ -145,3 +145,43 @@ def test_registry_query_runs(spark):
     assert len(out) == len(emb)
     assert out.vec_id.is_unique
     assert out.cluster.between(0, 7).all()
+
+
+def test_lloyd_derives_dim_and_rejects_ragged(spark, tmp_path):
+    """dim comes from the SEED vectors, not a caller parameter: a short
+    embedding hiding among full-length ones must raise (the round-6 advice
+    flagged that a wrong dim silently zero-filled trailing centroid dims),
+    and a clean short-dim corpus must work with no dim argument at all."""
+    import pytest
+
+    from seisdb_spark.sources.tables import load_table
+
+    # clean 8-dim corpus: works, centroids have the derived length
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(30),
+            "embedding": [rng.normal(size=8).astype("f4").tolist() for _ in range(30)],
+            "label": [0] * 30,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    _, cent = lloyd_refine(emb, k=2, iters=1)
+    assert all(len(c) == 8 for c in cent)
+
+    # one ragged longer row -> posexplode emits a dim index outside the
+    # seed dim -> loud ValueError instead of silently wrong centroids
+    pdf2 = pdf.copy()
+    # pick a ragged row that is NOT one of the k=2 seeds, so the seed dim
+    # stays 8 and the ragged row must be caught at re-estimation
+    seed2 = set(
+        sorted(range(30), key=lambda v: hashlib.md5(str(v).encode()).hexdigest())[:2]
+    )
+    ragged = next(i for i in range(30) if i not in seed2)
+    pdf2.at[ragged, "embedding"] = rng.normal(size=12).astype("f4").tolist()
+    (tmp_path / "r").mkdir()
+    pdf2.to_parquet(tmp_path / "r" / "embeddings.parquet")
+    emb2 = load_table(spark, str(tmp_path / "r"), "embeddings")
+    with pytest.raises(ValueError, match="outside the seed dim|ragged"):
+        lloyd_refine(emb2, k=2, iters=1)
