@@ -117,7 +117,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_cluster_components",
     "dedup_incremental_probe",
     "doc_winnowing_fingerprints",
-    "similarity_topk_dot",
+    # round-7 late rotation: retrieval_eval_recall (ANN-quality canary) in
+    # for similarity_topk_dot (green r4+r5+r6; its oracle is composed
+    # VERBATIM inside the eval's, so brute-force top-k stays end-to-end
+    # hash-checked through this row)
+    "retrieval_eval_recall",
     "ann_signbucket_topk",
     "ann_ivf_topk",
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means

@@ -3401,3 +3401,109 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uniform_weight"),
     )
+
+
+# --- retrieval evaluation: ANN quality vs exact ground truth ---------------
+# Closing the loop on the two ANN scale paths: an index you cannot measure
+# is an index you cannot trust after a reindex.  This query computes the
+# standard ANN quality metrics — recall@k against the exact brute-force
+# top-k, plus the reciprocal rank of the TRUE nearest neighbor — for BOTH
+# ANN variants (sign-bucket LSH and IVF) in one plan.  All three lists are
+# 10 rows, so every window/join here runs on k-row inputs; the expensive
+# work happens inside the three sub-pipelines, each already scale-shaped
+# (TakeOrderedAndProject brute force, bucket-pruned LSH probes, centroid-
+# pruned IVF probes).  At 100 TB this is the nightly index-quality canary:
+# sample queries, run both paths, alert on recall regression.
+ANN_EVAL_K = 10
+
+
+@query(
+    "retrieval_eval_recall",
+    oracle=None,  # composed below from the three registered sub-oracles
+    doc=f"ANN QUALITY EVAL: recall@{ANN_EVAL_K} and true-top1 reciprocal "
+    "rank of ann_signbucket_topk and ann_ivf_topk against the exact "
+    "similarity_topk_dot ground truth, one output row per method. Ranks "
+    "are re-derived from each list's own (rounded) score with the same "
+    "total order its oracle uses (score DESC, vec_id). hits = |ANN ∩ "
+    "exact|; recall is one fp division; top1_rank is the ANN rank of the "
+    "exact #1 neighbor (0 = missed). The oracle composes all three "
+    "sub-oracles verbatim as CTEs, so the metric is checked END-TO-END "
+    "through every pipeline. Lists are k-row bounded: the eval itself "
+    "adds no scale cost beyond its inputs.",
+    bench=True,
+)
+def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_dot(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    exr = exact.select("vec_id", F.row_number().over(w).alias("er"))
+
+    def _metrics(method: str, ann: DataFrame) -> DataFrame:
+        annr = ann.select("vec_id", F.row_number().over(w).alias("r"))
+        j = exr.join(annr, "vec_id", "left")
+        top1 = F.max(F.when(F.col("er") == 1, F.col("r")))
+        agg = j.agg(
+            F.count("r").cast("int").alias("hits"),
+            F.round(F.count("r").cast("double") / ANN_EVAL_K, 2).alias(
+                "recall_at_10"
+            ),
+            F.coalesce(top1, F.lit(0)).cast("int").alias("top1_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0).cast("double") / top1, F.lit(0.0).cast("double")
+                ),
+                6,
+            ).alias("top1_rr"),
+        )
+        return agg.select(F.lit(method).alias("method"), "*")
+
+    return _metrics("signbucket", ann_signbucket_topk(spark, sf_dir)).unionByName(
+        _metrics("ivf", ann_ivf_topk(spark, sf_dir))
+    )
+
+
+def _set_retrieval_eval_oracle() -> None:
+    from dataclasses import replace
+
+    exact_sql = REGISTRY["similarity_topk_dot"].oracle
+    sb_sql = REGISTRY["ann_signbucket_topk"].oracle
+    ivf_sql = REGISTRY["ann_ivf_topk"].oracle
+    metric = """
+        SELECT '{method}' AS method,
+               CAST(count(r) AS INT) AS hits,
+               round(CAST(count(r) AS DOUBLE) / {k}, 2) AS recall_at_10,
+               CAST(COALESCE(MAX(CASE WHEN er = 1 THEN r END), 0) AS INT)
+                   AS top1_rank,
+               round(COALESCE(CAST(1.0 AS DOUBLE)
+                                  / MAX(CASE WHEN er = 1 THEN r END),
+                              CAST(0.0 AS DOUBLE)), 6) AS top1_rr
+        FROM exr LEFT JOIN {annr} USING (vec_id)
+    """
+    sql = f"""
+        WITH exact AS ({exact_sql}),
+        sb AS ({sb_sql}),
+        ivf AS ({ivf_sql}),
+        exr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS er
+            FROM exact
+        ),
+        sbr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
+            FROM sb
+        ),
+        ivfr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
+            FROM ivf
+        )
+        {metric.format(method="signbucket", annr="sbr", k=ANN_EVAL_K)}
+        UNION ALL
+        {metric.format(method="ivf", annr="ivfr", k=ANN_EVAL_K)}
+    """
+    REGISTRY["retrieval_eval_recall"] = replace(
+        REGISTRY["retrieval_eval_recall"], oracle=sql
+    )
+
+
+_set_retrieval_eval_oracle()

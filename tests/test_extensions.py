@@ -921,3 +921,42 @@ def test_source_mix_weights_invariants(spark, docs_pdf):
     assert (
         (got.share < 1.0 / n_sources) == (got.uniform_weight > 1.0)
     ).all()
+
+
+def test_retrieval_eval_recall_metrics(spark):
+    """The ANN-quality canary must report both methods with internally
+    consistent metrics, and at sf0.01 both ANN paths must clear a recall
+    floor (the same corpus the driver hash-checks)."""
+    out = REGISTRY["retrieval_eval_recall"].spark(spark, SF_DIR).toPandas()
+    assert set(out.method) == {"signbucket", "ivf"}
+    for _, r in out.iterrows():
+        assert 0 <= r.hits <= 10
+        assert abs(r.recall_at_10 - r.hits / 10.0) < 1e-9
+        if r.top1_rank > 0:
+            assert abs(r.top1_rr - round(1.0 / r.top1_rank, 6)) < 1e-9
+        else:
+            assert r.top1_rr == 0.0
+        # both ANN paths must find the true nearest neighbor and keep a
+        # sane recall on the driver corpus
+        assert r.top1_rank >= 1
+        assert r.recall_at_10 >= 0.3
+
+
+def test_retrieval_eval_planted_perfect_recall(spark, tmp_path):
+    """With every vector in one IVF partition and one LSH bucket (identical
+    sign pattern, one label), both ANN paths degenerate to exact search —
+    recall must be exactly 1.0 and the true top-1 found at rank 1."""
+    rng = np.random.default_rng(11)
+    base = np.abs(rng.normal(size=64)).astype(np.float32) + 0.1  # all positive
+    rows = []
+    for i in range(12):
+        v = base * (1.0 + 0.01 * i)  # same signs -> same sign-bucket
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": 0})
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet")
+    out = (
+        REGISTRY["retrieval_eval_recall"].spark(spark, str(tmp_path)).toPandas()
+    )
+    assert len(out) == 2
+    assert (out.recall_at_10 == 1.0).all()
+    assert (out.top1_rank == 1).all()
+    assert (out.top1_rr == 1.0).all()
