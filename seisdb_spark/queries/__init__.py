@@ -115,7 +115,11 @@ DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
     "minhash_lsh_candidates",
     "dedup_cluster_components",
-    "dedup_incremental_probe",
+    # round-7 late rotation: editdist_neardup_join (record-linkage verify:
+    # LSH blocking + prefix-Levenshtein gate) in for dedup_incremental_probe
+    # (green r4+r5+r6; the incremental-probe machinery stays in-window via
+    # streaming_incremental_dedup, which carries the batch twin's oracle)
+    "editdist_neardup_join",
     "doc_winnowing_fingerprints",
     # round-7 late rotation: retrieval_eval_recall (ANN-quality canary) in
     # for similarity_topk_dot (green r4+r5+r6; its oracle is composed

@@ -3507,3 +3507,79 @@ def _set_retrieval_eval_oracle() -> None:
 
 
 _set_retrieval_eval_oracle()
+
+
+# --- edit-distance verified near-dup join (record-linkage form) ------------
+# The fuzzy-dedup family so far verifies candidates by set overlap (shingle
+# Jaccard) or by embedding cosine; record-linkage pipelines verify by EDIT
+# DISTANCE, which catches character-level mutations (OCR noise, typos,
+# diff-sized whitespace) that shingle sets blur.  Same scale architecture
+# as dedup_jaccard_pairs: the banded MinHash-LSH self-join proposes the
+# candidate pairs, and the quadratic-per-pair Levenshtein runs ONLY on that
+# vanishing fraction — never all-pairs.  The DP cost per pair is bounded by
+# a fixed text prefix (EDITDIST_PREFIX chars), so per-candidate work is a
+# constant at any corpus size; both gather joins put the candidate set on
+# the small side (AQE broadcasts it against the corpus-sized text table).
+EDITDIST_PREFIX = 256
+EDITDIST_MAX = 64  # dup verdict: <= this many edits over the prefix
+
+
+@query(
+    "editdist_neardup_join",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        {_SIG_CTE},
+        {_BANDS_CTE},
+        {_CAND_CTE},
+        txt AS (
+            SELECT doc_id, substr(text, 1, {EDITDIST_PREFIX}) AS p
+            FROM documents
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(ta.p, tb.p) AS INT) AS edit_distance,
+               round(CAST(1.0 AS DOUBLE)
+                         - CAST(levenshtein(ta.p, tb.p) AS DOUBLE)
+                           / greatest(length(ta.p), length(tb.p), 1), 6)
+                   AS prefix_sim,
+               CASE WHEN levenshtein(ta.p, tb.p) <= {EDITDIST_MAX}
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM cand c
+        JOIN txt ta ON ta.doc_id = c.doc_a
+        JOIN txt tb ON tb.doc_id = c.doc_b
+    """,
+    doc=f"EDIT-DISTANCE NEAR-DUP JOIN (record linkage): banded MinHash-LSH "
+    "blocking proposes candidate pairs; Levenshtein over a fixed "
+    f"{EDITDIST_PREFIX}-char prefix verifies each — O(prefix^2) DP per "
+    "pair on candidates only, never the quadratic all-pairs. prefix_sim "
+    f"= 1 - dist/max(len); is_dup gates at <= {EDITDIST_MAX} edits. "
+    "Complements Jaccard (set-overlap) and cosine (embedding) verifies "
+    "with the character-level metric OCR/typo mutations need. Both "
+    "text-gather joins keep the candidate set on the build side; the "
+    "Levenshtein expression is JVM whole-stage codegen, no Python.",
+    bench=True,
+)
+def editdist_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cand = _lsh_candidates(docs)
+    txt = docs.select(
+        "doc_id", F.substring("text", 1, EDITDIST_PREFIX).alias("p")
+    )
+    a = cand.join(
+        txt.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")),
+        "doc_a",
+    )
+    ab = a.join(
+        txt.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")),
+        "doc_b",
+    )
+    dist = F.levenshtein("pa", "pb")
+    denom = F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+    return ab.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("int").alias("edit_distance"),
+        F.round(
+            F.lit(1.0).cast("double") - dist.cast("double") / denom, 6
+        ).alias("prefix_sim"),
+        F.when(dist <= EDITDIST_MAX, 1).otherwise(0).alias("is_dup"),
+    )

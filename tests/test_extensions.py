@@ -960,3 +960,36 @@ def test_retrieval_eval_planted_perfect_recall(spark, tmp_path):
     assert (out.recall_at_10 == 1.0).all()
     assert (out.top1_rank == 1).all()
     assert (out.top1_rr == 1.0).all()
+
+
+def test_editdist_neardup_planted_verify(spark, tmp_path):
+    """LSH must pair both the typo-variant (verified dup) and the
+    block-rewritten variant (candidate but REJECTED by the edit-distance
+    gate: >64 edits inside the 256-char prefix)."""
+    words = [f"w{i:03d}" for i in range(300)]
+    base = " ".join(words)
+    typo = " ".join(["w000x"] + words[1:])  # 1-char insertion
+    # first 10 words replaced by 12-char z-blocks: z-count differs by 120
+    # inside the prefix, so levenshtein >= 120 > EDITDIST_MAX, while the
+    # other ~290 words keep shingle-Jaccard ~0.96 (certain band collision)
+    far = " ".join(["z" * 12] * 10 + words[10:])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, typo, far, "completely unrelated text here"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(base), len(typo), len(far), 30],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["editdist_neardup_join"].spark(spark, str(tmp_path)).toPandas()
+    )
+    pairs = {(r.doc_a, r.doc_b): r for _, r in out.iterrows()}
+    assert (1, 2) in pairs and pairs[(1, 2)].is_dup == 1
+    assert pairs[(1, 2)].edit_distance <= 5
+    assert (1, 3) in pairs and pairs[(1, 3)].is_dup == 0
+    assert pairs[(1, 3)].edit_distance > 64
+    # the unrelated doc never becomes a candidate
+    assert not any(4 in p for p in pairs)
