@@ -139,7 +139,11 @@ DRIVER_WINDOW: list[str] = [
     "curation_keep_set",
     "split_leakage_audit",
     "salted_skew_agg",
-    "curation_pipeline_stats",
+    # round-7 late rotation: ngram_novelty_score (first-seen-content
+    # fraction, the incremental-curation twin of passage dedup) in for
+    # curation_pipeline_stats (green r4+r5+r6; the composed-curation family
+    # keeps curation_keep_set — the strictly stronger end-to-end row)
+    "ngram_novelty_score",
     # --- round-6 late additions: corpus-frequency rarity scoring + mixture
     # --- reweighting take the slots of text_quality_score and
     # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and

@@ -3583,3 +3583,70 @@ def editdist_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prefix_sim"),
         F.when(dist <= EDITDIST_MAX, 1).otherwise(0).alias("is_dup"),
     )
+
+
+# --- n-gram novelty: how much of each doc is first-seen content ------------
+# The incremental-curation twin of passage-level dedup: score each document
+# by the fraction of its distinct word shingles whose corpus-wide FIRST
+# occurrence (min doc_id = ingestion order) is this document.  Low novelty
+# = the doc mostly restates grams the corpus already has (boilerplate,
+# mirrors, quotes); curation pipelines downweight or drop it.  ONE big
+# shuffle total — the gram-key exchange feeds the per-doc distinct AND
+# min(doc_id) OVER (PARTITION BY sh); the per-doc rollup re-shuffles only
+# map-side partials on doc_id.  No gram-table self-join.  Gram cardinality
+# ~ corpus tokens, the same scale class repeated_passage_spans measured
+# ~linear at x100.
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        firsts AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sh) AS first_doc
+            FROM shingle
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS novelty
+        FROM firsts
+        GROUP BY doc_id
+    """,
+    doc=f"N-GRAM NOVELTY: per-doc fraction of its distinct word "
+    f"{SHINGLE_K}-shingles whose corpus-wide first occurrence (min doc_id "
+    "= ingestion order) is this doc — the 'how much of this is new "
+    "content' curation signal; near-zero novelty marks boilerplate/mirror "
+    "docs for downweighting. ONE gram-key shuffle serves both the per-doc "
+    "distinct and the PARTITION BY sh window (hash partitioning on sh "
+    "co-locates (doc_id, sh) duplicates too); the per-doc rollup adds only "
+    "a partial-agged doc_id exchange. Integer counts + one final division "
+    "keep it engine-exact. Docs shorter than "
+    f"{SHINGLE_K} words carry no shingles and are absent by definition.",
+    bench=True,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # repartition on the gram key BEFORE the per-doc distinct: hash
+    # partitioning on sh co-locates (doc_id, sh) duplicates too, so the
+    # same single exchange satisfies the distinct aggregate AND the
+    # PARTITION BY sh window — the default plan shuffled twice (once on
+    # (doc_id, sh) for dropDuplicates, again on sh for the window)
+    sh = (
+        shingle_tokens(docs, distinct=False)
+        .repartition(F.col("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    w = Window.partitionBy("sh")
+    firsts = sh.select(
+        "doc_id", F.min("doc_id").over(w).alias("first_doc")
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )

@@ -993,3 +993,38 @@ def test_editdist_neardup_planted_verify(spark, tmp_path):
     assert pairs[(1, 3)].edit_distance > 64
     # the unrelated doc never becomes a candidate
     assert not any(4 in p for p in pairs)
+
+
+def test_ngram_novelty_planted_and_plan(spark, tmp_path):
+    """Doc 1 introduces everything (novelty 1.0); doc 2 copies doc 1
+    verbatim (novelty 0.0); doc 3 is half-copied (novelty 0.5 over its
+    distinct shingles).  The executed plan must carry exactly ONE gram-key
+    exchange serving both the distinct and the first-owner window."""
+    words = [f"w{i:02d}" for i in range(20)]
+    base = " ".join(words)                         # 18 distinct 3-shingles
+    fresh = " ".join(f"x{i:02d}" for i in range(20))
+    half = " ".join(words[:11] + [f"y{i:02d}" for i in range(9)])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base, half],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(base)] * 3,
+        }
+    )
+    # doc 3: shingles 1..9 are copies of doc 1 (w00..w10 window), the rest
+    # cross into or live inside the fresh y-block -> novel
+    pdf.loc[2, "text"] = half
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    df = REGISTRY["ngram_novelty_score"].spark(spark, str(tmp_path))
+    out = df.toPandas().set_index("doc_id")
+    assert out.loc[1].novelty == 1.0
+    assert out.loc[2].novelty == 0.0
+    assert 0.0 < out.loc[3].novelty < 1.0
+    # doc 3's copied prefix contributes exactly 9 non-novel shingles
+    assert out.loc[3].n_shingles - out.loc[3].n_novel == 9
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the plan
+    assert final.count("Exchange hashpartitioning(sh") == 1
+    assert "Exchange hashpartitioning(doc_id#" in final  # partial-agg rollup
