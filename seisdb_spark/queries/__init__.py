@@ -185,7 +185,11 @@ DRIVER_WINDOW: list[str] = [
     "streaming_sessionize",
     "streaming_sliding_counts",
     "streaming_dedup_events",
-    "streaming_static_enrich",
+    # round-7 late rotation: dsir_importance_weights (hashed-ngram
+    # importance resampling, the data-selection op) in for
+    # streaming_static_enrich (green r4+r5+r6; the streaming family keeps
+    # seven other in-window entries incl. both stateful dedup paths)
+    "dsir_importance_weights",
     "streaming_incremental_dedup",
     "streaming_quality_gate",
     "streaming_decontamination",

@@ -3650,3 +3650,151 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("long").alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+# --- DSIR-style importance resampling --------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, public): score
+# raw-pool documents by how target-like their hashed n-gram distribution
+# is, then keep the top-weighted ones.  Features are md5-hashed unigram
+# buckets (B = DSIR_BUCKETS); per-bucket importance is the add-1-smoothed
+# target/raw probability ratio.  Where the paper sums log-ratios, this
+# implementation sums the [1/1] Padé surrogate 2(r-1)/(r+1) of ln(r) —
+# the same monotone-in-r shape with NO libm call, the discipline the BM25
+# family established (libm log is the one cross-engine drift source).
+# Each bucket's surrogate is quantized to floor(x * 1e9) BIGINT once, so
+# every per-doc sum is exact integer arithmetic — order-free and
+# engine-identical.
+#
+# Scale shape: token explode is map-side; bucket stats need ONE combiner-
+# friendly shuffle with <= B keys (c_target and c_raw in a single pass via
+# conditional sums); the B-row quantized table and 1-row totals broadcast
+# back; the per-doc rollup is the usual (doc_id, bucket) -> doc_id pair of
+# partial-agged exchanges; selection is TakeOrderedAndProject (never a
+# global window over the corpus).
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCES = ("src0", "src1")
+DSIR_SELECT_N = 100
+DSIR_QUANT = 10**9
+
+_DSIR_T_LIST = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   ({_hash_bucket_sql("word")}) % {DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+        ),
+        bstats AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN source IN ({_DSIR_T_LIST})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN source NOT IN ({_DSIR_T_LIST})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM tok GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr
+            FROM bstats
+        ),
+        bq AS (
+            SELECT b,
+                   CAST(FLOOR((CAST(2.0 AS DOUBLE) * (r - 1) / (r + 1))
+                              * {DSIR_QUANT}) AS BIGINT) AS q
+            FROM (
+                SELECT b,
+                       (CAST(ct + 1 AS DOUBLE) * (nr + {DSIR_BUCKETS}))
+                       / (CAST(cr + 1 AS DOUBLE) * (nt + {DSIR_BUCKETS})) AS r
+                FROM bstats CROSS JOIN tot
+            )
+        ),
+        docfeat AS (
+            SELECT doc_id, b, count(*) AS c
+            FROM tok
+            WHERE source NOT IN ({_DSIR_T_LIST})
+            GROUP BY doc_id, b
+        ),
+        wt AS (
+            SELECT doc_id,
+                   CAST(sum(c * q) AS BIGINT) AS wq,
+                   CAST(sum(c) AS BIGINT) AS n_tok
+            FROM docfeat JOIN bq USING (b)
+            GROUP BY doc_id
+        ),
+        sel AS (
+            SELECT * FROM wt ORDER BY wq DESC, doc_id LIMIT {DSIR_SELECT_N}
+        )
+        SELECT doc_id, n_tok,
+               round(CAST(wq AS DOUBLE) / {DSIR_QUANT}, 6) AS dsir_weight,
+               CAST(row_number() OVER (ORDER BY wq DESC, doc_id) AS INT)
+                   AS rank
+        FROM sel
+    """,
+    doc=f"DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): md5-hashed unigram "
+    f"buckets (B={DSIR_BUCKETS}), add-1-smoothed target/raw ratio per "
+    f"bucket (target = sources {DSIR_TARGET_SOURCES}), per-doc importance "
+    "= sum of the rational Pade surrogate 2(r-1)/(r+1) of ln(r) — no libm, "
+    "quantized to BIGINT once per bucket so doc sums are exact integers. "
+    f"Selects the top-{DSIR_SELECT_N} raw-pool docs by weight via "
+    "TakeOrderedAndProject (rank window runs on the selected rows only). "
+    "One <=B-key combiner shuffle for stats, B-row + 1-row broadcasts "
+    "back, partial-agged per-doc rollup — every stage bounded or linear.",
+    bench=True,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("word").cast("binary")), 1, 4), 16, 10
+        ).cast("int")
+        % DSIR_BUCKETS
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", "source", bucket.alias("b"))
+    bstats = tok.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    tot = bstats.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    r = ((F.col("ct") + 1).cast("double") * (F.col("nr") + DSIR_BUCKETS)) / (
+        (F.col("cr") + 1).cast("double") * (F.col("nt") + DSIR_BUCKETS)
+    )
+    q = F.floor(
+        (F.lit(2.0).cast("double") * (r - 1) / (r + 1)) * DSIR_QUANT
+    ).cast("long")
+    bq = bstats.crossJoin(F.broadcast(tot)).select("b", q.alias("q"))
+    docfeat = (
+        tok.filter(~is_t)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = (
+        docfeat.join(F.broadcast(bq), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("q")).cast("long").alias("wq"),
+            F.sum("c").cast("long").alias("n_tok"),
+        )
+    )
+    sel = wt.orderBy(F.col("wq").desc(), "doc_id").limit(DSIR_SELECT_N)
+    w = Window.orderBy(F.col("wq").desc(), "doc_id")
+    return sel.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("wq").cast("double") / DSIR_QUANT, 6).alias(
+            "dsir_weight"
+        ),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

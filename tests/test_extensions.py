@@ -1028,3 +1028,34 @@ def test_ngram_novelty_planted_and_plan(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]  # AQE repeats the plan
     assert final.count("Exchange hashpartitioning(sh") == 1
     assert "Exchange hashpartitioning(doc_id#" in final  # partial-agg rollup
+
+
+def test_dsir_planted_target_like_doc_wins(spark, tmp_path):
+    """A raw-pool doc written in the target sources' vocabulary must
+    out-weight a raw-pool doc with disjoint vocabulary, and ranks must
+    follow weights."""
+    tvocab = " ".join(f"alpha{i}" for i in range(30))
+    ovocab = " ".join(f"beta{i}" for i in range(30))
+    pdf = pd.DataFrame(
+        {
+            # src0/src1 are DSIR_TARGET_SOURCES; srcZ is the raw pool
+            "doc_id": [1, 2, 10, 11],
+            "text": [tvocab, tvocab, tvocab, ovocab],
+            "lang": ["en"] * 4,
+            "source": ["src0", "src1", "srcZ", "srcZ"],
+            "n_chars": [len(tvocab)] * 3 + [len(ovocab)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["dsir_importance_weights"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # only raw-pool docs are scored
+    assert set(out.index) == {10, 11}
+    assert out.loc[10].dsir_weight > out.loc[11].dsir_weight
+    assert out.loc[10]["rank"] == 1 and out.loc[11]["rank"] == 2
+    # target-like doc has positive importance, alien doc negative
+    assert out.loc[10].dsir_weight > 0 > out.loc[11].dsir_weight
