@@ -184,7 +184,11 @@ DRIVER_WINDOW: list[str] = [
     "streaming_tumbling_counts",
     "streaming_sessionize",
     "streaming_sliding_counts",
-    "streaming_dedup_events",
+    # round-7 late rotation: bpe_merge_candidates (tokenizer-training
+    # pair counts over the vocab table) in for streaming_dedup_events
+    # (green r4+r5+r6; stateful streaming dedup stays in-window via
+    # streaming_incremental_dedup, which exercises the same state path)
+    "bpe_merge_candidates",
     # round-7 late rotation: dsir_importance_weights (hashed-ngram
     # importance resampling, the data-selection op) in for
     # streaming_static_enrich (green r4+r5+r6; the streaming family keeps

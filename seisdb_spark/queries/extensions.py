@@ -3798,3 +3798,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# --- BPE merge candidates (tokenizer training, first iteration) ------------
+# Training a BPE tokenizer over a 100 TB corpus starts by counting adjacent
+# symbol pairs over the WORD-FREQUENCY table, not the raw token stream —
+# the corpus collapses to its vocabulary (Zipf: orders of magnitude
+# smaller) before any pair work happens.  This query is that first merge
+# iteration: word counts (one combiner-friendly vocab-key shuffle), then
+# per-distinct-word adjacent char pairs weighted by the word's frequency,
+# then a pair rollup (alphabet^2-bounded keys) and top-K via
+# TakeOrderedAndProject.  Subsequent merge iterations re-run the same
+# shape on the re-segmented vocab table; the corpus is never re-scanned.
+BPE_MERGE_TOPK = 20
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+        WITH wfreq AS (
+            SELECT word, count(*) AS wn
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            GROUP BY word
+        ),
+        p0 AS (
+            SELECT word, wn,
+                   unnest(generate_series(1, greatest(length(word) - 1, 0)))
+                       AS i
+            FROM wfreq
+        ),
+        agg AS (
+            SELECT substr(word, i, 2) AS pair,
+                   CAST(sum(wn) AS BIGINT) AS n
+            FROM p0 GROUP BY substr(word, i, 2)
+        ),
+        sel AS (
+            SELECT * FROM agg ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
+        )
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+        FROM sel
+    """,
+    doc=f"BPE MERGE CANDIDATES (tokenizer training, iteration 1): corpus "
+    "-> word-frequency table (ONE vocab-key combiner shuffle — Zipf makes "
+    "the vocab orders of magnitude smaller than the corpus), then "
+    "adjacent char pairs of each DISTINCT word weighted by its frequency, "
+    f"pair rollup over alphabet^2-bounded keys, top-{BPE_MERGE_TOPK} by "
+    "count via TakeOrderedAndProject. Exact integer counts everywhere; "
+    "ties broken by pair text. Later merge iterations repeat this shape "
+    "on the re-segmented vocab without re-scanning the corpus.",
+    bench=True,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty list — gate single-char words explicitly (same guard the
+    # shingle builder uses)
+    pairs = wfreq.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 THEN "
+                "transform(sequence(1, length(word) - 1), "
+                "          i -> substring(word, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "wn",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n"))
+    sel = agg.orderBy(F.col("n").desc(), "pair").limit(BPE_MERGE_TOPK)
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return sel.select(
+        "pair", "n", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -1059,3 +1059,26 @@ def test_dsir_planted_target_like_doc_wins(spark, tmp_path):
     assert out.loc[10]["rank"] == 1 and out.loc[11]["rank"] == 2
     # target-like doc has positive importance, alien doc negative
     assert out.loc[10].dsir_weight > 0 > out.loc[11].dsir_weight
+
+
+def test_bpe_merge_planted_top_pair(spark, tmp_path):
+    """The dominant adjacent pair must win: 'ab' appears in every word of
+    the planted corpus (weighted by word frequency), single-char words
+    contribute nothing, and counts must equal the hand-computed totals."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # 'abc' x3, 'ab' x2, 'x' x2 -> pair counts: ab=5, bc=3
+            "text": ["abc ab x abc", "abc ab x"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [12, 8],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["bpe_merge_candidates"].spark(spark, str(tmp_path)).toPandas()
+    )
+    assert list(out.sort_values("rank")["pair"]) == ["ab", "bc"]
+    counts = dict(zip(out["pair"], out["n"]))
+    assert counts == {"ab": 5, "bc": 3}
