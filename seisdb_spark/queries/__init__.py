@@ -210,7 +210,11 @@ DRIVER_WINDOW: list[str] = [
     "dgf_pipeline_records",
     # --- SQL-surface representatives ----------------------------------------
     "asof_last_click_before_purchase",
-    "approx_distinct_parts",
+    # round-7 late rotation: pii_redaction (the transform stage the r6
+    # window's pii_scan gate feeds) in for approx_distinct_parts (green
+    # r2 through r6 — five hard rows — and still pytest-oracle-checked;
+    # the sketch family keeps approx_quantile_gate's r4+r5 rows on record)
+    "pii_redaction",
 ]
 
 

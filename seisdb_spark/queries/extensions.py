@@ -3875,3 +3875,60 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "pair", "n", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# --- PII redaction transform ------------------------------------------------
+# The transform stage pii_scan_counts gates: rewrite every email and long
+# digit run to a typed placeholder, emit the redacted text's digest +
+# length plus the redaction count.  Emails redact FIRST (they contain
+# digit runs; the sequential order is part of the spec and identical in
+# both engines).  Returning the md5 of the redacted text rather than the
+# text keeps the driver row compact while still pinning every redacted
+# byte; the real pipeline writes the redacted column to the shard sink.
+# Zero shuffles — both regexp_replace calls run inside whole-stage codegen
+# next to the scan (DuckDB needs the 'g' flag for replace-all; Spark's
+# regexp_replace is replace-all by default).
+@query(
+    "pii_redaction",
+    oracle=f"""
+        WITH r1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_em,
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                       AS no_email
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id,
+                   n_em + len(regexp_extract_all(no_email, '{_PII_DIGITS}'))
+                       AS n_redactions,
+                   regexp_replace(no_email, '{_PII_DIGITS}', '<DIGITS>', 'g')
+                       AS redacted
+            FROM r1
+        )
+        SELECT doc_id, n_redactions,
+               length(redacted) AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM red
+    """,
+    doc="PII REDACTION: emails then long digit runs rewritten to typed "
+    "placeholders via sequential replace-all regex (order is part of the "
+    "spec — emails contain digit runs), with the redaction count and the "
+    "redacted text's length + md5 as the verifiable output. Pure map-side "
+    "JVM regex, no shuffle; at 100 TB this is a projection the shard "
+    "writer streams through.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, _PII_DIGITS, "<DIGITS>")
+    n_em = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+    # digit runs counted on the email-redacted text: a run INSIDE an email
+    # was already removed by the first pass and must not count twice
+    n_dg = F.size(F.regexp_extract_all(no_email, F.lit(_PII_DIGITS), 0))
+    return docs.select(
+        "doc_id",
+        (n_em + n_dg).alias("n_redactions"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

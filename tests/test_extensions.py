@@ -1082,3 +1082,35 @@ def test_bpe_merge_planted_top_pair(spark, tmp_path):
     assert list(out.sort_values("rank")["pair"]) == ["ab", "bc"]
     counts = dict(zip(out["pair"], out["n"]))
     assert counts == {"ab": 5, "bc": 3}
+
+
+def test_pii_redaction_planted(spark, tmp_path):
+    """Planted emails and digit runs must be replaced by typed placeholders
+    (emails first — their digit runs must NOT double-redact), verified
+    against a hand-redacted string's length and md5."""
+    import hashlib
+
+    t1 = "contact bob123456@example.com or call 5551234567 now"
+    r1 = "contact <EMAIL> or call <DIGITS> now"
+    t2 = "no pii here at all"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [t1, t2],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [len(t1), len(t2)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["pii_redaction"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1].n_redactions == 2
+    assert out.loc[1].redacted_len == len(r1)
+    assert out.loc[1].redacted_md5 == hashlib.md5(r1.encode()).hexdigest()
+    assert out.loc[2].n_redactions == 0
+    assert out.loc[2].redacted_md5 == hashlib.md5(t2.encode()).hexdigest()
