@@ -114,7 +114,11 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
     "minhash_lsh_candidates",
-    "dedup_cluster_components",
+    # round-7 late rotation: dedup_keep_best (quality-prioritized cluster
+    # dedup) in for dedup_cluster_components (green r2-r6; its recursive-
+    # CTE oracle is composed VERBATIM inside keep_best's, so the closure
+    # stays end-to-end hash-checked through this row)
+    "dedup_keep_best",
     # round-7 late rotation: editdist_neardup_join (record-linkage verify:
     # LSH blocking + prefix-Levenshtein gate) in for dedup_incremental_probe
     # (green r4+r5+r6; the incremental-probe machinery stays in-window via

@@ -3932,3 +3932,90 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+# --- quality-prioritized dedup: keep the BEST member of each cluster -------
+# Production curation does not keep the FIRST member of a near-dup cluster
+# (an artifact of crawl order) — it keeps the highest-QUALITY one.  This
+# op composes three existing surfaces end-to-end: verified near-dup pairs
+# (LSH + Jaccard) -> connected components (transitive closure) -> the
+# hashed-linear quality margin, then an argmax per cluster (quality DESC,
+# doc_id tiebreak).  Scale shape: the cluster table is candidate-sized
+# (a vanishing fraction of the corpus), so it BROADCASTS into the token
+# stream — classifier sums are computed ONLY for clustered docs, never
+# corpus-wide; the per-cluster argmax window partitions by cluster_id
+# (cluster-sized tasks, never a global sort).
+@query(
+    "dedup_keep_best",
+    oracle=None,  # composed below (reuses the CC recursive-CTE oracle)
+    doc="QUALITY-PRIORITIZED DEDUP: near-dup clusters (LSH -> Jaccard -> "
+    "connected components) keep their highest-quality member by hashed "
+    "linear-classifier weight (integer-exact sums; doc_id breaks ties) "
+    "instead of crawl order. The candidate-sized cluster table broadcasts "
+    "into the token stream, so quality is scored only for clustered docs; "
+    "the keep argmax is a cluster-partitioned window. Oracle composes the "
+    "recursive-CTE closure with the classifier weights verbatim.",
+    bench=True,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = _jaccard_on_candidates(docs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    cc = cc_exact_lazy(pairs).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    tok = with_token_hash(
+        docs.join(F.broadcast(cc), "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        ),
+        token_col="word",
+    )
+    wt = F.col("h") % QC_WEIGHT_MOD - QC_WEIGHT_SHIFT
+    q = (
+        tok.groupBy("doc_id", "cluster_id")
+        .agg(F.sum(wt).cast("long").alias("quality_w"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_w").desc(), "doc_id"
+    )
+    return q.select(
+        "doc_id",
+        "cluster_id",
+        "quality_w",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("keep"),
+    )
+
+
+def _set_keep_best_oracle() -> None:
+    from dataclasses import replace
+
+    cc_sql = REGISTRY["dedup_cluster_components"].oracle
+    sql = f"""
+        WITH cc AS ({cc_sql}),
+        tokq AS (
+            SELECT d.doc_id, cc.canonical_id AS cluster_id,
+                   CAST(sum(({_duck_hexparse8("word")}) % {QC_WEIGHT_MOD}
+                            - {QC_WEIGHT_SHIFT}) AS BIGINT) AS quality_w
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) d
+            JOIN cc ON cc.doc_id = d.doc_id
+            GROUP BY d.doc_id, cc.canonical_id
+        )
+        SELECT doc_id, cluster_id, quality_w,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY quality_w DESC, doc_id) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM tokq
+    """
+    REGISTRY["dedup_keep_best"] = replace(
+        REGISTRY["dedup_keep_best"], oracle=sql
+    )
+
+
+_set_keep_best_oracle()

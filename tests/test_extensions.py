@@ -1114,3 +1114,26 @@ def test_pii_redaction_planted(spark, tmp_path):
     assert out.loc[1].redacted_md5 == hashlib.md5(r1.encode()).hexdigest()
     assert out.loc[2].n_redactions == 0
     assert out.loc[2].redacted_md5 == hashlib.md5(t2.encode()).hexdigest()
+
+
+def test_dedup_keep_best_invariants(spark):
+    """Exactly one keeper per cluster; the keeper has the cluster's max
+    quality weight (doc_id breaking ties); every clustered doc appears in
+    the CC output with the same cluster assignment."""
+    out = REGISTRY["dedup_keep_best"].spark(spark, SF_DIR).toPandas()
+    cc = (
+        REGISTRY["dedup_cluster_components"].spark(spark, SF_DIR).toPandas()
+    )
+    assert len(out) == len(cc)
+    merged = out.merge(
+        cc, left_on="doc_id", right_on="doc_id", how="outer", indicator=True
+    )
+    assert (merged._merge == "both").all()
+    assert (merged.cluster_id == merged.canonical_id).all()
+    for cid, g in out.groupby("cluster_id"):
+        keepers = g[g.keep == 1]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        best = g.sort_values(
+            ["quality_w", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert keepers.iloc[0].doc_id == best.doc_id

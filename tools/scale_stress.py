@@ -137,6 +137,44 @@ STRESS_QUERIES = {
         and not has_node(p, "CartesianProduct")
         and not has_node(p, "rangepartitioning")
     ),
+    # --- round-7 late additions -------------------------------------------
+    # exactly ONE gram-key exchange serves the per-doc distinct AND the
+    # first-owner window; the doc rollup re-shuffles partials only
+    "ngram_novelty_score": lambda p: (
+        count_exchanges(p, key="sh") == 1
+        and not has_node(p, "rangepartitioning")
+    ),
+    # bucket stats + totals broadcast back; selection stays TakeOrdered —
+    # never a corpus-wide rank window
+    "dsir_importance_weights": lambda p: (
+        has_node(p, "BroadcastHashJoin")
+        and has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # vocab-table pair counts: top-K stays TakeOrdered, no global sort
+    "bpe_merge_candidates": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # LSH blocking + per-candidate Levenshtein: candidate-bounded verify,
+    # never cartesian, never a global sort
+    "editdist_neardup_join": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # three bounded top-10 lists fused: the heavy lifting is inside the
+    # sub-pipelines (each asserted separately); the eval must not introduce
+    # a cartesian or a corpus-wide shuffle of its own
+    "retrieval_eval_recall": lambda p: not has_node(p, "CartesianProduct"),
+    # the candidate-sized cluster table must BROADCAST into the token
+    # stream (quality scored only for clustered docs, never corpus-wide);
+    # the keep argmax partitions by cluster — no global sort
+    "dedup_keep_best": lambda p: (
+        has_node(p, "BroadcastHashJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
