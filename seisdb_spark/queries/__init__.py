@@ -113,7 +113,12 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 #: The 50 queries the driver must hash-check, in priority order.
 DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
-    "minhash_lsh_candidates",
+    # round-7 late rotation: embedding_int8_quantize (vector-store int8
+    # compression, the E1 storage trade for the embedding column) in for
+    # minhash_lsh_candidates (green r2-r6; its full shingle/sig/band/cand
+    # CTE stack is embedded VERBATIM in editdist_neardup_join's in-window
+    # oracle, so the candidate machinery stays end-to-end hash-checked)
+    "embedding_int8_quantize",
     # round-7 late rotation: dedup_keep_best (quality-prioritized cluster
     # dedup) in for dedup_cluster_components (green r2-r6; its recursive-
     # CTE oracle is composed VERBATIM inside keep_best's, so the closure

@@ -4019,3 +4019,123 @@ def _set_keep_best_oracle() -> None:
 
 
 _set_keep_best_oracle()
+
+
+# --- int8 embedding quantization (vector-store compression) ----------------
+# The embedding-store twin of the reference's E1 truncating quantizer
+# (reference seisdb/DSGT.py:137-166 quantizes strain series; here the
+# same storage economics applied to the vector column): per-DIMENSION
+# min/max over the corpus defines a 256-level uniform grid; each vector
+# stores one int8 code per dim (4x smaller than float32, 8x than float64).
+# Scale shape: the stats pass is a posexplode + dim-key groupBy — exactly
+# EMBEDDING_DIM keys, fully combiner-collapsed map-side — and the 1-row
+# (mins, steps) array struct broadcasts back so encoding is MAP-ONLY.
+# Engine-exactness: min/max involve no accumulation (exact on any
+# partitioning); codes are floor() of identical doubles; the per-vector
+# code SUM is exact integer arithmetic; the reconstruction error is an
+# explicit left-associated 64-term chain (the dot_chain discipline).
+EMB_Q_LEVELS = 255  # codes 0..255
+
+
+def _embq_term_sql(d: int) -> str:
+    """One dimension's (code, squared-error) pair, DuckDB 1-based index."""
+    x = f"CAST(e.embedding[{d + 1}] AS DOUBLE)"
+    mn, st = f"s.mins[{d + 1}]", f"s.steps[{d + 1}]"
+    code = (
+        f"CASE WHEN {st} = 0 THEN 0 ELSE "
+        f"LEAST({EMB_Q_LEVELS}, CAST(FLOOR(({x} - {mn}) / {st}) AS BIGINT)) END"
+    )
+    err = f"POWER({x} - ({mn} + ({code}) * {st}), 2)"
+    return code, err
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=None,  # generated below (64-term chains, shared builder)
+    doc=f"INT8 EMBEDDING QUANTIZATION: per-dim corpus min/max -> uniform "
+    f"{EMB_Q_LEVELS + 1}-level grid -> one int8 code per dim (4x smaller "
+    "than float32). Stats collapse map-side to EMBEDDING_DIM keys; the "
+    "1-row (mins, steps) struct broadcasts back so encoding is MAP-ONLY — "
+    "no per-vector shuffle at any corpus size. Output pins the exact "
+    "integer code sum and the reconstruction L2^2 error per vector "
+    "(explicit left-associated chain, both engines bit-identical). "
+    "Cites the reference's E1 series quantizer (DSGT.py:137-166) — the "
+    "same storage trade re-expressed for the vector column.",
+    bench=True,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    one = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)"
+        ).alias("mins"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn, mx))), "
+            f"s -> (s.mx - s.mn) / {EMB_Q_LEVELS})"
+        ).alias("steps"),
+    )
+    codes, errs = [], []
+    for d in range(EMBEDDING_DIM):
+        x = f"CAST(embedding[{d}] AS DOUBLE)"
+        mn, st = f"mins[{d}]", f"steps[{d}]"
+        code = (
+            f"CASE WHEN {st} = 0D THEN 0L ELSE "
+            f"LEAST({EMB_Q_LEVELS}L, CAST(FLOOR(({x} - {mn}) / {st}) AS BIGINT)) END"
+        )
+        codes.append(code)
+        errs.append(f"POWER({x} - ({mn} + ({code}) * {st}), 2)")
+    code_sum = "(" + ") + (".join(codes) + ")"
+    err_chain = errs[0]
+    for e in errs[1:]:
+        err_chain = f"({err_chain}) + ({e})"
+    return emb.crossJoin(F.broadcast(one)).select(
+        "vec_id",
+        F.expr(code_sum).cast("long").alias("code_sum"),
+        F.expr(f"round({err_chain}, 6)").alias("recon_err"),
+    )
+
+
+def _set_embq_oracle() -> None:
+    from dataclasses import replace
+
+    codes, errs = zip(*(_embq_term_sql(d) for d in range(EMBEDDING_DIM)))
+    code_sum = "(" + ") + (".join(codes) + ")"
+    err_chain = errs[0]
+    for e in errs[1:]:
+        err_chain = f"({err_chain}) + ({e})"
+    sql = f"""
+        WITH dimstats AS (
+            SELECT dim,
+                   min(CAST(v AS DOUBLE)) AS mn,
+                   max(CAST(v AS DOUBLE)) AS mx
+            FROM (
+                SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            GROUP BY dim
+        ),
+        s AS (
+            SELECT list(mn ORDER BY dim) AS mins,
+                   list((mx - mn) / {EMB_Q_LEVELS} ORDER BY dim) AS steps
+            FROM dimstats
+        )
+        SELECT e.vec_id,
+               CAST({code_sum} AS BIGINT) AS code_sum,
+               round({err_chain}, 6) AS recon_err
+        FROM embeddings e CROSS JOIN s
+    """
+    REGISTRY["embedding_int8_quantize"] = replace(
+        REGISTRY["embedding_int8_quantize"], oracle=sql
+    )
+
+
+_set_embq_oracle()

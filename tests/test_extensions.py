@@ -1137,3 +1137,42 @@ def test_dedup_keep_best_invariants(spark):
             ["quality_w", "doc_id"], ascending=[False, True]
         ).iloc[0]
         assert keepers.iloc[0].doc_id == best.doc_id
+
+
+def test_embedding_int8_quantize_matches_numpy(spark, tmp_path):
+    """Codes and reconstruction error must equal a numpy re-derivation of
+    the per-dim uniform grid (incl. the zero-range guard and the 255
+    clamp at x = max)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(10, 64)).astype(np.float32)
+    vecs[:, 7] = 0.25  # a zero-range dim: step 0 -> code 0, err 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(10),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * 10,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    out = (
+        REGISTRY["embedding_int8_quantize"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    x = vecs.astype(np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    st = (mx - mn) / 255
+    with np.errstate(divide="ignore", invalid="ignore"):
+        codes = np.floor((x - mn) / st)
+    codes = np.where(st == 0, 0, np.minimum(codes, 255)).astype(np.int64)
+    err = ((x - (mn + codes * st)) ** 2)
+    err[:, st == 0] = 0.0
+    assert (out.code_sum.to_numpy() == codes.sum(axis=1)).all()
+    np.testing.assert_allclose(
+        out.recon_err.to_numpy(), np.round(err.sum(axis=1), 6), atol=2e-6
+    )
+    # x == max must land exactly on code 255 for every non-degenerate dim
+    top = np.argmax(x[:, 0])
+    assert codes[top, 0] == 255

@@ -175,6 +175,15 @@ STRESS_QUERIES = {
         and not has_node(p, "CartesianProduct")
         and not has_node(p, "rangepartitioning")
     ),
+    # stats collapse to EMBEDDING_DIM keys; the (mins, steps) row must
+    # BROADCAST back and encoding must stay map-only — the only exchanges
+    # are the dim-stats pair, never a per-vector shuffle
+    "embedding_int8_quantize": lambda p: (
+        has_node(p, "Broadcast")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+        and count_exchanges(p, key="vec_id") == 0
+    ),
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
