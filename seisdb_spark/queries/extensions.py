@@ -3959,11 +3959,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = _jaccard_on_candidates(docs).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
-    cc = cc_exact_lazy(pairs).select(
-        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    # compose the REGISTERED clustering query (not a re-derivation of its
+    # body) so a future change to the closure updates Spark side and the
+    # composed oracle in lockstep — the same discipline the oracle uses
+    cc = dedup_cluster_components(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("cluster_id")
     )
     tok = with_token_hash(
         docs.join(F.broadcast(cc), "doc_id").select(
@@ -4037,7 +4037,7 @@ _set_keep_best_oracle()
 EMB_Q_LEVELS = 255  # codes 0..255
 
 
-def _embq_term_sql(d: int) -> str:
+def _embq_term_sql(d: int) -> tuple[str, str]:
     """One dimension's (code, squared-error) pair, DuckDB 1-based index."""
     x = f"CAST(e.embedding[{d + 1}] AS DOUBLE)"
     mn, st = f"s.mins[{d + 1}]", f"s.steps[{d + 1}]"

@@ -1002,7 +1002,8 @@ def test_ngram_novelty_planted_and_plan(spark, tmp_path):
     exchange serving both the distinct and the first-owner window."""
     words = [f"w{i:02d}" for i in range(20)]
     base = " ".join(words)                         # 18 distinct 3-shingles
-    fresh = " ".join(f"x{i:02d}" for i in range(20))
+    # doc 3: shingles 1..9 are copies of doc 1 (the w00..w10 window), the
+    # rest cross into or live inside the fresh y-block -> novel
     half = " ".join(words[:11] + [f"y{i:02d}" for i in range(9)])
     pdf = pd.DataFrame(
         {
@@ -1013,9 +1014,6 @@ def test_ngram_novelty_planted_and_plan(spark, tmp_path):
             "n_chars": [len(base)] * 3,
         }
     )
-    # doc 3: shingles 1..9 are copies of doc 1 (w00..w10 window), the rest
-    # cross into or live inside the fresh y-block -> novel
-    pdf.loc[2, "text"] = half
     pdf.to_parquet(tmp_path / "documents.parquet")
     df = REGISTRY["ngram_novelty_score"].spark(spark, str(tmp_path))
     out = df.toPandas().set_index("doc_id")
