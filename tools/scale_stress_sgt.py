@@ -58,6 +58,10 @@ SCALES = {
     1: dict(nprocs=2, nspec=3, step1=80),
     10: dict(nprocs=4, nspec=6, step1=200),
     100: dict(nprocs=8, nspec=15, step1=400),
+    # three full orders of magnitude over base: 8x procs, ~12.7x elements,
+    # ~9.9x steps = ~1000x snapshot values (~144 MB of Fortran records,
+    # 1264 snapshot files) — the shape of a production SPECFEM run
+    1000: dict(nprocs=16, nspec=38, step1=790),
 }
 
 
@@ -133,7 +137,7 @@ def time_build(spark, meta: dict, kind: str, runs: int):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=10, choices=(10, 100))
+    ap.add_argument("--factor", type=int, default=10, choices=(10, 100, 1000))
     ap.add_argument("--out", default="/tmp/seisdb_scale")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
