@@ -70,3 +70,39 @@ def test_sql_window_twin_matches_registry_query(spark):
     ).toPandas()
     reg = REGISTRY["window_frame_moving_sum"].spark(spark, SMOKE_SF_DIR).toPandas()
     pd.testing.assert_frame_equal(_sorted(sql), _sorted(reg))
+
+
+def test_sql_twin_bpe_merge_candidates(spark):
+    """A round-7 operator (BPE merge-pair counts) written as a pure
+    spark.sql(...) string over the registered views equals the registered
+    DataFrame-API query — the SQL surface keeps up with new operators."""
+    register_views(spark, SMOKE_SF_DIR)
+    sql = spark.sql(
+        """
+        WITH wfreq AS (
+            SELECT word, count(*) AS wn
+            FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+        ),
+        pairs AS (
+            SELECT explode(
+                CASE WHEN length(word) >= 2 THEN
+                    transform(sequence(1, length(word) - 1),
+                              i -> substring(word, i, 2))
+                ELSE array() END) AS pair, wn
+            FROM wfreq
+        ),
+        agg AS (
+            SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+        ),
+        sel AS (SELECT * FROM agg ORDER BY n DESC, pair LIMIT 20)
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+        FROM sel
+        """
+    ).toPandas()
+    api = (
+        REGISTRY["bpe_merge_candidates"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(_sorted(sql), _sorted(api))
