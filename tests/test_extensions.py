@@ -1174,3 +1174,68 @@ def test_embedding_int8_quantize_matches_numpy(spark, tmp_path):
     # x == max must land exactly on code 255 for every non-degenerate dim
     top = np.argmax(x[:, 0])
     assert codes[top, 0] == 255
+
+
+_EMPTY_DOC_OPS = [
+    "editdist_neardup_join",
+    "ngram_novelty_score",
+    "dsir_importance_weights",
+    "bpe_merge_candidates",
+    "pii_redaction",
+    "dedup_keep_best",
+]
+
+
+def _write_empty(path, schema):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({f.name: [] for f in schema}, schema=schema), path
+    )
+
+
+@pytest.mark.parametrize("name", _EMPTY_DOC_OPS)
+def test_new_ops_tolerate_empty_documents(spark, tmp_path, name):
+    """Empty partitions are routine at scale: every round-7 doc operator
+    must return an empty (or well-defined) result on a 0-row documents
+    table, never raise."""
+    import pyarrow as pa
+
+    _write_empty(
+        tmp_path / "documents.parquet",
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    out = REGISTRY[name].spark(spark, str(tmp_path)).toPandas()
+    assert len(out) == 0
+
+
+def test_new_ops_tolerate_empty_embeddings(spark, tmp_path):
+    """Same guarantee for the embedding operators: a 0-row embeddings table
+    yields a well-defined result (eval emits its two metric rows with zero
+    hits; the quantizer emits no vectors)."""
+    import pyarrow as pa
+
+    _write_empty(
+        tmp_path / "embeddings.parquet",
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+    q = REGISTRY["embedding_int8_quantize"].spark(spark, str(tmp_path))
+    assert len(q.toPandas()) == 0
+    ev = REGISTRY["retrieval_eval_recall"].spark(spark, str(tmp_path)).toPandas()
+    assert set(ev.method) == {"signbucket", "ivf"}
+    assert (ev.hits == 0).all() and (ev.top1_rank == 0).all()
