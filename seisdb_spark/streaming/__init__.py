@@ -13,6 +13,7 @@ from seisdb_spark.streaming.ingest import (  # noqa: F401
     dedup_events_stream,
     enrich_stream_static,
     finalize_sgt_from_staging,
+    novelty_probe,
     read_documents_stream,
     read_events_stream,
     run_to_memory,

@@ -390,3 +390,90 @@ def finalize_sgt_from_staging(
     series = assemble_series(snaps, points, steps, kind="SGT")
     level = ENCODING_LEVEL_DEFAULT if encoding_level is None else encoding_level
     return add_start_offsets(encode_records(series, level))
+
+
+def novelty_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    batch_pred=None,
+) -> DataFrame:
+    """Ingest-path NOVELTY scoring: each arriving document is scored by the
+    fraction of its distinct word shingles ABSENT from the static corpus's
+    gram inventory — the streaming reading of
+    queries/extensions.py::ngram_novelty_score, with the semantics shifted
+    the way ingest requires: novelty is measured against the EXISTING
+    corpus (batch docs never interact), not against ingestion order inside
+    one batch.
+
+    Streaming-curation conventions shared with the incremental-dedup probe
+    (queries/streaming_queries.py::streaming_incremental_dedup):
+
+    * the static corpus is doc_id % 10 != 0; the arriving batch is
+      doc_id % 10 == 0 (override via ``batch_pred``);
+    * the corpus gram inventory is computed ONCE and persisted across
+      microbatches (Spark never reuses exchanges across foreachBatch
+      actions); production writes it as a gram-bucketed parquet table so
+      the per-batch membership join prunes buckets instead of scanning;
+    * per-batch results land in a batch_id-derived OVERWRITE path —
+      idempotent under checkpoint-recovery replays (foreachBatch is
+      at-least-once per batch_id);
+    * per-batch cost scales with the batch: the batch gram set is the
+      (small) build side of the membership join, the corpus side is
+      pruned/streamed, never collected.
+
+    Returns the union of all batch outputs:
+    (doc_id, n_shingles, n_novel, novelty).
+    """
+    import os
+    import shutil
+
+    from seisdb_spark.functions.text import shingle_tokens
+    from seisdb_spark.sources.tables import load_table
+
+    if batch_pred is None:
+        batch_pred = F.col("doc_id") % 10 == 0
+
+    corpus = load_table(spark, sf_dir, "documents").filter(~batch_pred)
+    corpus_grams = (
+        shingle_tokens(corpus).select("sh").distinct()
+        .withColumn("in_corpus", F.lit(1))
+        .persist()
+    )
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    scores_dir = os.path.join(out_root, "scores")
+    ckpt = os.path.join(out_root, "ckpt")
+
+    def probe(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.filter(batch_pred)
+        bsh = shingle_tokens(batch)
+        novel = F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0))
+        (
+            bsh.join(corpus_grams, "sh", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                novel.cast("long").alias("n_novel"),
+                F.round(
+                    novel.cast("double") / F.count(F.lit(1)), 6
+                ).alias("novelty"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(scores_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_grams.unpersist()
+    return spark.read.schema(
+        "doc_id long, n_shingles long, n_novel long, novelty double"
+    ).parquet(os.path.join(scores_dir, "batch-*"))

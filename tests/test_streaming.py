@@ -414,3 +414,80 @@ def test_streaming_decontamination_equals_batch(spark):
     pd.testing.assert_frame_equal(
         streamed.astype("int64"), batch.astype("int64")
     )
+
+
+def test_novelty_probe_matches_batch_recompute(spark, tmp_path):
+    """The foreachBatch novelty probe (round-8 candidate, library-only for
+    now) must equal a batch recomputation of the same vs-corpus semantics:
+    per arriving doc, the fraction of its distinct shingles absent from
+    the static corpus gram inventory."""
+    import pyspark.sql.functions as F
+
+    from seisdb_spark.functions.text import shingle_tokens
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import novelty_probe
+    from tests.conftest import SMOKE_SF_DIR
+
+    streamed = (
+        novelty_probe(spark, SMOKE_SF_DIR, str(tmp_path / "probe"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    corpus_grams = (
+        shingle_tokens(docs.filter(F.col("doc_id") % 10 != 0))
+        .select("sh")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    bsh = shingle_tokens(docs.filter(F.col("doc_id") % 10 == 0))
+    novel = F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0))
+    batch = (
+        bsh.join(corpus_grams, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_novelty_probe_planted_extremes(spark, tmp_path):
+    """An arriving doc made entirely of corpus-known grams scores 0.0; one
+    made of never-seen words scores 1.0."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from seisdb_spark.streaming import novelty_probe
+
+    words = [f"k{i:02d}" for i in range(30)]
+    corpus_text = " ".join(words)
+    fresh_text = " ".join(f"z{i:02d}" for i in range(30))
+    pdf = pd.DataFrame(
+        {
+            # corpus: doc 1 (id % 10 != 0); arriving batch: docs 10, 20
+            "doc_id": [1, 10, 20],
+            "text": [corpus_text, corpus_text, fresh_text],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(corpus_text), len(corpus_text), len(fresh_text)],
+        }
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    pdf.to_parquet(data_dir / "documents.parquet")
+    out = (
+        novelty_probe(spark, str(data_dir), str(tmp_path / "probe"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[10].novelty == 0.0
+    assert out.loc[20].novelty == 1.0
