@@ -185,3 +185,82 @@ def test_lloyd_derives_dim_and_rejects_ragged(spark, tmp_path):
     emb2 = load_table(spark, str(tmp_path / "r"), "embeddings")
     with pytest.raises(ValueError, match="outside the seed dim|ragged"):
         lloyd_refine(emb2, k=2, iters=1)
+
+
+# --- distributed PCA (functions/pca.py, round-8 candidate surface) ---------
+
+
+def test_pca_matches_numpy_and_is_map_only(spark, tmp_path):
+    """Components/projection must match a pure-numpy PCA on the same data
+    (up to the documented deterministic sign), and the projection plan
+    must be map-only — no exchange of any kind."""
+    import numpy as np
+    import pandas as pd
+
+    from seisdb_spark.functions.pca import pca_components, project
+    from seisdb_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(17)
+    # anisotropic data: variance concentrated along two planted directions
+    base = rng.normal(size=(200, 64)) * 0.05
+    d1, d2 = rng.normal(size=64), rng.normal(size=64)
+    base += np.outer(rng.normal(size=200) * 3.0, d1 / np.linalg.norm(d1))
+    base += np.outer(rng.normal(size=200) * 1.5, d2 / np.linalg.norm(d2))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [r.astype(np.float32).tolist() for r in base],
+            "label": [0] * 200,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    emb = load_table(spark, str(tmp_path), "embeddings")
+
+    comps, mean = pca_components(emb, k=2)
+    x = np.array([np.asarray(v, np.float64) for v in pdf.embedding])
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    want = vecs[:, ::-1][:, :2].T
+    for i in range(2):
+        w = want[i] if want[i][np.argmax(np.abs(want[i]))] > 0 else -want[i]
+        np.testing.assert_allclose(comps[i], w, atol=1e-7)
+
+    proj = project(emb, comps, mean)
+    got = proj.toPandas().set_index("vec_id").sort_index()
+    want_proj = np.round((x - x.mean(axis=0)) @ comps.T, 6)
+    np.testing.assert_allclose(got[["pc0", "pc1"]].to_numpy(), want_proj, atol=2e-6)
+
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final  # map-only: literal comps, no shuffle
+    # the planted dominant direction carries more projected variance
+    assert got.pc0.std() > got.pc1.std() * 1.5
+
+
+def test_pca_gram_partials_bounded_by_partitions(spark, tmp_path):
+    """The driver-merged state is one row per non-empty partition — the
+    d^2-bounded partial-aggregation claim, checked directly."""
+    import numpy as np
+    import pandas as pd
+
+    from seisdb_spark.functions.pca import gram_partials
+    from seisdb_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [
+                rng.normal(size=64).astype(np.float32).tolist()
+                for _ in range(50)
+            ],
+            "label": [0] * 50,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    emb = load_table(spark, str(tmp_path), "embeddings").repartition(8)
+    parts = gram_partials(emb).collect()
+    assert 1 <= len(parts) <= 8
+    assert sum(r.n for r in parts) == 50
+    assert all(len(r.g) == 64 * 64 and len(r.s) == 64 for r in parts)
