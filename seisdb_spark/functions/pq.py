@@ -1,0 +1,126 @@
+"""Product quantization (PQ) over the embedding column — the production
+vector-store codec (round-8 candidate surface; library + tests now,
+registry/window entry when a rotation slot opens).
+
+PQ splits each d-dim vector into ``n_sub`` contiguous subvectors and
+quantizes each against its own k-entry codebook: storage drops from
+d * 4 bytes (float32) to ``n_sub`` code bytes (8 bytes/vector at the
+classic 8x256 operating point — 32x smaller), and approximate distances
+are computed from codes alone via per-subspace lookup tables (ADC —
+asymmetric distance computation), never touching the original vectors.
+
+Scale shape, stage by stage:
+
+* **training** reuses the bounded-state Lloyd module per subspace
+  (``cluster.lloyd_refine`` on a ``slice()`` column): k·(d/n_sub) driver
+  doubles per subspace, k·d total — constant in the corpus size.
+* **encoding is MAP-ONLY**: each subspace's code is an argmin over k
+  LITERAL centroids (the same literal-broadcast trick the k-means
+  assignment and semantic-dedup use) — n_sub · k small HOF folds inside
+  whole-stage codegen, no join, no shuffle.  The per-vector quantization
+  error (sum of chosen subspace distances) comes free from the same
+  folds.
+* **ADC search is MAP-ONLY + TakeOrdered**: the query's n_sub × k
+  distance table is computed driver-side in numpy (n_sub·k doubles) and
+  enters the plan as literal arrays; each row's approximate distance is
+  n_sub ``element_at`` lookups summed left-to-right, then
+  ``orderBy().limit(k)`` plans TakeOrderedAndProject.  At 100 TB the
+  codes table is the only thing scanned — 32x fewer bytes than the
+  vectors, with partition pruning on any IVF/list column layered above.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seisdb_spark.functions.cluster import _dist2_expr, lloyd_refine
+from seisdb_spark.functions.vectors import EMBEDDING_DIM
+
+PQ_SUBSPACES = 8
+PQ_K = 16  # per-subspace codebook size (256 in production; 16 keeps the
+#            literal expressions and tests small — the shape is identical)
+
+
+def train_codebooks(
+    emb: DataFrame,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    iters: int = 2,
+    dim: int = EMBEDDING_DIM,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd codebooks (n_sub x k x d/n_sub), deterministic
+    seeds, bounded driver state (see cluster.py)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sublen = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        sub = emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {s * sublen + 1}, {sublen})").alias(
+                "sub"
+            ),
+        )
+        _, cents = lloyd_refine(sub, k=k, iters=iters, col="sub")
+        books.append(cents)
+    return books
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>, qerr double): map-only argmin per
+    subspace against literal codebooks + the summed quantization error."""
+    sublen = len(books[0][0])
+    code_exprs, err_exprs = [], []
+    for s, cents in enumerate(books):
+        sub = f"slice(embedding, {s * sublen + 1}, {sublen})"
+        dists = "array(" + ", ".join(_dist2_expr(sub, c) for c in cents) + ")"
+        code_exprs.append(f"(array_position({dists}, array_min({dists})) - 1)")
+        err_exprs.append(f"array_min({dists})")
+    codes = "array(" + ", ".join(code_exprs) + ")"
+    err = "(" + ") + (".join(err_exprs) + ")"
+    return emb.select(
+        "vec_id",
+        F.expr(codes).cast("array<int>").alias("codes"),
+        F.round(F.expr(err), 6).alias("qerr"),
+    )
+
+
+def adc_table(
+    books: list[list[list[float]]], query: np.ndarray
+) -> list[list[float]]:
+    """Per-subspace squared-L2 distance table (n_sub x k), numpy,
+    driver-side — n_sub*k doubles, independent of the corpus."""
+    sublen = len(books[0][0])
+    q = np.asarray(query, dtype=np.float64)
+    table = []
+    for s, cents in enumerate(books):
+        qs = q[s * sublen : (s + 1) * sublen]
+        table.append(
+            [float(((qs - np.asarray(c)) ** 2).sum()) for c in cents]
+        )
+    return table
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    books: list[list[list[float]]],
+    query: np.ndarray,
+    topk: int = 10,
+) -> DataFrame:
+    """Approximate nearest neighbours from CODES alone: literal lookup
+    tables + element_at sums, then TakeOrderedAndProject."""
+    table = adc_table(books, query)
+    terms = []
+    for s, row in enumerate(table):
+        lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+        terms.append(f"element_at({lit}, codes[{s}] + 1)")
+    dist = "(" + ") + (".join(terms) + ")"
+    return (
+        codes_df.select(
+            "vec_id", F.round(F.expr(dist), 6).alias("adc_dist2")
+        )
+        .orderBy("adc_dist2", "vec_id")
+        .limit(topk)
+    )

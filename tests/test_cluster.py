@@ -264,3 +264,85 @@ def test_pca_gram_partials_bounded_by_partitions(spark, tmp_path):
     assert 1 <= len(parts) <= 8
     assert sum(r.n for r in parts) == 50
     assert all(len(r.g) == 64 * 64 and len(r.s) == 64 for r in parts)
+
+
+# --- product quantization (functions/pq.py, round-8 candidate surface) -----
+
+
+def _pq_fixture(tmp_path, n=120, seed=29):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # clustered data so ADC recall is meaningful: 4 planted centers
+    centers = rng.normal(size=(4, 64)) * 2.0
+    x = centers[rng.integers(0, 4, size=n)] + rng.normal(size=(n, 64)) * 0.3
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [r.astype(np.float32).tolist() for r in x],
+            "label": [0] * n,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    return x
+
+
+def test_pq_encode_matches_numpy_and_is_map_only(spark, tmp_path):
+    """Codes must equal the numpy argmin against the SAME trained books,
+    qerr must equal the summed chosen distances, and the encode plan must
+    be exchange-free (map-only literal codebooks)."""
+    import numpy as np
+
+    from seisdb_spark.functions.pq import pq_encode, train_codebooks
+    from seisdb_spark.sources.tables import load_table
+
+    x = _pq_fixture(tmp_path)
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    books = train_codebooks(emb, n_sub=8, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    got = enc.toPandas().set_index("vec_id").sort_index()
+
+    sublen = 8
+    for i, xi in enumerate(x):
+        want_codes, want_err = [], 0.0
+        for s in range(8):
+            sub = xi[s * sublen : (s + 1) * sublen]
+            d = [((sub - np.asarray(c)) ** 2).sum() for c in books[s]]
+            want_codes.append(int(np.argmin(d)))
+            want_err += min(d)
+        assert list(got.loc[i].codes) == want_codes, f"vec {i}"
+        assert abs(got.loc[i].qerr - round(want_err, 6)) < 2e-6
+
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_pq_adc_recall_and_plan(spark, tmp_path):
+    """ADC top-10 from codes alone must recover most of the exact top-10
+    (clustered data, 8x8 codebooks), and the search plan must be
+    TakeOrderedAndProject over a map-only projection."""
+    import numpy as np
+
+    from seisdb_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_codebooks,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    x = _pq_fixture(tmp_path)
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    books = train_codebooks(emb, n_sub=8, k=8, iters=1)
+    codes = pq_encode(emb, books)
+    q = x[0]
+    top = pq_adc_topk(codes, books, q, topk=10)
+    got = set(top.toPandas().vec_id)
+    exact = set(
+        np.argsort(((x - q) ** 2).sum(axis=1), kind="stable")[:10].tolist()
+    )
+    assert len(got & exact) >= 6, f"ADC recall {len(got & exact)}/10"
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Exchange" not in final
