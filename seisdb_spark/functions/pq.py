@@ -124,3 +124,88 @@ def pq_adc_topk(
         .orderBy("adc_dist2", "vec_id")
         .limit(topk)
     )
+
+
+# --- IVF-PQ: the composed production index ---------------------------------
+# Coarse quantizer (Lloyd) partitions the corpus into lists; PQ encodes the
+# RESIDUAL (x - coarse centroid) per list — residuals are smaller and
+# better-conditioned than raw vectors, which is why every production index
+# (FAISS IVFPQ) composes the two this way.  At 100 TB the list id is the
+# partition column (write.partitionBy("list")), so probing is partition
+# PRUNING; the scanned bytes are nprobe/n_coarse of an already-32x-smaller
+# codes table.
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    n_coarse: int = 4,
+    n_sub: int = PQ_SUBSPACES,
+    k: int = PQ_K,
+    iters: int = 1,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Returns (codes_df(vec_id, list, codes, qerr), coarse centroids,
+    shared residual codebooks).  Every stage is map-only or
+    bounded-driver-state; the corpus is scanned, never collected."""
+    assigned, coarse = lloyd_refine(emb, k=n_coarse, iters=iters)
+    cents = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+            for c in coarse
+        )
+        + ")"
+    )
+    resid = assigned.select(
+        "vec_id",
+        F.col("cluster").alias("list"),
+        F.expr(
+            f"zip_with(embedding, element_at({cents}, cluster + 1), "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("embedding"),
+    )
+    books = train_codebooks(resid, n_sub=n_sub, k=k, iters=iters)
+    codes = pq_encode(resid, books)
+    return (
+        resid.select("vec_id", "list")
+        .join(codes, "vec_id")
+        .select("vec_id", "list", "codes", "qerr"),
+        coarse,
+        books,
+    )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    query: np.ndarray,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Probe the nprobe nearest coarse lists; ADC with a PER-LIST residual
+    table (query - list centroid); union the probed lists and TakeOrdered.
+    The list filter is the partition-pruning predicate at scale."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in coarse]
+    probed = sorted(range(len(coarse)), key=lambda i: (d2[i], i))[:nprobe]
+    parts = []
+    for li in probed:
+        table = adc_table(books, q - np.asarray(coarse[li]))
+        terms = []
+        for s, row in enumerate(table):
+            lit = (
+                "array("
+                + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row)
+                + ")"
+            )
+            terms.append(f"element_at({lit}, codes[{s}] + 1)")
+        dist = "(" + ") + (".join(terms) + ")"
+        parts.append(
+            codes_df.filter(F.col("list") == li).select(
+                "vec_id", F.round(F.expr(dist), 6).alias("adc_dist2")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("adc_dist2", "vec_id").limit(topk)

@@ -346,3 +346,43 @@ def test_pq_adc_recall_and_plan(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in final
     assert "Exchange" not in final
+
+
+def test_ivfpq_recall_pruning_and_residual_gain(spark, tmp_path):
+    """The composed index must (a) beat a conservative recall floor while
+    scanning only the probed lists (the filter is the pruning predicate),
+    and (b) quantize residuals with LOWER error than raw-vector PQ at the
+    same code budget — the reason production indexes encode residuals."""
+    import numpy as np
+
+    from seisdb_spark.functions.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        pq_encode,
+        train_codebooks,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    x = _pq_fixture(tmp_path, n=160, seed=41)
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    codes, coarse, books = ivfpq_build(emb, n_coarse=4, n_sub=8, k=8)
+    got_codes = codes.toPandas()
+    assert len(got_codes) == 160
+    assert set(got_codes["list"].unique()) <= {0, 1, 2, 3}
+
+    q = x[3]
+    top = ivfpq_topk(codes, coarse, books, q, nprobe=2, topk=10)
+    got = set(top.toPandas().vec_id)
+    exact = set(
+        np.argsort(((x - q) ** 2).sum(axis=1), kind="stable")[:10].tolist()
+    )
+    assert len(got & exact) >= 6, f"IVF-PQ recall {len(got & exact)}/10"
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+
+    # residual PQ must beat raw PQ on mean quantization error
+    raw_books = train_codebooks(emb, n_sub=8, k=8, iters=1)
+    raw_err = pq_encode(emb, raw_books).agg({"qerr": "avg"}).head()[0]
+    res_err = codes.agg({"qerr": "avg"}).head()[0]
+    assert res_err < raw_err, (res_err, raw_err)
