@@ -386,3 +386,29 @@ def test_ivfpq_recall_pruning_and_residual_gain(spark, tmp_path):
     raw_err = pq_encode(emb, raw_books).agg({"qerr": "avg"}).head()[0]
     res_err = codes.agg({"qerr": "avg"}).head()[0]
     assert res_err < raw_err, (res_err, raw_err)
+
+
+def test_semdedup_k_properties():
+    """Pure-formula properties of the capped cluster count: bounds, sqrt
+    behavior below the cap, cap above it, monotone non-decreasing."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from seisdb_spark.queries.extensions import (
+        SEMDEDUP_K_CAP,
+        SEMDEDUP_MIN_K,
+        semdedup_k,
+    )
+
+    @given(st.integers(min_value=0, max_value=10**12))
+    def check(n):
+        import math
+
+        k = semdedup_k(n)
+        assert SEMDEDUP_MIN_K <= k <= SEMDEDUP_K_CAP
+        if n > 1:
+            want = math.isqrt(n - 1) + 1
+            assert k == max(SEMDEDUP_MIN_K, min(SEMDEDUP_K_CAP, want))
+        assert semdedup_k(n + 1) >= k  # monotone
+
+    check()
