@@ -3940,9 +3940,13 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op composes three existing surfaces end-to-end: verified near-dup pairs
 # (LSH + Jaccard) -> connected components (transitive closure) -> the
 # hashed-linear quality margin, then an argmax per cluster (quality DESC,
-# doc_id tiebreak).  Scale shape: the cluster table is candidate-sized
-# (a vanishing fraction of the corpus), so it BROADCASTS into the token
-# stream — classifier sums are computed ONLY for clustered docs, never
+# doc_id tiebreak).  Scale shape: the cluster table is DUP-RATE-DEPENDENT
+# (every doc in a verified near-dup cluster — at a realistic 20-40 % corpus
+# dup rate that is corpus-fraction-sized), so the join carries NO broadcast
+# hint: AQE picks broadcast at runtime when the set is actually small, the
+# same discipline documented at curation_pipeline_stats' losers join.  The
+# join still restricts the token stream so classifier sums are computed
+# ONLY for clustered docs, never
 # corpus-wide; the per-cluster argmax window partitions by cluster_id
 # (cluster-sized tasks, never a global sort).
 @query(
@@ -3951,8 +3955,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="QUALITY-PRIORITIZED DEDUP: near-dup clusters (LSH -> Jaccard -> "
     "connected components) keep their highest-quality member by hashed "
     "linear-classifier weight (integer-exact sums; doc_id breaks ties) "
-    "instead of crawl order. The candidate-sized cluster table broadcasts "
-    "into the token stream, so quality is scored only for clustered docs; "
+    "instead of crawl order. The cluster table is dup-rate-dependent (can "
+    "be corpus-fraction-sized), so its join carries no broadcast hint — "
+    "AQE broadcasts when it is actually small; the join still restricts "
+    "the token stream so quality is scored only for clustered docs; "
     "the keep argmax is a cluster-partitioned window. Oracle composes the "
     "recursive-CTE closure with the classifier weights verbatim.",
     bench=True,
@@ -3966,7 +3972,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("canonical_id").alias("cluster_id")
     )
     tok = with_token_hash(
-        docs.join(F.broadcast(cc), "doc_id").select(
+        docs.join(cc, "doc_id").select(
             "doc_id",
             "cluster_id",
             F.explode(F.split(F.col("text"), " ")).alias("word"),

@@ -167,12 +167,14 @@ STRESS_QUERIES = {
     # sub-pipelines (each asserted separately); the eval must not introduce
     # a cartesian or a corpus-wide shuffle of its own
     "retrieval_eval_recall": lambda p: not has_node(p, "CartesianProduct"),
-    # the candidate-sized cluster table must BROADCAST into the token
-    # stream (quality scored only for clustered docs, never corpus-wide);
-    # the keep argmax partitions by cluster — no global sort
+    # the cluster table is dup-rate-dependent, so its join must NOT carry
+    # a mandatory broadcast hint (r7 verdict weak mark) — AQE is free to
+    # broadcast when the runtime stats say it is small; the keep argmax
+    # partitions by cluster — no global sort.  The no-hint property itself
+    # is asserted on the analyzed plan in tests/test_extensions.py
+    # (test_dedup_keep_best_no_forced_broadcast).
     "dedup_keep_best": lambda p: (
-        has_node(p, "BroadcastHashJoin")
-        and not has_node(p, "CartesianProduct")
+        not has_node(p, "CartesianProduct")
         and not has_node(p, "rangepartitioning")
     ),
     # stats collapse to EMBEDDING_DIM keys; the (mins, steps) row must
