@@ -266,6 +266,40 @@ def test_pca_gram_partials_bounded_by_partitions(spark, tmp_path):
     assert all(len(r.g) == 64 * 64 and len(r.s) == 64 for r in parts)
 
 
+def test_pca_driver_merge_bounded_by_dim_not_partitions(spark, tmp_path):
+    """The r7 verdict's must-fix: ``covariance`` must read d^2 + d + 1
+    MERGED rows from Spark (constant in the partition count), never one
+    partial row per partition — and still match numpy exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from seisdb_spark.functions.pca import covariance, merged_gram
+    from seisdb_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, 64))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [r.astype(np.float32).tolist() for r in x],
+            "label": [0] * 60,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    emb = load_table(spark, str(tmp_path), "embeddings").repartition(16)
+    assert merged_gram(emb).count() == 64 * 64 + 64 + 1
+    # the exchange that merges partials is index-keyed (d^2-bounded), and
+    # partial aggregation runs map-side before it
+    plan = merged_gram(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    xf = np.array([np.asarray(v, np.float64) for v in pdf.embedding])
+    mean, cov = covariance(emb)
+    np.testing.assert_allclose(mean, xf.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(
+        cov, np.cov(xf, rowvar=False, bias=True), atol=1e-9
+    )
+
+
 # --- product quantization (functions/pq.py, round-8 candidate surface) -----
 
 
