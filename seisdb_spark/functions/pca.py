@@ -145,7 +145,12 @@ def project(
             "aggregate(zip_with(embedding, {lit}, (x, y) -> "
             "CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, t) -> a + t)"
         ).format(lit=lit)
-        shift = float(np.dot(mean, c))
+        # left-to-right accumulation (not np.dot, whose pairwise order is
+        # unspecified): bit-identical to a left-associated SQL `+` chain,
+        # so an engine-side oracle can reproduce the shift exactly
+        shift = 0.0
+        for m, cv in zip(mean.tolist(), c.tolist()):
+            shift += m * cv
         cols.append(
             F.round(F.expr(fold) - F.lit(shift), round_to).alias(f"pc{i}")
         )

@@ -68,9 +68,15 @@ def train_codebooks(
     return books
 
 
-def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
-    """(vec_id, codes array<int>, qerr double): map-only argmin per
-    subspace against literal codebooks + the summed quantization error."""
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, *keep, codes array<int>, qerr double): map-only argmin per
+    subspace against literal codebooks + the summed quantization error.
+    ``keep`` carries extra columns (e.g. the IVF list id) through the
+    projection so callers don't need a rejoin on vec_id afterwards."""
     sublen = len(books[0][0])
     code_exprs, err_exprs = [], []
     for s, cents in enumerate(books):
@@ -82,6 +88,7 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     err = "(" + ") + (".join(err_exprs) + ")"
     return emb.select(
         "vec_id",
+        *keep,
         F.expr(codes).cast("array<int>").alias("codes"),
         F.round(F.expr(err), 6).alias("qerr"),
     )
@@ -93,13 +100,20 @@ def adc_table(
     """Per-subspace squared-L2 distance table (n_sub x k), numpy,
     driver-side — n_sub*k doubles, independent of the corpus."""
     sublen = len(books[0][0])
-    q = np.asarray(query, dtype=np.float64)
+    q = [float(v) for v in np.asarray(query, dtype=np.float64)]
     table = []
     for s, cents in enumerate(books):
         qs = q[s * sublen : (s + 1) * sublen]
-        table.append(
-            [float(((qs - np.asarray(c)) ** 2).sum()) for c in cents]
-        )
+        row = []
+        for c in cents:
+            # left-to-right accumulation (not np.sum, whose pairwise order
+            # is unspecified): bit-identical to a left-associated SQL `+`
+            # chain, so an engine-side oracle reproduces each entry exactly
+            d = 0.0
+            for a, b in zip(qs, c):
+                d += (a - float(b)) * (a - float(b))
+            row.append(d)
+        table.append(row)
     return table
 
 
@@ -164,14 +178,8 @@ def ivfpq_build(
         ).alias("embedding"),
     )
     books = train_codebooks(resid, n_sub=n_sub, k=k, iters=iters)
-    codes = pq_encode(resid, books)
-    return (
-        resid.select("vec_id", "list")
-        .join(codes, "vec_id")
-        .select("vec_id", "list", "codes", "qerr"),
-        coarse,
-        books,
-    )
+    # `keep` threads the list id through the map-only encode — no rejoin
+    return pq_encode(resid, books, keep=("list",)), coarse, books
 
 
 def ivfpq_topk(
@@ -186,7 +194,14 @@ def ivfpq_topk(
     table (query - list centroid); union the probed lists and TakeOrdered.
     The list filter is the partition-pruning predicate at scale."""
     q = np.asarray(query, dtype=np.float64)
-    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in coarse]
+    # left-to-right accumulation (see adc_table) so an engine-side oracle
+    # reproduces the probe selection exactly
+    d2 = []
+    for c in coarse:
+        s = 0.0
+        for a, b in zip(q.tolist(), c):
+            s += (a - float(b)) * (a - float(b))
+        d2.append(s)
     probed = sorted(range(len(coarse)), key=lambda i: (d2[i], i))[:nprobe]
     parts = []
     for li in probed:

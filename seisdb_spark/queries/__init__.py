@@ -90,6 +90,23 @@ train/val/test splits, new) rotates in for ``quality_filter_pipeline``
 (green r4+r5+r6; the quality family keeps ``quality_classifier_score``
 and ``streaming_quality_gate`` in-window).
 
+Round-8 rotation: the vector-store codec surface built (library+tests) in
+round 7 gets its driver rows — ``pca_project``, ``pq_encode_codes``,
+``pq_adc_topk``, ``ivfpq_adc_topk`` (queries/vector_store.py) — plus
+``streaming_novelty_probe`` (ingest-path novelty, 9th oracle-bearing
+streaming entry) and ``approx_quantile_gate`` rotated back in as the
+sketch-family representative (the family had no in-window member since
+round 7).  Rotating OUT per thrice-green eligibility with family coverage
+preserved: ``decontamination_overlap``, ``sequence_packing``,
+``budgeted_sample_per_lang``, ``streaming_sliding_counts`` (each green
+r5+r6+r7), ``embedding_neardup_pairs`` (green r4-r7; the banded sign-LSH
+machinery stays hash-checked via ``semantic_dedup``), and
+``kmeans_refine_assign`` (rows-only smoke whose one required clean driver
+execution landed in r7; Lloyd stays numpy-golden-tested and the
+seed/assign machinery is hash-checked through ``semantic_dedup`` /
+``ann_ivf_topk`` / the new PQ rows).  The eight late-r7 operators keep
+their slots until thrice-green per the rotation rule.
+
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
@@ -108,6 +125,7 @@ from seisdb_spark.queries.registry import REGISTRY, QuerySpec
 from seisdb_spark.queries import relational  # noqa: F401,E402
 from seisdb_spark.queries import arrays  # noqa: F401,E402
 from seisdb_spark.queries import extensions  # noqa: F401,E402
+from seisdb_spark.queries import vector_store  # noqa: F401,E402
 from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 
 #: The 50 queries the driver must hash-check, in priority order.
@@ -142,9 +160,31 @@ DRIVER_WINDOW: list[str] = [
     # --- training_shard_manifest (each green r4+r5+r6, families covered) --
     "bm25_multiquery",
     "hybrid_rrf_topk",
-    "kmeans_refine_assign",
+    # --- round-8 rotation: the vector-store codec surface (r7 verdict item
+    # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
+    # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty
+    # --- probe (9th oracle-bearing streaming entry, item #4) and the
+    # --- sketch-family rep approx_quantile_gate rotated back in (item #6;
+    # --- the family had no in-window member since r7).  Rotating OUT:
+    # --- decontamination_overlap / sequence_packing /
+    # --- budgeted_sample_per_lang / streaming_sliding_counts (each green
+    # --- r5+r6+r7; decontamination stays via streaming_decontamination,
+    # --- packing via packing_efficiency, sampling via curation_keep_set's
+    # --- stratified stage, streaming keeps 8 in-window entries),
+    # --- embedding_neardup_pairs (green r4-r7; the banded sign-LSH
+    # --- machinery stays end-to-end via semantic_dedup + the ANN pair),
+    # --- and kmeans_refine_assign (rows-only smoke — its one required
+    # --- clean driver execution landed in r7, closing the r6 hygiene
+    # --- item; the Lloyd loop stays numpy-golden pytest-checked and its
+    # --- seed/assign machinery is hash-checked through semantic_dedup,
+    # --- ann_ivf_topk, and the new PQ rows).
+    "pca_project",
+    "pq_encode_codes",
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
+    "streaming_novelty_probe",
+    "approx_quantile_gate",
     "vocab_coverage_32k",
-    "embedding_neardup_pairs",
     "curation_keep_set",
     "split_leakage_audit",
     "salted_skew_agg",
@@ -184,15 +224,11 @@ DRIVER_WINDOW: list[str] = [
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
-    "decontamination_overlap",
-    "sequence_packing",
-    "budgeted_sample_per_lang",
     # --- Structured Streaming (now 7 oracle-bearing entries; the round-6
     # --- streaming_quality_gate takes doc_chunking's slot — thrice-green
     # --- r3+r4+r5, chunking covered by the packing pair + pytest) -----------
     "streaming_tumbling_counts",
     "streaming_sessionize",
-    "streaming_sliding_counts",
     # round-7 late rotation: bpe_merge_candidates (tokenizer-training
     # pair counts over the vocab table) in for streaming_dedup_events
     # (green r4+r5+r6; stateful streaming dedup stays in-window via

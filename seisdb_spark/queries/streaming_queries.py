@@ -443,3 +443,64 @@ def _share_decon_oracle() -> None:
 
 
 _share_decon_oracle()
+
+
+@query(
+    "streaming_novelty_probe",
+    oracle=None,  # set below (needs extensions' shingle CTE at import end)
+    doc="STREAMING NOVELTY PROBE (streaming/ingest.py::novelty_probe): each "
+    "arriving document (doc_id % 10 == 0) is scored for the fraction of "
+    "its distinct word shingles ABSENT from the static corpus's gram "
+    "inventory (doc_id % 10 != 0) — the ingest-path reading of "
+    "ngram_novelty_score, measured against the EXISTING corpus rather "
+    "than ingestion order. The corpus inventory is computed once and "
+    "persisted across microbatches; each batch's gram set is the small "
+    "build side of the membership join; per-batch outputs land in "
+    "batch_id-derived overwrite paths (idempotent under checkpoint "
+    "replays). Per-ingest cost scales with the batch, never the corpus. "
+    "Oracle recomputes both sides relationally over the full table.",
+)
+def streaming_novelty_probe(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from seisdb_spark.streaming.ingest import novelty_probe
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_novelty_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    return novelty_probe(spark, sf_dir, out_dir)
+
+
+def _set_novelty_probe_oracle() -> None:
+    from dataclasses import replace
+
+    from seisdb_spark.queries.extensions import _SHINGLE_CTE
+
+    sql = f"""
+        WITH {_SHINGLE_CTE},
+        corpus AS (SELECT DISTINCT sh FROM shingle WHERE doc_id % 10 <> 0),
+        b AS (
+            SELECT doc_id,
+                   CASE WHEN sh IN (SELECT sh FROM corpus) THEN 0 ELSE 1 END
+                       AS novel
+            FROM shingle WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(novel) AS BIGINT) AS n_novel,
+               round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
+        FROM b GROUP BY doc_id
+    """
+    REGISTRY["streaming_novelty_probe"] = replace(
+        REGISTRY["streaming_novelty_probe"], oracle=sql
+    )
+
+
+_set_novelty_probe_oracle()

@@ -1,0 +1,539 @@
+"""Driver-checked registry queries for the vector-store codec surface
+(functions/pca.py + functions/pq.py) — the r7 verdict's top round-8 item.
+
+These wrap the tested library (PCA projection, PQ encode, flat ADC top-k,
+composed IVF-PQ probe) as oracle-bearing queries.  The one thing an
+ANSI-SQL oracle cannot reproduce is ITERATIVE training (eigh / Lloyd), so
+each query pins the trained artifact to its deterministic SQL-expressible
+form and exercises the full production DATA PATH around it:
+
+* ``pca_project`` projects onto a FIXED orthonormal Walsh–Hadamard basis
+  (entries ±1/8, exact in binary — no rounding drift) with the mean taken
+  from the data; the eigendecomposition itself is driver-side numpy over a
+  d x d covariance and stays numpy-golden-tested (tests/test_cluster.py),
+  exactly like the Lloyd loop behind ``kmeans_refine_assign``.
+* the PQ family uses ONE-SHOT SEED CODEBOOKS — per-subspace centroids are
+  the subvectors of the k rows with the smallest md5 id-hashes, the same
+  deterministic seed rule ``cluster.seed_centroids`` / ``semantic_dedup``
+  use (Lloyd ``iters=0``).  The encode / ADC / probe machinery is byte-for-
+  byte the production one (``pq_encode`` / ``pq_adc_topk`` / ``ivfpq_topk``
+  are called directly); only the codebook VALUES differ from the refined
+  ones, and refinement is covered by the k-means driver row + pytest.
+
+Engine-exactness: every driver-side scalar (codebook entries, ADC tables,
+probe distances, the mean-projection shift) is collected floats widened to
+double and accumulated LEFT-TO-RIGHT, so the literal expressions Spark
+evaluates are bit-identical to the oracle's left-associated `+` chains —
+the same discipline as dot_chain_col/dot_chain_sql.
+
+Scale shape (unchanged from the library docstrings): seed selection is a
+TakeOrderedAndProject of k rows; codebooks/components enter the plan as
+literals (map-only encode/projection, no join, no shuffle); ADC search is
+a scan of the 32x-smaller codes table + TakeOrdered; the IVF list id is
+the partition-pruning column at 100 TB (asserted in
+tests/test_vector_store.py::test_ivfpq_codes_partition_pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seisdb_spark.functions import pca as pca_lib
+from seisdb_spark.functions import pq as pq_lib
+from seisdb_spark.functions.cluster import assign_clusters
+from seisdb_spark.functions.vectors import EMBEDDING_DIM
+from seisdb_spark.queries.extensions import _hash32_sql
+from seisdb_spark.queries.registry import query
+from seisdb_spark.sources.tables import content_hash32, load_table, spread
+
+# --- shared seed machinery --------------------------------------------------
+
+PCA_PROJECT_K = 4
+PQ_N_SUB = pq_lib.PQ_SUBSPACES  # 8 subspaces of 8 dims
+PQ_SEED_K = pq_lib.PQ_K  # 16 centroids per subspace
+IVF_N_COARSE = 4
+IVF_NPROBE = 2
+
+
+def _seed_vectors(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
+    """The k embedding vectors with the smallest (md5-id-hash, vec_id) —
+    content-stable, engine-reproducible (TakeOrderedAndProject, k rows to
+    the driver).  Lockstep with the oracle's ``ranked`` CTE."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    rows = (
+        emb.select("vec_id", "embedding", content_hash32("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _books_from_seeds(
+    seeds: list[list[float]], n_sub: int
+) -> list[list[list[float]]]:
+    """Slice whole seed vectors into per-subspace codebooks (n_sub x k x
+    d/n_sub) — the Lloyd iters=0 operating point."""
+    sublen = len(seeds[0]) // n_sub
+    return [
+        [v[s * sublen : (s + 1) * sublen] for v in seeds]
+        for s in range(n_sub)
+    ]
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The probe vector every ANN oracle query uses: embedding of vec_id 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+#: ranked/seed CTE prefix shared by every oracle below (DuckDB twin of
+#: :func:`_seed_vectors` — same hash, same (h, vec_id) order).
+_RANKED_CTE = f"""
+    eh AS (
+        SELECT vec_id, embedding,
+               {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY h, vec_id) AS rk
+        FROM eh
+    )
+"""
+
+
+def _sq(a: str, b: str) -> str:
+    """((a) - (b))^2 — written out so the oracle's ops are the exact IEEE
+    sequence the Spark fold evaluates."""
+    return f"(({a}) - ({b})) * (({a}) - ({b}))"
+
+
+def _chain(terms: list[str]) -> str:
+    """Left-associated `+` chain (SQL grammar folds left), bit-matching a
+    left-to-right fold from +0.0."""
+    return " + ".join(terms)
+
+
+# --- pca_project ------------------------------------------------------------
+
+# Walsh–Hadamard rows 1, 2, 4, 8 of H_64, normalized: entries are exactly
+# ±0.125 (a power of two — exact in binary, so NO rounding drift between
+# the Python literals and the SQL literals), and distinct rows are exactly
+# orthonormal.  popcount parity of (row & dim) gives the sign.
+def _hadamard_row(r: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    scale = 1.0 / (dim ** 0.5)  # 1/8 for dim 64 — exact
+    return [
+        scale * (1.0 if bin(r & d).count("1") % 2 == 0 else -1.0)
+        for d in range(dim)
+    ]
+
+
+PCA_PROJECT_BASIS: list[list[float]] = [
+    _hadamard_row(r) for r in (1, 2, 4, 8)
+]
+
+
+@query(
+    "pca_project",
+    oracle=f"""
+        WITH m AS (
+            SELECT {", ".join(
+                f"round(avg(CAST(embedding[{d + 1}] AS DOUBLE)), 3) AS m{d}"
+                for d in range(EMBEDDING_DIM)
+            )}
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               {", ".join(
+                   "round(("
+                   + _chain([
+                       f"CAST(e.embedding[{d + 1}] AS DOUBLE)"
+                       f" * CAST({c[d]!r} AS DOUBLE)"
+                       for d in range(EMBEDDING_DIM)
+                   ])
+                   + ") - ("
+                   + _chain([
+                       f"m.m{d} * CAST({c[d]!r} AS DOUBLE)"
+                       for d in range(EMBEDDING_DIM)
+                   ])
+                   + f"), 6) AS pc{i}"
+                   for i, c in enumerate(PCA_PROJECT_BASIS)
+               )}
+        FROM embeddings e CROSS JOIN m
+    """,
+    doc=f"PCA PROJECTION surface (functions/pca.py::project): MAP-ONLY "
+    f"centered projection of every embedding onto {PCA_PROJECT_K} "
+    "components — each output coordinate is one HOF fold against a "
+    "LITERAL component array minus a precomputed mean-projection scalar, "
+    "no shuffle, no Python on the hot path. The driver row pins the "
+    "components to a fixed orthonormal Walsh-Hadamard basis (entries "
+    "exactly +-1/8) because an eigendecomposition is not ANSI-SQL-"
+    "expressible; the mean is taken from the DATA (per-dim avg, rounded "
+    "3dp on both engines). The eigen path itself (d x d Gram collapse -> "
+    "driver eigh) is numpy-golden-tested with a dimension-bounded driver "
+    "merge. At 100 TB: the Gram collapse is the only exchange (d^2-sized) "
+    "and the projection pipelines into the scan.",
+    bench=True,
+)
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    mean_row = emb.select(
+        *[
+            F.round(
+                F.avg(F.expr(f"CAST(embedding[{d}] AS DOUBLE)")), 3
+            ).alias(f"m{d}")
+            for d in range(EMBEDDING_DIM)
+        ]
+    ).collect()[0]
+    import numpy as np
+
+    mean = np.array([mean_row[f"m{d}"] for d in range(EMBEDDING_DIM)])
+    comps = np.array(PCA_PROJECT_BASIS)
+    return pca_lib.project(emb, comps, mean)
+
+
+# --- pq_encode_codes --------------------------------------------------------
+
+def _pq_encode_ctes() -> str:
+    """Per-subspace argmin CTEs d0..d{n_sub-1}: (vec_id, code, d) with the
+    Spark tie rule (first index reaching the min = ORDER BY d, code)."""
+    sublen = EMBEDDING_DIM // PQ_N_SUB
+    ctes = [
+        _RANKED_CTE.strip(),
+        f"seeds AS (SELECT rk, embedding AS c FROM ranked"
+        f" WHERE rk <= {PQ_SEED_K})",
+    ]
+    for s in range(PQ_N_SUB):
+        chain = _chain(
+            [
+                _sq(
+                    f"CAST(e.embedding[{s * sublen + j + 1}] AS DOUBLE)",
+                    f"CAST(s.c[{s * sublen + j + 1}] AS DOUBLE)",
+                )
+                for j in range(sublen)
+            ]
+        )
+        ctes.append(
+            f"""d{s} AS (
+            SELECT vec_id, code, d FROM (
+                SELECT vec_id, code, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, code) AS rn
+                FROM (SELECT e.vec_id, s.rk - 1 AS code, {chain} AS d
+                      FROM embeddings e CROSS JOIN seeds s)
+            ) WHERE rn = 1
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "pq_encode_codes",
+    oracle=f"""
+        WITH {_pq_encode_ctes()}
+        SELECT d0.vec_id,
+               {" || '-' || ".join(
+                   f"CAST(d{s}.code AS VARCHAR)" for s in range(PQ_N_SUB)
+               )} AS codes,
+               round({_chain([f"d{s}.d" for s in range(PQ_N_SUB)])}, 6)
+                   AS qerr
+        FROM {" JOIN ".join(
+            ["d0"]
+            + [f"d{s} ON d{s}.vec_id = d0.vec_id" for s in range(1, PQ_N_SUB)]
+        )}
+    """,
+    doc=f"PRODUCT QUANTIZATION ENCODE (functions/pq.py::pq_encode): each "
+    f"embedding splits into {PQ_N_SUB} subvectors, each coded as the "
+    f"argmin over a {PQ_SEED_K}-entry LITERAL codebook — "
+    f"{PQ_N_SUB}x{PQ_SEED_K} small HOF folds inside whole-stage codegen, "
+    "MAP-ONLY (no join, no shuffle), plus the summed per-vector "
+    "quantization error. Storage drops 32x (d float32 -> n_sub code "
+    "bytes) — the production vector-store codec. Codebooks here are the "
+    "deterministic seed subvectors (smallest md5 id-hashes, Lloyd "
+    "iters=0) so the oracle can re-derive them relationally; the Lloyd "
+    "refinement that would replace them is the kmeans_refine_assign "
+    "surface. Codes serialize as a '-'-joined string for the hash check.",
+    bench=True,
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    books = _books_from_seeds(
+        _seed_vectors(spark, sf_dir, PQ_SEED_K), PQ_N_SUB
+    )
+    return pq_lib.pq_encode(emb, books).select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias(
+            "codes"
+        ),
+        "qerr",
+    )
+
+
+# --- pq_adc_topk ------------------------------------------------------------
+
+def _pq_adc_ctes() -> str:
+    """Encode CTEs + per-subspace ADC-term CTEs a0..a{n_sub-1}: the term is
+    the distance from the QUERY's subvector to the row's CHOSEN centroid —
+    computed from codes + codebook + query only (never the row vector)."""
+    sublen = EMBEDDING_DIM // PQ_N_SUB
+    ctes = [
+        _pq_encode_ctes(),
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+    ]
+    for s in range(PQ_N_SUB):
+        chain = _chain(
+            [
+                _sq(
+                    f"CAST(qv.qe[{s * sublen + j + 1}] AS DOUBLE)",
+                    f"CAST(sc.c[{s * sublen + j + 1}] AS DOUBLE)",
+                )
+                for j in range(sublen)
+            ]
+        )
+        ctes.append(
+            f"""a{s} AS (
+            SELECT d{s}.vec_id, {chain} AS qd
+            FROM d{s} JOIN seeds sc ON sc.rk = d{s}.code + 1
+            CROSS JOIN qv
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+        WITH {_pq_adc_ctes()}
+        SELECT a0.vec_id,
+               round({_chain([f"a{s}.qd" for s in range(PQ_N_SUB)])}, 6)
+                   AS adc_dist2
+        FROM {" JOIN ".join(
+            ["a0"]
+            + [f"a{s} ON a{s}.vec_id = a0.vec_id" for s in range(1, PQ_N_SUB)]
+        )}
+        ORDER BY adc_dist2, a0.vec_id
+        LIMIT 10
+    """,
+    doc="PQ ADC TOP-K (functions/pq.py::pq_adc_topk): approximate nearest "
+    "neighbours computed from CODES ALONE — the query's n_sub x k "
+    "distance table is built driver-side (n_sub*k doubles, left-to-right "
+    "accumulation for engine-exactness) and enters the plan as literal "
+    "lookup arrays; each row's distance is n_sub element_at lookups "
+    "summed, then orderBy().limit() plans TakeOrderedAndProject. At 100 "
+    "TB only the 32x-smaller codes table is scanned — the original "
+    "vectors are never touched. Oracle recomputes codes relationally and "
+    "joins each back to its centroid for the asymmetric distance.",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    books = _books_from_seeds(
+        _seed_vectors(spark, sf_dir, PQ_SEED_K), PQ_N_SUB
+    )
+    codes = pq_lib.pq_encode(emb, books)
+    return pq_lib.pq_adc_topk(
+        codes, books, _query_vector(spark, sf_dir), topk=10
+    )
+
+
+# --- ivfpq_adc_topk ---------------------------------------------------------
+
+def _ivfpq_ctes() -> str:
+    """The composed index, relationally: coarse seed centroids -> corpus
+    list assignment -> residual seed codebooks -> per-subspace residual
+    encode -> probed lists -> per-list ADC terms."""
+    sublen = EMBEDDING_DIM // PQ_N_SUB
+    full = range(1, EMBEDDING_DIM + 1)
+    ctes = [
+        _RANKED_CTE.strip(),
+        f"coarse AS (SELECT rk AS crk, embedding AS c FROM ranked"
+        f" WHERE rk <= {IVF_N_COARSE})",
+        f"bseed AS (SELECT rk AS brk, embedding AS b FROM ranked"
+        f" WHERE rk <= {PQ_SEED_K})",
+    ]
+    cdist = _chain(
+        [
+            _sq(
+                f"CAST(e.embedding[{i}] AS DOUBLE)",
+                f"CAST(co.c[{i}] AS DOUBLE)",
+            )
+            for i in full
+        ]
+    )
+    ctes.append(
+        f"""rasg AS (
+        SELECT vec_id, crk - 1 AS list FROM (
+            SELECT vec_id, crk, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, crk) AS rn
+            FROM (SELECT e.vec_id, co.crk, {cdist} AS d
+                  FROM embeddings e CROSS JOIN coarse co)
+        ) WHERE rn = 1
+    )"""
+    )
+    bdist = _chain(
+        [
+            _sq(f"CAST(b.b[{i}] AS DOUBLE)", f"CAST(co.c[{i}] AS DOUBLE)")
+            for i in full
+        ]
+    )
+    ctes.append(
+        f"""bsasg AS (
+        SELECT brk, crk - 1 AS blist FROM (
+            SELECT brk, crk, d,
+                   row_number() OVER (PARTITION BY brk
+                                      ORDER BY d, crk) AS rn
+            FROM (SELECT b.brk, co.crk, {bdist} AS d
+                  FROM bseed b CROSS JOIN coarse co)
+        ) WHERE rn = 1
+    )"""
+    )
+    for s in range(PQ_N_SUB):
+        idx = [s * sublen + j + 1 for j in range(sublen)]
+        chain = _chain(
+            [
+                _sq(
+                    f"(CAST(e.embedding[{i}] AS DOUBLE)"
+                    f" - CAST(ac.c[{i}] AS DOUBLE))",
+                    f"(CAST(b.b[{i}] AS DOUBLE)"
+                    f" - CAST(bc.c[{i}] AS DOUBLE))",
+                )
+                for i in idx
+            ]
+        )
+        ctes.append(
+            f"""enc{s} AS (
+            SELECT vec_id, list, code, d FROM (
+                SELECT vec_id, list, code, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, code) AS rn
+                FROM (SELECT e.vec_id, a.list, b.brk - 1 AS code, {chain} AS d
+                      FROM embeddings e
+                      JOIN rasg a ON a.vec_id = e.vec_id
+                      JOIN coarse ac ON ac.crk = a.list + 1
+                      CROSS JOIN bseed b
+                      JOIN bsasg bs ON bs.brk = b.brk
+                      JOIN coarse bc ON bc.crk = bs.blist + 1)
+            ) WHERE rn = 1
+        )"""
+        )
+    ctes.append(
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+    )
+    qdist = _chain(
+        [
+            _sq(f"CAST(qv.qe[{i}] AS DOUBLE)", f"CAST(co.c[{i}] AS DOUBLE)")
+            for i in full
+        ]
+    )
+    ctes.append(
+        f"""probed AS (
+        SELECT crk - 1 AS list FROM (
+            SELECT crk, d, row_number() OVER (ORDER BY d, crk) AS rn
+            FROM (SELECT co.crk, {qdist} AS d
+                  FROM coarse co CROSS JOIN qv)
+        ) WHERE rn <= {IVF_NPROBE}
+    )"""
+    )
+    for s in range(PQ_N_SUB):
+        idx = [s * sublen + j + 1 for j in range(sublen)]
+        chain = _chain(
+            [
+                _sq(
+                    f"(CAST(qv.qe[{i}] AS DOUBLE)"
+                    f" - CAST(ac.c[{i}] AS DOUBLE))",
+                    f"(CAST(b.b[{i}] AS DOUBLE)"
+                    f" - CAST(bc.c[{i}] AS DOUBLE))",
+                )
+                for i in idx
+            ]
+        )
+        ctes.append(
+            f"""adc{s} AS (
+            SELECT enc{s}.vec_id, {chain} AS qd
+            FROM enc{s}
+            JOIN coarse ac ON ac.crk = enc{s}.list + 1
+            JOIN bseed b ON b.brk = enc{s}.code + 1
+            JOIN bsasg bs ON bs.brk = b.brk
+            JOIN coarse bc ON bc.crk = bs.blist + 1
+            CROSS JOIN qv
+            WHERE enc{s}.list IN (SELECT list FROM probed)
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "ivfpq_adc_topk",
+    oracle=f"""
+        WITH {_ivfpq_ctes()}
+        SELECT adc0.vec_id,
+               round({_chain([f"adc{s}.qd" for s in range(PQ_N_SUB)])}, 6)
+                   AS adc_dist2
+        FROM {" JOIN ".join(
+            ["adc0"]
+            + [
+                f"adc{s} ON adc{s}.vec_id = adc0.vec_id"
+                for s in range(1, PQ_N_SUB)
+            ]
+        )}
+        ORDER BY adc_dist2, adc0.vec_id
+        LIMIT 10
+    """,
+    doc=f"IVF-PQ PROBE (functions/pq.py::ivfpq_topk): the composed "
+    f"production index — {IVF_N_COARSE} coarse lists (seed centroids, "
+    "corpus assigned map-only via literal folds), PQ codebooks trained on "
+    "RESIDUALS (x - list centroid; smaller and better-conditioned, the "
+    f"FAISS IVFPQ composition), probe the {IVF_NPROBE} lists nearest the "
+    "query with a PER-LIST residual ADC table, TakeOrdered the union. At "
+    "100 TB the list id is the partition column (write.partitionBy) so "
+    "probing is partition PRUNING over an already-32x-smaller codes table "
+    "— asserted in tests/test_vector_store.py. Every stage is map-only or "
+    "k-row-bounded; the oracle re-derives coarse assignment, residual "
+    "codebooks, codes, probed lists, and ADC terms relationally.",
+    bench=True,
+)
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    coarse = _seed_vectors(spark, sf_dir, IVF_N_COARSE)
+    cents = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+            for c in coarse
+        )
+        + ")"
+    )
+    resid = assign_clusters(emb, coarse).select(
+        "vec_id",
+        F.col("cluster").alias("list"),
+        F.expr(
+            f"zip_with(embedding, element_at({cents}, cluster + 1), "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("embedding"),
+    )
+    # book seeds = the 16 md5-smallest rows' RESIDUALS, computed driver-
+    # side with the same exact IEEE ops the oracle's bseed/bsasg CTEs use
+    seeds = _seed_vectors(spark, sf_dir, PQ_SEED_K)
+    resid_seeds = []
+    for v in seeds:
+        d2 = []
+        for c in coarse:
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc += (a - b) * (a - b)
+            d2.append(acc)
+        cl = min(range(len(coarse)), key=lambda j: (d2[j], j))
+        resid_seeds.append([a - b for a, b in zip(v, coarse[cl])])
+    books = _books_from_seeds(resid_seeds, PQ_N_SUB)
+    codes = pq_lib.pq_encode(resid, books, keep=("list",))
+    return pq_lib.ivfpq_topk(
+        codes,
+        coarse,
+        books,
+        _query_vector(spark, sf_dir),
+        nprobe=IVF_NPROBE,
+        topk=10,
+    )

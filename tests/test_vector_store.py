@@ -1,0 +1,121 @@
+"""Plan-shape and scale-claim tests for the vector-store registry queries
+(seisdb_spark/queries/vector_store.py).  Value correctness is covered by
+tests/test_oracle_parity.py (every registered oracle runs against DuckDB);
+these tests pin the SCALE claims the docstrings make:
+
+* projection and encode are map-only (no hash/range exchange beyond the
+  documented small-table spread);
+* ADC search plans TakeOrderedAndProject over the codes table;
+* the IVF list id really is a partition-pruning column when the codes
+  table is written ``partitionBy("list")`` (the r7 verdict's item #7 —
+  the same proof write_db has for the flagship layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from seisdb_spark.plancheck import final_plan, has_node
+from seisdb_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_hadamard_basis_exactly_orthonormal():
+    from seisdb_spark.queries.vector_store import PCA_PROJECT_BASIS
+
+    b = np.array(PCA_PROJECT_BASIS)
+    # entries are +-1/8 — a power of two, exact in binary
+    assert set(np.abs(b).ravel().tolist()) == {0.125}
+    np.testing.assert_array_equal(b @ b.T, np.eye(len(b)))
+
+
+def test_pca_project_is_map_only(spark):
+    """After the (1-row) mean collect, the projection itself must add no
+    hash/range exchange and no Python boundary — literal components, HOF
+    folds, whole-stage codegen."""
+    df = REGISTRY["pca_project"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert not has_node(plan, "hashpartitioning")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "Window")
+
+
+def test_pq_encode_is_map_only(spark):
+    df = REGISTRY["pq_encode_codes"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert not has_node(plan, "hashpartitioning")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "HashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "NestedLoopJoin")
+
+
+def test_pq_adc_plans_takeordered(spark):
+    df = REGISTRY["pq_adc_topk"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "HashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "NestedLoopJoin")
+
+
+def test_ivfpq_plans_takeordered_no_cartesian(spark):
+    df = REGISTRY["ivfpq_adc_topk"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "CartesianProduct")
+
+
+def test_ivfpq_codes_partition_pruning(spark, tmp_path):
+    """The docstring's 100 TB claim, proven end-to-end: write the codes
+    table ``partitionBy("list")``, probe one list, and the scan must show
+    a PartitionFilters entry on ``list`` — probing is partition PRUNING,
+    not a post-scan filter."""
+    from seisdb_spark.queries.vector_store import (
+        IVF_N_COARSE,
+        PQ_N_SUB,
+        PQ_SEED_K,
+        _books_from_seeds,
+        _seed_vectors,
+    )
+    from seisdb_spark.functions import pq as pq_lib
+    from seisdb_spark.functions.cluster import assign_clusters
+    from seisdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    coarse = _seed_vectors(spark, SF_DIR, IVF_N_COARSE)
+    cents = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+            for c in coarse
+        )
+        + ")"
+    )
+    resid = assign_clusters(emb, coarse).select(
+        "vec_id",
+        F.col("cluster").alias("list"),
+        F.expr(
+            f"zip_with(embedding, element_at({cents}, cluster + 1), "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("embedding"),
+    )
+    books = _books_from_seeds(_seed_vectors(spark, SF_DIR, PQ_SEED_K), PQ_N_SUB)
+    codes = pq_lib.pq_encode(resid, books, keep=("list",))
+    out = str(tmp_path / "codes_by_list")
+    codes.write.partitionBy("list").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("list") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # and the pruned read returns exactly that list's rows
+    want = codes.filter(F.col("list") == 1).count()
+    assert probe.count() == want > 0
