@@ -964,8 +964,11 @@ def test_retrieval_eval_planted_perfect_recall(spark, tmp_path):
 
 def test_editdist_neardup_planted_verify(spark, tmp_path):
     """LSH must pair both the typo-variant (verified dup) and the
-    block-rewritten variant (candidate but REJECTED by the edit-distance
-    gate: >64 edits inside the 256-char prefix)."""
+    block-rewritten variant.  Under the round-8 two-tier gate the latter
+    flips to is_dup=1: its >64 edits are CONCENTRATED in the 256-char
+    prefix (the r7 prefix-only gate over-penalized that) while the full
+    text is ~92% identical — above the 75% identity bar.  The prefix
+    columns still expose the old signal for both pairs."""
     words = [f"w{i:03d}" for i in range(300)]
     base = " ".join(words)
     typo = " ".join(["w000x"] + words[1:])  # 1-char insertion
@@ -989,10 +992,82 @@ def test_editdist_neardup_planted_verify(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b): r for _, r in out.iterrows()}
     assert (1, 2) in pairs and pairs[(1, 2)].is_dup == 1
     assert pairs[(1, 2)].edit_distance <= 5
-    assert (1, 3) in pairs and pairs[(1, 3)].is_dup == 0
-    assert pairs[(1, 3)].edit_distance > 64
+    # prefix metric unchanged: >64 edits inside the prefix...
+    assert (1, 3) in pairs and pairs[(1, 3)].edit_distance > 64
+    # ...but the full-text verify sees ~92% identity and accepts — and
+    # the full distance stays ~the planted prefix damage, not more
+    assert pairs[(1, 3)].is_dup == 1
+    assert 64 < pairs[(1, 3)].full_edit_distance < 200
     # the unrelated doc never becomes a candidate
     assert not any(4 in p for p in pairs)
+
+
+def test_editdist_full_text_verify_tiers(spark, tmp_path):
+    """The round-8 hardening: the full-text bounded-distance verify must
+    (a) accept an OCR-mutated twin with the exact mutation count, (b)
+    REJECT a pair whose 256-char prefixes are IDENTICAL but whose tails
+    were rewritten (the case the r7 prefix-only gate got wrong), and (c)
+    fall back to the prefix gate (full_edit_distance NULL) past the
+    length cap."""
+    import pandas as pd
+
+    from seisdb_spark.queries.extensions import (
+        EDITDIST_FULL_CAP,
+        EDITDIST_MAX,
+    )
+
+    vwords = [f"v{i:03d}" for i in range(400)]
+    base = " ".join(vwords)  # 1999 chars; prefix covers words 0..50
+    # (a) OCR twin: 4 single-char substitutions, all BEYOND the prefix
+    ocr_words = list(vwords)
+    for i in (80, 160, 240, 320):
+        ocr_words[i] = vwords[i][:-1] + "X"
+    ocr = " ".join(ocr_words)
+    # (b) prefix-identical tail rewrite: 20 contiguous words (60..79 —
+    # outside the prefix) become 100-char z-runs.  Only ~22 of ~398
+    # shingles change (LSH still collides) but >1900 of 3919 chars do —
+    # far past the 25% gate AND past the banded-DP bound (-> -1)
+    far_words = list(vwords)
+    for i in range(60, 80):
+        far_words[i] = "z" * 100
+    far = " ".join(far_words)
+    assert len(far) <= EDITDIST_FULL_CAP
+    # (c) past the cap: 900 words (4499 chars), twin with one insertion
+    uwords = [f"u{i:03d}" for i in range(900)]
+    long_base = " ".join(uwords)
+    long_typo = " ".join(["u000x"] + uwords[1:])
+    assert len(long_base) > EDITDIST_FULL_CAP
+
+    texts = [base, ocr, far, long_base, long_typo]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 20, 21],
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["editdist_neardup_join"].spark(spark, str(tmp_path)).toPandas()
+    )
+    pairs = {(r.doc_a, r.doc_b): r for _, r in out.iterrows()}
+
+    ocr_pair = pairs[(10, 11)]
+    assert ocr_pair.edit_distance == 0  # mutations all beyond the prefix
+    assert ocr_pair.full_edit_distance == 4  # exact mutation count
+    assert ocr_pair.is_dup == 1
+
+    far_pair = pairs[(10, 12)]
+    assert far_pair.edit_distance == 0  # prefix-only gate would say DUP
+    assert far_pair.edit_distance <= EDITDIST_MAX
+    assert far_pair.full_edit_distance == -1  # past the banded-DP bound
+    assert far_pair.is_dup == 0  # the full verify catches it
+
+    long_pair = pairs[(20, 21)]
+    assert pd.isna(long_pair.full_edit_distance)  # past the cap
+    assert long_pair.is_dup == 1  # prefix-gate fallback
 
 
 def test_ngram_novelty_planted_and_plan(spark, tmp_path):

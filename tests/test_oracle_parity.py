@@ -105,12 +105,11 @@ def test_driver_window_leads_registry():
 
     assert len(DRIVER_WINDOW) == 50
     assert list(e.queries())[:50] == DRIVER_WINDOW
-    # every window entry except these 4 documented rows-only ones has an
-    # oracle (kmeans_refine_assign rotated in for its rows-only smoke row
-    # in round 7 — the r6 verdict's window-hygiene item)
+    # every window entry except these 3 documented rows-only ones has an
+    # oracle (kmeans_refine_assign rotated OUT in round 8 after its r7
+    # rows-only smoke row served its purpose)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
-        "kmeans_refine_assign",
         "multimodal_decode_features",
         "sgt_pipeline_records",
         "dgf_pipeline_records",

@@ -199,6 +199,29 @@ DIR_OVERRIDE = {"vocab_coverage_32k": "richvocab"}
 
 
 def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
+    if factor > 100:
+        # identical rows to the union form below, but built as ONE
+        # broadcast range cross-join: a 1000-branch union takes Catalyst
+        # minutes to analyze and serializes the write into 1000 tiny jobs
+        reps = F.broadcast(
+            docs.sparkSession.range(factor).select(F.col("id").alias("r"))
+        )
+        return docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("r") * ID_OFFSET).alias("doc_id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(split(text, ' '), "
+                        "x -> concat(x, '_r', CAST(r AS STRING)))"
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("long"))
     parts = [docs]
     for r in range(1, factor):
         parts.append(
@@ -282,12 +305,19 @@ def _gen_documents_richvocab(docs: DataFrame, factor: int) -> DataFrame:
     ).withColumn("n_chars", F.length("text"))
 
 
-def generate(spark: SparkSession, out_dir: str, factor: int) -> None:
+def generate(
+    spark: SparkSession,
+    out_dir: str,
+    factor: int,
+    tables: list[str] | None = None,
+) -> None:
     gens = {
         "documents": _gen_documents,
         "embeddings": _gen_embeddings,
         "events": _gen_events,
     }
+    if tables is not None:
+        gens = {n: g for n, g in gens.items() if n in tables}
     for name, gen in gens.items():
         path = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -352,6 +382,19 @@ def main() -> int:
         help="stress only these queries (iterating on one pipeline); the "
         "committed BENCH_SCALE.json must come from a full run",
     )
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="generate only these scaled tables (x1000 runs of document-"
+        "only pipelines need not synthesize 100M events)",
+    )
+    ap.add_argument(
+        "--artifact",
+        default=None,
+        help="write results to this JSON path even for --only runs (used "
+        "for the per-factor BENCH_SCALE_x{N}.json tier artifacts)",
+    )
     args = ap.parse_args()
 
     from seisdb_spark.session import get_spark
@@ -360,7 +403,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     scale_dir = os.path.join(args.out, f"x{args.factor}")
     os.makedirs(scale_dir, exist_ok=True)
-    generate(spark, scale_dir, args.factor)
+    generate(spark, scale_dir, args.factor, args.tables)
 
     stress = {
         n: p
@@ -393,6 +436,9 @@ def main() -> int:
     }
     if args.only is None:  # partial runs must not clobber the full artifact
         with open("BENCH_SCALE.json", "w") as fh:
+            json.dump(out, fh, indent=2)
+    if args.artifact:
+        with open(args.artifact, "w") as fh:
             json.dump(out, fh, indent=2)
     print(json.dumps(out))
     bad_plans = [
