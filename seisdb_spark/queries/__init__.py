@@ -224,10 +224,16 @@ DRIVER_WINDOW: list[str] = [
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
-    # --- Structured Streaming (now 7 oracle-bearing entries; the round-6
-    # --- streaming_quality_gate takes doc_chunking's slot — thrice-green
-    # --- r3+r4+r5, chunking covered by the packing pair + pytest) -----------
-    "streaming_tumbling_counts",
+    # --- Structured Streaming (round-6 note: streaming_quality_gate took
+    # --- doc_chunking's slot — thrice-green r3+r4+r5) -----------------------
+    # round-8 late rotation: embedding_int4_block_quantize (per-vector
+    # block-grid int4 codec — the zero-shuffle storage point next to the
+    # corpus-grid int8 row) in for streaming_tumbling_counts (green
+    # r2-r7, SIX hard rows — the most over-proven window entry; its
+    # oracle is the batch twin tumbling_window_counts', which stays
+    # pytest-checked, and the streaming family keeps five in-window
+    # members incl. both stateful dedup paths)
+    "embedding_int4_block_quantize",
     "streaming_sessionize",
     # round-7 late rotation: bpe_merge_candidates (tokenizer-training
     # pair counts over the vocab table) in for streaming_dedup_events

@@ -4196,3 +4196,173 @@ def _set_embq_oracle() -> None:
 
 
 _set_embq_oracle()
+
+
+# --- block-wise int4 quantization (per-vector local scales) ----------------
+# The complementary storage point to embedding_int8_quantize: int8 uses
+# CORPUS-WIDE per-dim grids (one stats pass + broadcast-back), int4 uses
+# PER-VECTOR per-block grids (8-dim blocks, min/max inside the row) — the
+# FAISS SQ4 / GGUF block-quant shape.  16 levels halve int8's storage
+# (32 B codes + 2 scales per block vs 64 B) and the operator needs ZERO
+# shuffles and ZERO corpus passes: everything is row-local arithmetic, so
+# it pipelines into any scan at any corpus size and quantizes STREAMING
+# ingest without a stats job.  Round-half-up is spelled floor(x + 0.5) so
+# both engines floor the identical double.
+INT4_BLOCK = 8
+INT4_LEVELS = 15  # 4-bit codes: 0..15
+
+
+def _int4_code_expr(x: str, mn: str, mx: str) -> str:
+    """Code for element x against its block's [mn, mx] grid — identical
+    text evaluated by both engines (all literals CAST to DOUBLE so DuckDB
+    does not slip into DECIMAL arithmetic)."""
+    return (
+        f"CASE WHEN ({mx} - {mn}) = 0 THEN 0 ELSE "
+        f"LEAST({INT4_LEVELS}, CAST(FLOOR(({x} - {mn})"
+        f" * CAST({INT4_LEVELS} AS DOUBLE) / ({mx} - {mn})"
+        f" + CAST(0.5 AS DOUBLE)) AS INT)) END"
+    )
+
+
+def _balanced_sum(terms: list[str]) -> str:
+    """Pairwise-balanced `+` tree over the terms — ~log2(n) expression
+    depth instead of n (DuckDB's binder caps recursion at 128, which a
+    64-term left-deep chain of CASE-bearing terms exceeds).  BOTH engines
+    evaluate this identical text, so the fp accumulation order — the tree
+    order — still matches bit-for-bit; only the shape changed."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms)
+            else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _int4_err_expr(x: str, mn: str, mx: str, c: str) -> str:
+    """Squared reconstruction error; code 0 on a zero-range block
+    reconstructs mn = x, so no special case is needed."""
+    recon = (
+        f"({mn} + CAST({c} AS DOUBLE) * ({mx} - {mn})"
+        f" / CAST({INT4_LEVELS} AS DOUBLE))"
+    )
+    return f"(({x}) - {recon}) * (({x}) - {recon})"
+
+
+@query(
+    "embedding_int4_block_quantize",
+    oracle=None,  # generated below (shared per-element expr builders)
+    doc=f"BLOCK-WISE INT4 QUANTIZATION: each vector's {EMBEDDING_DIM} dims "
+    f"split into {EMBEDDING_DIM // INT4_BLOCK} blocks of {INT4_BLOCK}; "
+    "each block gets its own [min, max] grid from the ROW alone and "
+    f"{INT4_LEVELS + 1}-level codes (8x smaller than float32 incl. "
+    "scales). Unlike the corpus-grid int8 path this needs NO stats pass "
+    "and NO shuffle of any kind — pure row-local arithmetic that "
+    "pipelines into any scan and quantizes streaming ingest without a "
+    "stats job; the trade is 16 levels vs 256 plus 2 scales per block. "
+    "Codes serialize '-'-joined; qerr is the left-chained squared "
+    "reconstruction error, bit-identical across engines (floor(x + 0.5) "
+    "half-up on identical doubles).",
+    bench=True,
+)
+def embedding_int4_block_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    nb = EMBEDDING_DIM // INT4_BLOCK
+    mnmx = []
+    for b in range(nb):
+        sl = (
+            f"transform(slice(embedding, {b * INT4_BLOCK + 1}, "
+            f"{INT4_BLOCK}), x -> CAST(x AS DOUBLE))"
+        )
+        mnmx.append(F.expr(f"array_min({sl})").alias(f"mn{b}"))
+        mnmx.append(F.expr(f"array_max({sl})").alias(f"mx{b}"))
+    s = emb.select("vec_id", "embedding", *mnmx)
+    codes = "array(" + ", ".join(
+        _int4_code_expr(
+            f"CAST(embedding[{d}] AS DOUBLE)",
+            f"mn{d // INT4_BLOCK}",
+            f"mx{d // INT4_BLOCK}",
+        )
+        for d in range(EMBEDDING_DIM)
+    ) + ")"
+    c = s.select(
+        "vec_id",
+        "embedding",
+        *[F.col(f"mn{b}") for b in range(nb)],
+        *[F.col(f"mx{b}") for b in range(nb)],
+        F.expr(codes).cast("array<int>").alias("codes"),
+    )
+    errs = [
+        _int4_err_expr(
+            f"CAST(embedding[{d}] AS DOUBLE)",
+            f"mn{d // INT4_BLOCK}",
+            f"mx{d // INT4_BLOCK}",
+            f"codes[{d}]",
+        )
+        for d in range(EMBEDDING_DIM)
+    ]
+    err_chain = _balanced_sum(errs)
+    return c.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias(
+            "codes"
+        ),
+        F.expr(f"round({err_chain}, 6)").alias("qerr"),
+    )
+
+
+def _set_int4_oracle() -> None:
+    from dataclasses import replace
+
+    nb = EMBEDDING_DIM // INT4_BLOCK
+    mnmx = []
+    for b in range(nb):
+        elems = [
+            f"CAST(embedding[{b * INT4_BLOCK + j + 1}] AS DOUBLE)"
+            for j in range(INT4_BLOCK)
+        ]
+        mnmx.append(f"LEAST({', '.join(elems)}) AS mn{b}")
+        mnmx.append(f"GREATEST({', '.join(elems)}) AS mx{b}")
+    code_cols = [
+        _int4_code_expr(
+            f"CAST(embedding[{d + 1}] AS DOUBLE)",
+            f"mn{d // INT4_BLOCK}",
+            f"mx{d // INT4_BLOCK}",
+        )
+        + f" AS c{d}"
+        for d in range(EMBEDDING_DIM)
+    ]
+    errs = [
+        _int4_err_expr(
+            f"CAST(embedding[{d + 1}] AS DOUBLE)",
+            f"mn{d // INT4_BLOCK}",
+            f"mx{d // INT4_BLOCK}",
+            f"c{d}",
+        )
+        for d in range(EMBEDDING_DIM)
+    ]
+    err_chain = _balanced_sum(errs)
+    codes_str = "concat_ws('-', " + ", ".join(
+        f"CAST(c{d} AS VARCHAR)" for d in range(EMBEDDING_DIM)
+    ) + ")"
+    sql = f"""
+        WITH s AS (
+            SELECT vec_id, embedding, {", ".join(mnmx)}
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id, embedding,
+                   {", ".join(f"mn{b}, mx{b}" for b in range(nb))},
+                   {", ".join(code_cols)}
+            FROM s
+        )
+        SELECT vec_id, {codes_str} AS codes, round({err_chain}, 6) AS qerr
+        FROM c
+    """
+    REGISTRY["embedding_int4_block_quantize"] = replace(
+        REGISTRY["embedding_int4_block_quantize"], oracle=sql
+    )
+
+
+_set_int4_oracle()

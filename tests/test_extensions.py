@@ -1223,6 +1223,54 @@ def test_dedup_keep_best_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_embedding_int4_block_quantize_matches_numpy(spark, tmp_path):
+    """Block codes and reconstruction error must equal a numpy
+    re-derivation of the per-row per-block grid (incl. the zero-range
+    block guard and round-half-up), and the plan must be PURE map-side —
+    no exchange of any kind (the operator's whole point vs int8)."""
+    from seisdb_spark.plancheck import count_exchanges, final_plan
+    from seisdb_spark.queries.extensions import INT4_BLOCK, INT4_LEVELS
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(12, 64)).astype(np.float32)
+    vecs[:, 8:16] = 0.5  # block 1 zero-range: codes 0, recon = mn, err 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(12),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * 12,
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    df = REGISTRY["embedding_int4_block_quantize"].spark(spark, str(tmp_path))
+    out = df.toPandas().set_index("vec_id").sort_index()
+
+    for i, v in enumerate(vecs.astype(np.float64)):
+        want_codes, err = [], 0.0
+        for b in range(64 // INT4_BLOCK):
+            blk = v[b * INT4_BLOCK : (b + 1) * INT4_BLOCK]
+            mn, mx = blk.min(), blk.max()
+            for x in blk:
+                if mx == mn:
+                    c = 0
+                else:
+                    c = min(
+                        INT4_LEVELS,
+                        int(np.floor((x - mn) * INT4_LEVELS / (mx - mn) + 0.5)),
+                    )
+                want_codes.append(c)
+                recon = mn + c * (mx - mn) / INT4_LEVELS
+                err += (x - recon) ** 2
+        assert out.loc[i].codes == "-".join(map(str, want_codes))
+        assert abs(out.loc[i].qerr - err) < 2e-6
+        # zero-range block contributes exact-zero error and zero codes
+        assert want_codes[8:16] == [0] * 8
+
+    plan = final_plan(df)
+    assert count_exchanges(plan) == 0 or "RoundRobin" in plan  # spread only
+    assert "hashpartitioning" not in plan.lower()
+
+
 def test_embedding_int8_quantize_matches_numpy(spark, tmp_path):
     """Codes and reconstruction error must equal a numpy re-derivation of
     the per-dim uniform grid (incl. the zero-range guard and the 255
