@@ -186,6 +186,34 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and count_exchanges(p, key="vec_id") == 0
     ),
+    # round-8 vector-store rows: encode/projection are MAP-ONLY literal
+    # folds (no keyed shuffle of vectors at any scale; the one-time
+    # seed/mean collects happen at plan build, outside the scan)
+    "pq_encode_codes": lambda p: (
+        not has_node(p, "hashpartitioning")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "HashJoin")
+    ),
+    "pca_project": lambda p: (
+        not has_node(p, "hashpartitioning")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "Window")
+    ),
+    # probe-pruned ADC: TakeOrdered over the codes scan, never a sort or
+    # a cartesian
+    "ivfpq_adc_topk": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # pure row-local arithmetic: NO keyed exchange of any kind (the only
+    # allowed exchange is the small-table spread's round-robin)
+    "embedding_int4_block_quantize": lambda p: (
+        not has_node(p, "hashpartitioning")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "HashJoin")
+        and not has_node(p, "Window")
+    ),
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
