@@ -234,7 +234,14 @@ DRIVER_WINDOW: list[str] = [
     # pytest-checked, and the streaming family keeps five in-window
     # members incl. both stateful dedup paths)
     "embedding_int4_block_quantize",
-    "streaming_sessionize",
+    # round-8 late rotation: mrl_truncation_eval (Matryoshka prefix-dim
+    # retrieval quality vs the exact full-dim list — the adaptive-
+    # retrieval counterpart of retrieval_eval_recall) in for
+    # streaming_sessionize (green r3, the r4 events incident, then green
+    # r5+r6+r7 — thrice-green since the fix; sessionize semantics stay
+    # in-window via the batch twin sessionize_events, and the streaming
+    # family keeps four oracle-bearing members)
+    "mrl_truncation_eval",
     # round-7 late rotation: bpe_merge_candidates (tokenizer-training
     # pair counts over the vocab table) in for streaming_dedup_events
     # (green r4+r5+r6; stateful streaming dedup stays in-window via

@@ -537,3 +537,123 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         topk=10,
     )
+
+
+# --- Matryoshka truncation eval --------------------------------------------
+# Matryoshka-style embeddings (MRL) front-load information so a PREFIX of
+# the vector is a usable lower-cost embedding; adaptive retrieval serves
+# most queries from a short prefix and escalates only when needed.  Before
+# a pipeline can do that it must MEASURE what each truncation costs on its
+# own corpus — this eval scores prefix-d retrieval (d = 8, 16, 32) against
+# the exact full-dim top-10: recall@10 + whether the top-1 survives.  Same
+# eval shape as retrieval_eval_recall (k-row-bounded joins, every top-k a
+# TakeOrderedAndProject); a prefix dot is strictly cheaper than the full
+# one, so the eval's own cost is ~4 corpus scans sharing one spread.
+MRL_DIMS = (8, 16, 32)
+MRL_TOPK = 10
+
+
+def _mrl_topk_sql(d: int) -> str:
+    from seisdb_spark.functions.vectors import dot_chain_sql
+
+    chain = dot_chain_sql("e.embedding", "q.q_emb", dim=d)
+    return (
+        f"SELECT e.vec_id, {chain} AS dot FROM embeddings e CROSS JOIN q "
+        f"ORDER BY {chain} DESC, e.vec_id LIMIT {MRL_TOPK}"
+    )
+
+
+def _mrl_oracle() -> str:
+    ctes = ["q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)"]
+    ctes.append(f"ex AS ({_mrl_topk_sql(EMBEDDING_DIM)})")
+    ctes.append(
+        "ex1 AS (SELECT vec_id FROM ex ORDER BY dot DESC, vec_id LIMIT 1)"
+    )
+    selects = []
+    for d in MRL_DIMS:
+        ctes.append(f"t{d} AS ({_mrl_topk_sql(d)})")
+        ctes.append(
+            f"t{d}_1 AS (SELECT vec_id FROM t{d}"
+            " ORDER BY dot DESC, vec_id LIMIT 1)"
+        )
+        selects.append(
+            f"""SELECT CAST({d} AS INT) AS trunc_dim,
+               round(CAST((SELECT count(*) FROM t{d}
+                           JOIN ex ON t{d}.vec_id = ex.vec_id) AS DOUBLE)
+                     / {MRL_TOPK}, 6) AS recall_at_10,
+               CAST(CASE WHEN (SELECT vec_id FROM t{d}_1)
+                              = (SELECT vec_id FROM ex1)
+                    THEN 1 ELSE 0 END AS INT) AS top1_match"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "mrl_truncation_eval",
+    oracle=_mrl_oracle(),
+    doc=f"MATRYOSHKA TRUNCATION EVAL: retrieval quality of prefix-"
+    f"truncated embeddings (d = {', '.join(map(str, MRL_DIMS))}) vs the "
+    f"exact full-dim top-{MRL_TOPK} for the standard probe query "
+    "(vec_id 0) — recall@10 + top-1 survival per truncation, the "
+    "measurement adaptive retrieval needs before serving short prefixes. "
+    "Every top-k is a TakeOrderedAndProject (per-partition heap, k-row "
+    "driver merge — never a global sort); the recall joins and top-1 "
+    "comparisons run on <= 10-row sides by construction; a prefix dot "
+    "fold is strictly cheaper than the full-dim one. Left-associated "
+    "chains keep both engines' scores bit-identical, so the rankings "
+    "and therefore the metrics match exactly.",
+    bench=True,
+)
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions.vectors import dot_chain_col
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+
+    def topk(d: int) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(q)).select(
+            "vec_id", dot_chain_col("embedding", "q_emb", dim=d).alias("dot")
+        )
+        return scored.orderBy(F.col("dot").desc(), "vec_id").limit(MRL_TOPK)
+
+    ex = topk(EMBEDDING_DIM)
+    ex1 = (
+        ex.orderBy(F.col("dot").desc(), "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("ex1"))
+    )
+    parts = []
+    for d in MRL_DIMS:
+        t = topk(d)
+        t1 = (
+            t.orderBy(F.col("dot").desc(), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("tr1"))
+        )
+        rec = (
+            t.select("vec_id")
+            .join(ex.select("vec_id"), "vec_id")
+            .agg(
+                F.round(
+                    F.count(F.lit(1)).cast("double") / MRL_TOPK, 6
+                ).alias("recall_at_10")
+            )
+        )
+        parts.append(
+            rec.crossJoin(t1)
+            .crossJoin(ex1)
+            .select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "recall_at_10",
+                F.when(F.col("tr1") == F.col("ex1"), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("top1_match"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

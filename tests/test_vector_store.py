@@ -119,3 +119,65 @@ def test_ivfpq_codes_partition_pruning(spark, tmp_path):
     # and the pruned read returns exactly that list's rows
     want = codes.filter(F.col("list") == 1).count()
     assert probe.count() == want > 0
+
+
+def _mrl_fixture(tmp_path, vecs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+
+def test_mrl_eval_prefix_loaded_signal_is_perfect(spark, tmp_path):
+    """When ALL information lives in the first 8 dims (the Matryoshka
+    ideal), every truncation's ranking equals the exact one: recall 1.0
+    and top-1 survival at d = 8, 16, 32."""
+    rng = np.random.default_rng(21)
+    vecs = np.zeros((40, 64))
+    vecs[:, :8] = rng.normal(size=(40, 8))
+    _mrl_fixture(tmp_path, vecs)
+    out = (
+        REGISTRY["mrl_truncation_eval"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("trunc_dim")
+    )
+    assert out.trunc_dim.tolist() == [8, 16, 32]
+    assert (out.recall_at_10 == 1.0).all()
+    assert (out.top1_match == 1).all()
+
+
+def test_mrl_eval_tail_loaded_signal_is_blind(spark, tmp_path):
+    """The adversarial mirror: dims 0..31 are ZERO and the signal lives
+    in 32..63, so every prefix ranking degenerates to the vec_id
+    tiebreak ({0..9}) while the exact top-10 is the planted {30..39} —
+    recall 0.0 and a lost top-1 at every truncation."""
+    rng = np.random.default_rng(22)
+    t = rng.normal(size=32)
+    vecs = np.zeros((40, 64))
+    for j in range(30, 40):
+        vecs[j, 32:] = (50 - j) * t  # dots 20|t|^2 .. 11|t|^2, all > |t|^2
+    vecs[0, 32:] = t  # the query: self-dot |t|^2 is NOT the max
+    _mrl_fixture(tmp_path, vecs)
+    out = (
+        REGISTRY["mrl_truncation_eval"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("trunc_dim")
+    )
+    assert (out.recall_at_10 == 0.0).all()
+    assert (out.top1_match == 0).all()
+
+
+def test_mrl_eval_plans_takeordered_no_global_sort(spark):
+    df = REGISTRY["mrl_truncation_eval"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "CartesianProduct")
