@@ -657,3 +657,37 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- refined-codebook twin (rows-only) -------------------------------------
+# pq_encode_codes pins its codebooks to the deterministic SEEDS (Lloyd
+# iters=0) so a relational oracle can re-derive them; this twin runs the
+# actual production training path — per-subspace Lloyd refinement — and
+# the same map-only encode.  Refined centroids are iterative fp means
+# (not ANSI-SQL-expressible, and bitwise partitioning-dependent like any
+# distributed mean — see cluster.py), so the entry is rows-only; pytest
+# pins the property that matters: refinement never increases total
+# quantization error versus the seed codebooks it starts from.
+@query(
+    "pq_refined_encode",
+    oracle=None,  # iterative Lloyd training — rows-only by design
+    doc=f"PQ ENCODE WITH REFINED CODEBOOKS: the production path — "
+    f"per-subspace Lloyd refinement ({pq_lib.PQ_SUBSPACES} subspaces, "
+    "2 iterations from the same deterministic seeds pq_encode_codes "
+    "pins) followed by the identical map-only literal-codebook encode. "
+    "Driver state stays k*dim doubles per subspace per iteration; the "
+    "encode plan is byte-identical in shape to the oracle-checked row. "
+    "Rows-only because refined centroids are iterative distributed fp "
+    "means; tests/test_vector_store.py asserts refinement lowers total "
+    "quantization error vs the seed codebooks.",
+)
+def pq_refined_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    books = pq_lib.train_codebooks(emb, iters=2)
+    return pq_lib.pq_encode(emb, books).select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias(
+            "codes"
+        ),
+        "qerr",
+    )

@@ -181,3 +181,20 @@ def test_mrl_eval_plans_takeordered_no_global_sort(spark):
     assert has_node(plan, "TakeOrderedAndProject")
     assert not has_node(plan, "rangepartitioning")
     assert not has_node(plan, "CartesianProduct")
+
+
+def test_pq_refined_encode_beats_seed_codebooks(spark):
+    """Lloyd starts from exactly the seed codebooks pq_encode_codes pins,
+    and each iteration is non-increasing in inertia — so the refined
+    twin's TOTAL quantization error must come out at or below the
+    seed-codebook row's (the property that justifies training at all)."""
+    seed = (
+        REGISTRY["pq_encode_codes"].spark(spark, SF_DIR).toPandas()
+    )
+    refined = (
+        REGISTRY["pq_refined_encode"].spark(spark, SF_DIR).toPandas()
+    )
+    assert len(seed) == len(refined)
+    assert refined.qerr.sum() <= seed.qerr.sum() * (1 + 1e-9)
+    # and strictly better on this corpus (not a vacuous tie)
+    assert refined.qerr.sum() < seed.qerr.sum()
