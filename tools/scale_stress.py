@@ -14,8 +14,12 @@ Corpus construction (deterministic, no RNG state):
     each replica EXACTLY (the suffix map is a bijection on shingles) while
     sharing zero shingles across replicas — so the corpus-wide duplicate
     RATE is constant and ~linear runtime is the correct expectation.  Doc
-    ids offset by r * 10^7 (a multiple of 10, preserving the benchmark
-    holdout fraction).
+    ids for replica r >= 1 are 10*orig + 1 + r*10^8 (== 1 mod 10): scaled
+    replicas contribute NO holdout/batch docs, because production eval
+    suites and ingest batches are constant-size regardless of corpus
+    scale (round-8 change — see REPLICA_DOC_OFFSET; the proportional
+    holdout previously OOMed the decon broadcast at x1000, a generator
+    artifact).
   * embeddings — replica 0 original; replica r gets fresh pseudo-random
     vectors from a hash-sin generator (fract(sin(a*i + b*d + c) * 43758.5)
     — the classic shader hash), decorrelated from the originals so near-dup
@@ -226,6 +230,23 @@ STRESS_QUERIES = {
 DIR_OVERRIDE = {"vocab_coverage_32k": "richvocab"}
 
 
+#: Replica r >= 1 document ids: 10*orig + 1 + r * 10^8 — injective,
+#: order-preserving, and == 1 (mod 10), so scaled replicas contribute
+#: ZERO holdout/batch docs (doc_id % 10 == 0 selects none of them).
+#: Production eval suites and per-ingest batches are CONSTANT-SIZE
+#: regardless of the training corpus; the previous scheme (orig + r*10^7,
+#: a multiple of 10) grew the benchmark holdout proportionally with the
+#: corpus, and at x1000 the decontamination gate's (correctly) broadcast
+#: benchmark-shingle table outgrew the broadcast limit — a generator
+#: artifact, not an operator flaw.  Replica-0 keeps original ids, so the
+#: holdout is exactly the sf0.1 one at every factor.
+REPLICA_DOC_OFFSET = 10**8
+
+
+def _replica_doc_id(r_col):
+    return F.col("doc_id") * 10 + 1 + r_col * REPLICA_DOC_OFFSET
+
+
 def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
     if factor > 100:
         # identical rows to the union form below, but built as ONE
@@ -235,7 +256,9 @@ def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
             docs.sparkSession.range(factor).select(F.col("id").alias("r"))
         )
         return docs.crossJoin(reps).select(
-            (F.col("doc_id") + F.col("r") * ID_OFFSET).alias("doc_id"),
+            F.when(F.col("r") == 0, F.col("doc_id"))
+            .otherwise(_replica_doc_id(F.col("r")))
+            .alias("doc_id"),
             F.when(F.col("r") == 0, F.col("text"))
             .otherwise(
                 F.concat_ws(
@@ -254,7 +277,7 @@ def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
     for r in range(1, factor):
         parts.append(
             docs.select(
-                (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+                _replica_doc_id(F.lit(r)).alias("doc_id"),
                 F.concat_ws(
                     " ", F.expr(f"transform(split(text, ' '), x -> concat(x, '_r{r}'))")
                 ).alias("text"),
