@@ -2294,7 +2294,7 @@ _SEMDEDUP_R_SQL = (
             WHERE ({dot_chain_sql("a.embedding", "b.embedding")})
                   / (a.nrm * b.nrm) >= {SEMDEDUP_COSINE}
         )
-        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                CAST(CASE WHEN vec_id IN (SELECT vec_id FROM losers)
                          THEN 0 ELSE 1 END AS INT) AS kept
         FROM m
@@ -2402,9 +2402,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
+    # cluster is a SEED VEC_ID — a BIGINT at corpus scale (the x1000
+    # harness caught an INT cast overflowing at replica vec_ids >= 2^31)
     return m.join(losers.withColumn("_lost", F.lit(1)), "vec_id", "left").select(
         "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
+        F.col("cluster").cast("long").alias("cluster"),
         F.when(F.col("_lost").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
 

@@ -244,7 +244,13 @@ REPLICA_DOC_OFFSET = 10**8
 
 
 def _replica_doc_id(r_col):
-    return F.col("doc_id") * 10 + 1 + r_col * REPLICA_DOC_OFFSET
+    # BIGINT arithmetic throughout: r (int32 in the union path's lit)
+    # times 10^8 overflows int32 under ANSI for r >= 22
+    return (
+        F.col("doc_id") * 10
+        + 1
+        + r_col.cast("long") * F.lit(REPLICA_DOC_OFFSET).cast("long")
+    )
 
 
 def _gen_documents(docs: DataFrame, factor: int) -> DataFrame:
