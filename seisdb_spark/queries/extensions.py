@@ -3548,29 +3548,36 @@ EDITDIST_FULL_BOUND = EDITDIST_FULL_CAP // 4  # banded-DP cutoff (-1 past)
                    CASE WHEN length(text) <= {EDITDIST_FULL_CAP}
                         THEN text END AS t
             FROM documents
+        ),
+        -- each Levenshtein DP runs ONCE per candidate pair here (DuckDB
+        -- has no banded 3-arg form, so its full-text DP is O(len^2) —
+        -- re-evaluating it per referencing expression triples oracle wall
+        -- time on candidate-heavy corpora; r8 advice)
+        lev AS (
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(ta.p, tb.p) AS plev,
+                   greatest(length(ta.p), length(tb.p), 1) AS plen,
+                   CASE WHEN ta.t IS NULL OR tb.t IS NULL THEN NULL
+                        ELSE levenshtein(ta.t, tb.t) END AS flev,
+                   greatest(length(ta.t), length(tb.t)) AS flen
+            FROM cand c
+            JOIN txt ta ON ta.doc_id = c.doc_a
+            JOIN txt tb ON tb.doc_id = c.doc_b
         )
-        SELECT c.doc_a, c.doc_b,
-               CAST(levenshtein(ta.p, tb.p) AS INT) AS edit_distance,
+        SELECT doc_a, doc_b,
+               CAST(plev AS INT) AS edit_distance,
                round(CAST(1.0 AS DOUBLE)
-                         - CAST(levenshtein(ta.p, tb.p) AS DOUBLE)
-                           / greatest(length(ta.p), length(tb.p), 1), 6)
-                   AS prefix_sim,
+                         - CAST(plev AS DOUBLE) / plen, 6) AS prefix_sim,
                CAST(CASE
-                    WHEN ta.t IS NULL OR tb.t IS NULL THEN NULL
-                    WHEN levenshtein(ta.t, tb.t) <= {EDITDIST_FULL_BOUND}
-                        THEN levenshtein(ta.t, tb.t)
+                    WHEN flev IS NULL THEN NULL
+                    WHEN flev <= {EDITDIST_FULL_BOUND} THEN flev
                     ELSE -1 END AS INT) AS full_edit_distance,
                CASE
-                    WHEN ta.t IS NOT NULL AND tb.t IS NOT NULL THEN
-                        CASE WHEN levenshtein(ta.t, tb.t) * 4
-                                  <= greatest(length(ta.t), length(tb.t))
-                             THEN 1 ELSE 0 END
-                    WHEN levenshtein(ta.p, tb.p) <= {EDITDIST_MAX}
-                        THEN 1
+                    WHEN flev IS NOT NULL THEN
+                        CASE WHEN flev * 4 <= flen THEN 1 ELSE 0 END
+                    WHEN plev <= {EDITDIST_MAX} THEN 1
                     ELSE 0 END AS is_dup
-        FROM cand c
-        JOIN txt ta ON ta.doc_id = c.doc_a
-        JOIN txt tb ON tb.doc_id = c.doc_b
+        FROM lev
     """,
     doc=f"EDIT-DISTANCE NEAR-DUP JOIN (record linkage): banded MinHash-LSH "
     "blocking proposes candidate pairs; each is verified at two tiers — "

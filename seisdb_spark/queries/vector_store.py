@@ -136,15 +136,42 @@ PCA_PROJECT_BASIS: list[list[float]] = [
 ]
 
 
+# The mean must be DETERMINISTIC, not just rounded: round(avg(...), 3)
+# is a partition-order-dependent fp sum, and a per-dim sum landing within
+# an ulp of a 0.0005 rounding boundary would make the two engines (or two
+# Spark runs with different partitioning) disagree (r8 advice).  Fix: sum
+# EXACT fixed-point micro-units (floor(x * 1e6 + 0.5) as BIGINT — integer
+# addition is order-independent) and divide once; both engines evaluate
+# the identical text on identical doubles, so the mean is bit-stable under
+# any partitioning.
+_MEAN_SCALE = 1_000_000
+
+
+def _mean_unit_sql(d: int) -> str:
+    return (
+        f"CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * CAST({_MEAN_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
 @query(
     "pca_project",
     oracle=f"""
-        WITH m AS (
+        WITH msum AS (
+            SELECT count(*) AS n,
+                   {", ".join(
+                       f"CAST(sum({_mean_unit_sql(d)}) AS BIGINT) AS s{d}"
+                       for d in range(EMBEDDING_DIM)
+                   )}
+            FROM embeddings
+        ),
+        m AS (
             SELECT {", ".join(
-                f"round(avg(CAST(embedding[{d + 1}] AS DOUBLE)), 3) AS m{d}"
+                f"CAST(s{d} AS DOUBLE)"
+                f" / CAST(n * {_MEAN_SCALE} AS DOUBLE) AS m{d}"
                 for d in range(EMBEDDING_DIM)
             )}
-            FROM embeddings
+            FROM msum
         )
         SELECT e.vec_id,
                {", ".join(
@@ -171,8 +198,11 @@ PCA_PROJECT_BASIS: list[list[float]] = [
     "no shuffle, no Python on the hot path. The driver row pins the "
     "components to a fixed orthonormal Walsh-Hadamard basis (entries "
     "exactly +-1/8) because an eigendecomposition is not ANSI-SQL-"
-    "expressible; the mean is taken from the DATA (per-dim avg, rounded "
-    "3dp on both engines). The eigen path itself (d x d Gram collapse -> "
+    "expressible; the mean is taken from the DATA as an EXACT fixed-point "
+    "sum (floor(x*1e6+0.5) micro-units as BIGINT, one division) — integer "
+    "addition is partition-order-independent, so the mean is bit-stable "
+    "across engines AND across Spark partitionings, unlike a rounded fp "
+    "avg. The eigen path itself (d x d Gram collapse -> "
     "driver eigh) is numpy-golden-tested with a dimension-bounded driver "
     "merge. At 100 TB: the Gram collapse is the only exchange (d^2-sized) "
     "and the projection pipelines into the scan.",
@@ -180,17 +210,28 @@ PCA_PROJECT_BASIS: list[list[float]] = [
 )
 def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    mean_row = emb.select(
+    # Spark's embedding[d] is 0-based where the oracle's is 1-based, so the
+    # shared expression text shifts the index by one; everything after the
+    # element access is identical.  One agg row (count + 64 BIGINTs) to the
+    # driver; the single float division below is the same two-double IEEE
+    # division the oracle's CAST(s AS DOUBLE) / CAST(n*scale AS DOUBLE) is.
+    sums_row = emb.select(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.round(
-                F.avg(F.expr(f"CAST(embedding[{d}] AS DOUBLE)")), 3
-            ).alias(f"m{d}")
+            F.expr(
+                f"CAST(sum(CAST(floor(CAST(embedding[{d}] AS DOUBLE)"
+                f" * CAST({_MEAN_SCALE} AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+            ).alias(f"s{d}")
             for d in range(EMBEDDING_DIM)
         ]
     ).collect()[0]
     import numpy as np
 
-    mean = np.array([mean_row[f"m{d}"] for d in range(EMBEDDING_DIM)])
+    denom = float(sums_row["n"] * _MEAN_SCALE)
+    mean = np.array(
+        [float(sums_row[f"s{d}"]) / denom for d in range(EMBEDDING_DIM)]
+    )
     comps = np.array(PCA_PROJECT_BASIS)
     return pca_lib.project(emb, comps, mean)
 

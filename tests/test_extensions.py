@@ -1267,7 +1267,15 @@ def test_embedding_int4_block_quantize_matches_numpy(spark, tmp_path):
         assert want_codes[8:16] == [0] * 8
 
     plan = final_plan(df)
-    assert count_exchanges(plan) == 0 or "RoundRobin" in plan  # spread only
+    # EVERY exchange must be the test fixture's RoundRobin spread — an OR
+    # against total count could mask a keyed shuffle sneaking in next to
+    # the spread (r8 advice); assert zero hash/range exchanges directly
+    import re
+
+    n_keyed = len(
+        re.findall(r"(?i)\bexchange\s+(?:hash|range)partitioning", plan)
+    )
+    assert n_keyed == 0, plan
     assert "hashpartitioning" not in plan.lower()
 
 
