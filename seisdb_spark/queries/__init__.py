@@ -216,7 +216,13 @@ DRIVER_WINDOW: list[str] = [
     # --- (stratified_sample also rotates out — green r4+r5; the sampling
     # --- family keeps budgeted_sample_per_lang and curation_keep_set's
     # --- stratified stage in-window) ----------------------------------------
-    "bm25_topk",
+    # round-9 rotation (r8 verdict item #1): pq_recall_eval — the codec-
+    # path retrieval-quality canary (recall@10 + top1 RR of pq_adc_topk /
+    # ivfpq_adc_topk vs the exact squared-L2 top-10, both codec CTE stacks
+    # composed verbatim) — in for bm25_topk (green r6+r7+r8; the BM25
+    # family keeps bm25_multiquery — the strictly stronger batch-serving
+    # form — and hybrid_rrf_topk in-window)
+    "pq_recall_eval",
     "quality_classifier_score",
     "vocab_coverage",
     "corpus_datacard",

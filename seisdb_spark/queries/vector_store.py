@@ -700,6 +700,156 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- PQ retrieval-quality canary --------------------------------------------
+# ADC exactness (the hash-green codec rows) is NOT retrieval quality:
+# quantization loses neighbors BY DESIGN, and an index whose loss nobody
+# measures is an index nobody can trust after a retrain/reindex.  This is
+# retrieval_eval_recall's composed-oracle pattern applied to the two
+# quantized codec paths: recall@10 + true-top1 rank/RR of pq_adc_topk and
+# ivfpq_adc_topk against the EXACT ground truth.  Ground truth is the exact
+# squared-L2 top-10 (not similarity_topk_dot's dot-product list): ADC
+# approximates L2 distance, so an L2 ground truth measures QUANTIZATION
+# loss alone — a dot-product ground truth would conflate it with metric
+# mismatch.  All three lists are 10 rows: every join/window here is
+# k-row-bounded, the expensive work is the already-scale-shaped
+# sub-pipelines.  At 100 TB this is the nightly codec-quality canary next
+# to the unquantized one.
+
+
+def _exact_l2_topk_sql() -> str:
+    """Exact squared-L2 top-10 for the standard probe (vec_id 0), same
+    left-associated squared-diff chain the codec oracles use."""
+    chain = _chain(
+        [
+            _sq(
+                f"CAST(e.embedding[{i}] AS DOUBLE)",
+                f"CAST(qv.qe[{i}] AS DOUBLE)",
+            )
+            for i in range(1, EMBEDDING_DIM + 1)
+        ]
+    )
+    return f"""
+        WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({chain}, 6) AS d2
+        FROM embeddings e CROSS JOIN qv
+        ORDER BY d2, e.vec_id
+        LIMIT 10
+    """
+
+
+@query(
+    "pq_recall_eval",
+    oracle=None,  # composed below from the registered codec sub-oracles
+    doc="PQ CODEC QUALITY EVAL: recall@10 and true-top1 rank/RR of "
+    "pq_adc_topk and ivfpq_adc_topk against the EXACT squared-L2 top-10 "
+    "(the metric ADC approximates — a dot-product ground truth would "
+    "conflate quantization loss with metric mismatch), one row per "
+    "method. Ranks re-derive from each list's own rounded adc_dist2 with "
+    "its oracle's total order (dist ASC, vec_id). The oracle composes "
+    "both codec CTE stacks VERBATIM as nested-WITH CTEs plus the exact-L2 "
+    "chain, so the metric is checked end-to-end through encode, probe, "
+    "and ADC. Lists are k-row-bounded; the eval adds no scale cost beyond "
+    "its inputs. This is the nightly index-quality canary for the "
+    "quantized paths, closing the gap retrieval_eval_recall left (it "
+    "covers only the unquantized sign-bucket/IVF paths).",
+    bench=True,
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    chain = _chain(
+        [
+            _sq(
+                f"CAST(element_at(embedding, {i}) AS DOUBLE)",
+                f"CAST(element_at(qe, {i}) AS DOUBLE)",
+            )
+            for i in range(1, EMBEDDING_DIM + 1)
+        ]
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(F.expr(chain), 6).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+    )
+    exw = Window.orderBy("d2", "vec_id")
+    exr = exact.select("vec_id", F.row_number().over(exw).alias("er"))
+    annw = Window.orderBy("adc_dist2", "vec_id")
+
+    def _metrics(method: str, ann: DataFrame) -> DataFrame:
+        annr = ann.select("vec_id", F.row_number().over(annw).alias("r"))
+        j = exr.join(annr, "vec_id", "left")
+        top1 = F.max(F.when(F.col("er") == 1, F.col("r")))
+        agg = j.agg(
+            F.count("r").cast("int").alias("hits"),
+            F.round(F.count("r").cast("double") / 10, 2).alias(
+                "recall_at_10"
+            ),
+            F.coalesce(top1, F.lit(0)).cast("int").alias("top1_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0).cast("double") / top1,
+                    F.lit(0.0).cast("double"),
+                ),
+                6,
+            ).alias("top1_rr"),
+        )
+        return agg.select(F.lit(method).alias("method"), "*")
+
+    return _metrics("pq", pq_adc_topk(spark, sf_dir)).unionByName(
+        _metrics("ivfpq", ivfpq_adc_topk(spark, sf_dir))
+    )
+
+
+def _set_pq_recall_oracle() -> None:
+    from dataclasses import replace
+
+    from seisdb_spark.queries.registry import REGISTRY
+
+    metric = """
+        SELECT '{method}' AS method,
+               CAST(count(r) AS INT) AS hits,
+               round(CAST(count(r) AS DOUBLE) / 10, 2) AS recall_at_10,
+               CAST(COALESCE(MAX(CASE WHEN er = 1 THEN r END), 0) AS INT)
+                   AS top1_rank,
+               round(COALESCE(CAST(1.0 AS DOUBLE)
+                                  / MAX(CASE WHEN er = 1 THEN r END),
+                              CAST(0.0 AS DOUBLE)), 6) AS top1_rr
+        FROM exr LEFT JOIN {annr} USING (vec_id)
+    """
+    sql = f"""
+        WITH exact AS ({_exact_l2_topk_sql()}),
+        pql AS ({REGISTRY["pq_adc_topk"].oracle}),
+        ivfl AS ({REGISTRY["ivfpq_adc_topk"].oracle}),
+        exr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY d2, vec_id) AS er
+            FROM exact
+        ),
+        pqr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS r
+            FROM pql
+        ),
+        ivfr AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY adc_dist2, vec_id) AS r
+            FROM ivfl
+        )
+        {metric.format(method="pq", annr="pqr")}
+        UNION ALL
+        {metric.format(method="ivfpq", annr="ivfr")}
+    """
+    REGISTRY["pq_recall_eval"] = replace(REGISTRY["pq_recall_eval"], oracle=sql)
+
+
+_set_pq_recall_oracle()
+
+
 # --- refined-codebook twin (rows-only) -------------------------------------
 # pq_encode_codes pins its codebooks to the deterministic SEEDS (Lloyd
 # iters=0) so a relational oracle can re-derive them; this twin runs the

@@ -198,3 +198,57 @@ def test_pq_refined_encode_beats_seed_codebooks(spark):
     assert refined.qerr.sum() <= seed.qerr.sum() * (1 + 1e-9)
     # and strictly better on this corpus (not a vacuous tie)
     assert refined.qerr.sum() < seed.qerr.sum()
+
+
+def test_pq_recall_eval_planted_lossless_codebook(spark, tmp_path):
+    """A 16-vector corpus of distinct patterns makes the 16-row seed set
+    the WHOLE corpus, so the codebook contains every vector's subvectors
+    exactly: PQ quantization error is zero and the ADC ranking equals the
+    exact squared-L2 ranking (same distances, same (dist, vec_id) tie
+    rule) — the pq row must score perfect recall with the true top-1 at
+    rank 1.  (The ivfpq row is NOT asserted perfect: nprobe=2 of 4 lists
+    can legitimately miss exact neighbors living in unprobed lists —
+    that residual loss is precisely what the canary measures.)"""
+    rng = np.random.default_rng(33)
+    patterns = rng.normal(size=(16, 64)).astype(np.float32)
+    vecs = patterns.astype(np.float64)
+    _mrl_fixture(tmp_path, vecs)
+    out = (
+        REGISTRY["pq_recall_eval"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .set_index("method")
+    )
+    assert sorted(out.index) == ["ivfpq", "pq"]
+    assert out.loc["pq"].recall_at_10 == 1.0
+    assert out.loc["pq"].hits == 10
+    assert out.loc["pq"].top1_rank == 1
+    assert out.loc["pq"].top1_rr == 1.0
+    # internal consistency holds for both methods regardless of loss
+    for m in ("pq", "ivfpq"):
+        r = out.loc[m]
+        assert r.hits == round(r.recall_at_10 * 10)
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        if r.top1_rank > 0:
+            assert abs(r.top1_rr - round(1.0 / r.top1_rank, 6)) < 1e-12
+        else:
+            assert r.top1_rr == 0.0
+
+
+def test_pq_recall_eval_seed_codebooks_lose_neighbors_on_real_data(spark):
+    """On the real sf0.001 corpus the seed (Lloyd iters=0) operating
+    point MUST show measurable quantization loss (recall < 1) — if the
+    canary reported perfect recall here it would be measuring nothing.
+    Both rows stay internally consistent."""
+    out = (
+        REGISTRY["pq_recall_eval"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("method")
+    )
+    assert sorted(out.index) == ["ivfpq", "pq"]
+    assert (out.recall_at_10 < 1.0).any()
+    for m in ("pq", "ivfpq"):
+        r = out.loc[m]
+        assert r.hits == round(r.recall_at_10 * 10)
+        assert 0 <= r.top1_rank <= 10
