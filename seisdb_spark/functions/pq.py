@@ -122,10 +122,21 @@ def pq_adc_topk(
     books: list[list[list[float]]],
     query: np.ndarray,
     topk: int = 10,
+    n_use: int | None = None,
 ) -> DataFrame:
     """Approximate nearest neighbours from CODES alone: literal lookup
-    tables + element_at sums, then TakeOrderedAndProject."""
+    tables + element_at sums, then TakeOrderedAndProject.
+
+    ``n_use`` restricts the distance to the FIRST n_use subspaces — the
+    Matryoshka composition: because subspaces are contiguous dim ranges,
+    the first m code bytes ARE a prefix-dim (m * d/n_sub) index, so
+    adaptive retrieval serves short prefixes from a prefix of the SAME
+    codes table (no second index, no extra bytes) and escalates to the
+    full code only when needed.  The query's distance table just gets
+    fewer rows; the scan/TakeOrdered shape is unchanged."""
     table = adc_table(books, query)
+    if n_use is not None:
+        table = table[:n_use]
     terms = []
     for s, row in enumerate(table):
         lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"

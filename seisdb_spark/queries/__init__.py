@@ -224,7 +224,12 @@ DRIVER_WINDOW: list[str] = [
     # form — and hybrid_rrf_topk in-window)
     "pq_recall_eval",
     "quality_classifier_score",
-    "vocab_coverage",
+    # round-9 rotation (r8 verdict item #7): mrl_pq_adc_topk — the MRL x
+    # PQ composition, serving a 16-dim prefix from the first 2 code bytes
+    # of the existing codes table — in for vocab_coverage (green r6+r7+r8;
+    # the vocabulary family keeps vocab_coverage_32k, the production-V
+    # audit, in-window)
+    "mrl_pq_adc_topk",
     "corpus_datacard",
     "packing_efficiency",
     # --- round-5 rotation: first driver rows for the two new ops + the

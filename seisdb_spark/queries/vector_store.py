@@ -700,6 +700,63 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Matryoshka x PQ: prefix-subspace ADC -----------------------------------
+# The natural composition of the two r8 surfaces (r8 verdict item #7):
+# mrl_truncation_eval proves prefix-truncated embeddings retain retrieval
+# quality, and PQ proves subspace codes serve ADC from codes alone.
+# Because PQ subspaces are CONTIGUOUS dim ranges, the first m code bytes
+# of the existing codes table ARE a prefix-dim index — adaptive retrieval
+# can serve a short-prefix query from a prefix of the SAME codes (no
+# second index, no extra storage), escalating to the full code only when
+# the short list is ambiguous.  This query is that serving path: ADC over
+# the first MRL_PQ_SUB subspaces only (= the first
+# MRL_PQ_SUB * EMBEDDING_DIM/PQ_N_SUB dims), top-10.
+MRL_PQ_SUB = 2  # first 2 of 8 subspaces = 16-dim prefix
+
+
+@query(
+    "mrl_pq_adc_topk",
+    oracle=f"""
+        WITH {_pq_adc_ctes()}
+        SELECT a0.vec_id,
+               round({_chain([f"a{s}.qd" for s in range(MRL_PQ_SUB)])}, 6)
+                   AS adc_dist2
+        FROM {" JOIN ".join(
+            ["a0"]
+            + [
+                f"a{s} ON a{s}.vec_id = a0.vec_id"
+                for s in range(1, MRL_PQ_SUB)
+            ]
+        )}
+        ORDER BY adc_dist2, a0.vec_id
+        LIMIT 10
+    """,
+    doc=f"MATRYOSHKA PREFIX-SUBSPACE ADC (functions/pq.py::pq_adc_topk "
+    f"n_use={MRL_PQ_SUB}): approximate top-10 served from the FIRST "
+    f"{MRL_PQ_SUB} code bytes of the standard PQ codes table — i.e. a "
+    f"{MRL_PQ_SUB * EMBEDDING_DIM // PQ_N_SUB}-dim prefix index carved "
+    "out of the existing codes at zero extra storage, the adaptive-"
+    "retrieval cheap tier mrl_truncation_eval justifies. The query's "
+    "distance table simply has fewer rows; the plan is the same codes "
+    "scan + TakeOrderedAndProject, with per-row work cut "
+    f"{PQ_N_SUB // MRL_PQ_SUB}x. Oracle reuses the PQ encode/ADC CTE "
+    "stack verbatim and sums only the prefix subspace terms.",
+)
+def mrl_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    books = _books_from_seeds(
+        _seed_vectors(spark, sf_dir, PQ_SEED_K), PQ_N_SUB
+    )
+    codes = pq_lib.pq_encode(emb, books)
+    return pq_lib.pq_adc_topk(
+        codes,
+        books,
+        _query_vector(spark, sf_dir),
+        topk=10,
+        n_use=MRL_PQ_SUB,
+    )
+
+
 # --- PQ retrieval-quality canary --------------------------------------------
 # ADC exactness (the hash-green codec rows) is NOT retrieval quality:
 # quantization loses neighbors BY DESIGN, and an index whose loss nobody

@@ -252,3 +252,39 @@ def test_pq_recall_eval_seed_codebooks_lose_neighbors_on_real_data(spark):
         r = out.loc[m]
         assert r.hits == round(r.recall_at_10 * 10)
         assert 0 <= r.top1_rank <= 10
+
+
+def test_mrl_pq_prefix_adc_planted_prefix_signal(spark, tmp_path):
+    """With a lossless codebook (16 distinct patterns = the seed set) AND
+    all signal in the first 16 dims (the prefix the 2 used subspaces
+    cover), the prefix-subspace ADC ranking must equal the exact
+    full-dim squared-L2 ranking — the Matryoshka ideal served from 2
+    code bytes."""
+    rng = np.random.default_rng(44)
+    patterns = np.zeros((16, 64), dtype=np.float32)
+    patterns[:, :16] = rng.normal(size=(16, 16)).astype(np.float32)
+    _mrl_fixture(tmp_path, patterns.astype(np.float64))
+    out = (
+        REGISTRY["mrl_pq_adc_topk"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("adc_dist2")
+        .reset_index(drop=True)
+    )
+    x = patterns.astype(np.float64)
+    d2 = ((x - x[0]) ** 2).sum(axis=1)
+    want = sorted(range(16), key=lambda i: (round(d2[i], 6), i))[:10]
+    assert out.vec_id.tolist() == want
+    assert out.adc_dist2.iloc[0] == 0.0  # the query matches itself
+
+
+def test_mrl_pq_prefix_adc_plans_takeordered_map_only(spark):
+    """Same plan claims as the full ADC row: codes scan + literal lookup
+    arrays + TakeOrderedAndProject, no keyed exchange, no join in the
+    serving path after the bounded seed collects."""
+    df = REGISTRY["mrl_pq_adc_topk"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert not has_node(plan, "hashpartitioning")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "SortMergeJoin")
