@@ -136,6 +136,12 @@ def pq_adc_topk(
     fewer rows; the scan/TakeOrdered shape is unchanged."""
     table = adc_table(books, query)
     if n_use is not None:
+        if not 1 <= n_use <= len(table):
+            # n_use=0 would build a malformed empty-sum expression and
+            # n_use > n_sub would silently no-op — both are caller bugs
+            raise ValueError(
+                f"n_use must be in [1, {len(table)}], got {n_use}"
+            )
         table = table[:n_use]
     terms = []
     for s, row in enumerate(table):

@@ -199,7 +199,8 @@ def _mean_unit_sql(d: int) -> str:
     "components to a fixed orthonormal Walsh-Hadamard basis (entries "
     "exactly +-1/8) because an eigendecomposition is not ANSI-SQL-"
     "expressible; the mean is taken from the DATA as an EXACT fixed-point "
-    "sum (floor(x*1e6+0.5) micro-units as BIGINT, one division) — integer "
+    "sum (floor(x*1e6+0.5) micro-units, DECIMAL(38,0) accumulator so "
+    "overflow nulls loudly instead of wrapping, one division) — integer "
     "addition is partition-order-independent, so the mean is bit-stable "
     "across engines AND across Spark partitionings, unlike a rounded fp "
     "avg. The eigen path itself (d x d Gram collapse -> "
@@ -215,22 +216,32 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element access is identical.  One agg row (count + 64 BIGINTs) to the
     # driver; the single float division below is the same two-double IEEE
     # division the oracle's CAST(s AS DOUBLE) / CAST(n*scale AS DOUBLE) is.
+    # Per-term micro-units fit BIGINT, but the SUM accumulates in
+    # DECIMAL(38,0): Spark's non-ANSI sum(BIGINT) silently WRAPS at 2^63
+    # (~9e12 rows at unit-scale embeddings — reachable at the 100 TB
+    # framing), whereas a decimal sum overflows to NULL, which the
+    # assert below turns into a loud failure instead of a corrupt mean.
+    # DuckDB's oracle side already sums exactly (HUGEINT accumulator).
     sums_row = emb.select(
         F.count(F.lit(1)).alias("n"),
         *[
             F.expr(
-                f"CAST(sum(CAST(floor(CAST(embedding[{d}] AS DOUBLE)"
+                f"sum(CAST(CAST(floor(CAST(embedding[{d}] AS DOUBLE)"
                 f" * CAST({_MEAN_SCALE} AS DOUBLE)"
-                " + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0)))"
             ).alias(f"s{d}")
             for d in range(EMBEDDING_DIM)
         ]
     ).collect()[0]
     import numpy as np
 
+    if any(sums_row[f"s{d}"] is None for d in range(EMBEDDING_DIM)):
+        raise ArithmeticError(
+            "fixed-point mean sum overflowed DECIMAL(38,0)"
+        )
     denom = float(sums_row["n"] * _MEAN_SCALE)
     mean = np.array(
-        [float(sums_row[f"s{d}"]) / denom for d in range(EMBEDDING_DIM)]
+        [float(int(sums_row[f"s{d}"])) / denom for d in range(EMBEDDING_DIM)]
     )
     comps = np.array(PCA_PROJECT_BASIS)
     return pca_lib.project(emb, comps, mean)
@@ -773,9 +784,18 @@ def mrl_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the unquantized one.
 
 
+#: Single knob for the codec-quality canary: ground-truth list length,
+#: recall denominator, and the recall column's NAME all derive from it
+#: (r9 advice: the three were hardcoded independently).  Must equal the
+#: topk of the codec rows it scores (pq_adc_topk / ivfpq_adc_topk, both
+#: default 10) — their oracles pin their own LIMITs.
+RECALL_K = 10
+_RECALL_COL = f"recall_at_{RECALL_K}"
+
+
 def _exact_l2_topk_sql() -> str:
-    """Exact squared-L2 top-10 for the standard probe (vec_id 0), same
-    left-associated squared-diff chain the codec oracles use."""
+    """Exact squared-L2 top-RECALL_K for the standard probe (vec_id 0),
+    same left-associated squared-diff chain the codec oracles use."""
     chain = _chain(
         [
             _sq(
@@ -790,7 +810,7 @@ def _exact_l2_topk_sql() -> str:
         SELECT e.vec_id, round({chain}, 6) AS d2
         FROM embeddings e CROSS JOIN qv
         ORDER BY d2, e.vec_id
-        LIMIT 10
+        LIMIT {RECALL_K}
     """
 
 
@@ -831,7 +851,7 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(qv))
         .select("vec_id", F.round(F.expr(chain), 6).alias("d2"))
         .orderBy("d2", "vec_id")
-        .limit(10)
+        .limit(RECALL_K)
     )
     exw = Window.orderBy("d2", "vec_id")
     exr = exact.select("vec_id", F.row_number().over(exw).alias("er"))
@@ -843,8 +863,8 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         top1 = F.max(F.when(F.col("er") == 1, F.col("r")))
         agg = j.agg(
             F.count("r").cast("int").alias("hits"),
-            F.round(F.count("r").cast("double") / 10, 2).alias(
-                "recall_at_10"
+            F.round(F.count("r").cast("double") / RECALL_K, 2).alias(
+                _RECALL_COL
             ),
             F.coalesce(top1, F.lit(0)).cast("int").alias("top1_rank"),
             F.round(
@@ -867,16 +887,17 @@ def _set_pq_recall_oracle() -> None:
 
     from seisdb_spark.queries.registry import REGISTRY
 
-    metric = """
-        SELECT '{method}' AS method,
+    metric = f"""
+        SELECT '{{method}}' AS method,
                CAST(count(r) AS INT) AS hits,
-               round(CAST(count(r) AS DOUBLE) / 10, 2) AS recall_at_10,
+               round(CAST(count(r) AS DOUBLE) / {RECALL_K}, 2)
+                   AS {_RECALL_COL},
                CAST(COALESCE(MAX(CASE WHEN er = 1 THEN r END), 0) AS INT)
                    AS top1_rank,
                round(COALESCE(CAST(1.0 AS DOUBLE)
                                   / MAX(CASE WHEN er = 1 THEN r END),
                               CAST(0.0 AS DOUBLE)), 6) AS top1_rr
-        FROM exr LEFT JOIN {annr} USING (vec_id)
+        FROM exr LEFT JOIN {{annr}} USING (vec_id)
     """
     sql = f"""
         WITH exact AS ({_exact_l2_topk_sql()}),

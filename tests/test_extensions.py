@@ -1267,16 +1267,18 @@ def test_embedding_int4_block_quantize_matches_numpy(spark, tmp_path):
         assert want_codes[8:16] == [0] * 8
 
     plan = final_plan(df)
-    # EVERY exchange must be the test fixture's RoundRobin spread — an OR
-    # against total count could mask a keyed shuffle sneaking in next to
-    # the spread (r8 advice); assert zero hash/range exchanges directly
+    # EVERY exchange must be the test fixture's RoundRobin spread — count
+    # exchanges and RoundRobin exchanges and require them equal, so a
+    # keyed shuffle OR an Exchange SinglePartition slipping in next to
+    # the spread fails the assert (r9 advice; \bexchange\b deliberately
+    # excludes Broadcast/ReusedExchange, which are not shuffles)
     import re
 
-    n_keyed = len(
-        re.findall(r"(?i)\bexchange\s+(?:hash|range)partitioning", plan)
+    n_exchange = len(re.findall(r"(?i)\bexchange\b", plan))
+    n_rr = len(
+        re.findall(r"(?i)\bexchange\s+roundrobinpartitioning", plan)
     )
-    assert n_keyed == 0, plan
-    assert "hashpartitioning" not in plan.lower()
+    assert n_exchange == n_rr, plan
 
 
 def test_embedding_int8_quantize_matches_numpy(spark, tmp_path):
