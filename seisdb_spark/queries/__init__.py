@@ -131,12 +131,17 @@ from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 #: The 50 queries the driver must hash-check, in priority order.
 DRIVER_WINDOW: list[str] = [
     # --- LLM-data-pipeline extensions ---------------------------------------
-    # round-7 late rotation: embedding_int8_quantize (vector-store int8
-    # compression, the E1 storage trade for the embedding column) in for
-    # minhash_lsh_candidates (green r2-r6; its full shingle/sig/band/cand
-    # CTE stack is embedded VERBATIM in editdist_neardup_join's in-window
-    # oracle, so the candidate machinery stays end-to-end hash-checked)
-    "embedding_int8_quantize",
+    # round-10 rotation (r9 verdict item #1): streaming_int4_quantize —
+    # quantize-on-ingest, the 10th oracle-bearing streaming entry, making
+    # the int4 twin's "quantizes streaming ingest without a stats job"
+    # claim executable — in for embedding_int8_quantize (green r7+r8+r9,
+    # rotation-eligible; the embedding-quantize family keeps
+    # embedding_int4_block_quantize AND the new streaming twin in-window,
+    # and int8's corpus-grid machinery stays pytest-oracle-checked).
+    # (r7-era slot history: embedding_int8_quantize had replaced
+    # minhash_lsh_candidates, whose CTE stack stays hash-checked verbatim
+    # inside editdist_neardup_join's oracle.)
+    "streaming_int4_quantize",
     # round-7 late rotation: dedup_keep_best (quality-prioritized cluster
     # dedup) in for dedup_cluster_components (green r2-r6; its recursive-
     # CTE oracle is composed VERBATIM inside keep_best's, so the closure
@@ -148,11 +153,16 @@ DRIVER_WINDOW: list[str] = [
     # streaming_incremental_dedup, which carries the batch twin's oracle)
     "editdist_neardup_join",
     "doc_winnowing_fingerprints",
-    # round-7 late rotation: retrieval_eval_recall (ANN-quality canary) in
-    # for similarity_topk_dot (green r4+r5+r6; its oracle is composed
-    # VERBATIM inside the eval's, so brute-force top-k stays end-to-end
-    # hash-checked through this row)
-    "retrieval_eval_recall",
+    # round-10 rotation (r9 verdict item #3): pq_refined_encode — the
+    # rows-only Lloyd-refined codebook twin, the ONLY registry entry with
+    # zero driver executions ever — gets its one clean no_oracle driver
+    # row (the kmeans_refine_assign r7 precedent: one in-window rows-only
+    # round, then out) in for retrieval_eval_recall (green r7+r8+r9,
+    # rotation-eligible; the retrieval-quality-eval family keeps
+    # pq_recall_eval and mrl_truncation_eval in-window, and the
+    # brute-force top-k oracle stays composed verbatim inside
+    # pq_recall_eval's exact-L2 ground truth).
+    "pq_refined_encode",
     "ann_signbucket_topk",
     "ann_ivf_topk",
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means

@@ -4276,7 +4276,15 @@ def _int4_err_expr(x: str, mn: str, mx: str, c: str) -> str:
     bench=True,
 )
 def embedding_int4_block_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return int4_block_quantize_df(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def int4_block_quantize_df(emb: DataFrame) -> DataFrame:
+    """The int4 block-quantize transform over ANY embeddings DataFrame —
+    pure row-local expressions, zero shuffles, zero corpus passes, so the
+    SAME function quantizes a batch scan and each arriving streaming
+    micro-batch (queries/streaming_queries.py::streaming_int4_quantize
+    makes that claim executable)."""
     nb = EMBEDDING_DIM // INT4_BLOCK
     mnmx = []
     for b in range(nb):

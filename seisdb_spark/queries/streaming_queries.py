@@ -504,3 +504,77 @@ def _set_novelty_probe_oracle() -> None:
 
 
 _set_novelty_probe_oracle()
+
+
+@query(
+    "streaming_int4_quantize",
+    oracle=None,  # set below: shares the batch twin's SQL
+    doc="STREAMING INT4 QUANTIZE-ON-INGEST: arriving embedding vectors are "
+    "block-quantized to int4 INSIDE each microbatch by the SAME row-local "
+    "transform as the batch twin (extensions.py::int4_block_quantize_df) "
+    "— per-vector per-block grids need no stats pass and no shuffle of "
+    "any kind, so the quantizer runs at ingest cost with zero corpus "
+    "jobs: this query makes the batch twin's 'quantizes streaming ingest "
+    "without a stats job' claim executable. foreachBatch appends int4 "
+    "codes to batch_id-derived OVERWRITE paths (idempotent under "
+    "checkpoint-recovery replays; foreachBatch is at-least-once per "
+    "batch_id). The oracle is the batch twin's SQL — stream==batch on "
+    "complete data is the correctness claim, exact because every code "
+    "and error term is row-local integer/double arithmetic independent "
+    "of batching.",
+)
+def streaming_int4_quantize(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from seisdb_spark.queries.extensions import int4_block_quantize_df
+    from seisdb_spark.streaming import read_embeddings_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_int4_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    codes_dir = os.path.join(out_dir, "codes")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def quantize(bdf: DataFrame, batch_id: int) -> None:
+        (
+            int4_block_quantize_df(bdf)
+            .write.mode("overwrite")
+            .parquet(os.path.join(codes_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_embeddings_stream(spark, sf_dir)
+        .writeStream.foreachBatch(quantize)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("vec_id long, codes string, qerr double")
+        .option("recursiveFileLookup", "true")
+        .parquet(codes_dir)
+    )
+
+
+# stream==batch equivalence: the streaming quantizer's oracle IS the batch
+# twin's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_int4_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_int4_quantize"] = replace(
+        REGISTRY["streaming_int4_quantize"],
+        oracle=REGISTRY["embedding_int4_block_quantize"].oracle,
+    )
+
+
+_share_int4_oracle()

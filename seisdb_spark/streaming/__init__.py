@@ -15,6 +15,7 @@ from seisdb_spark.streaming.ingest import (  # noqa: F401
     finalize_sgt_from_staging,
     novelty_probe,
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     run_to_memory,
     sessionize_stream,

@@ -183,6 +183,29 @@ DOCUMENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+EMBEDDINGS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the embeddings table — the arriving-vector
+    side of streaming quantize-on-ingest (no timestamp columns, no conf
+    side effects)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_documents_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -491,3 +491,36 @@ def test_novelty_probe_planted_extremes(spark, tmp_path):
     )
     assert out.loc[10].novelty == 0.0
     assert out.loc[20].novelty == 1.0
+
+
+def test_int4_stream_equals_batch_across_microbatches(spark, tmp_path):
+    """The streaming int4 quantizer over the embeddings table split into
+    SEVERAL files (maxFilesPerTrigger=1 -> several genuine microbatches)
+    must equal the batch twin row-for-row — codes and qerr are row-local,
+    so batching must not change a single value — and each microbatch must
+    land in its own batch-id-derived directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_int4_quantize
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    # three single-file "arrivals" named so the stream's glob picks each up
+    pdf = emb.toPandas()
+    for i in range(3):
+        part = pdf[pdf.vec_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/embeddings.parquet", index=False)
+
+    out = str(tmp_path / "int4_stream")
+    got = _sorted(
+        streaming_int4_quantize(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["embedding_int4_block_quantize"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    batches = sorted(os.listdir(os.path.join(out, "codes")))
+    assert len(batches) == 3  # one directory per microbatch, idempotent keys
