@@ -1,0 +1,144 @@
+"""Iterative BPE merge training over the word-frequency table.
+
+``queries/extensions.py::bpe_merge_candidates`` is iteration 1 of BPE
+tokenizer training (pair counts over the vocab, top-K candidates); this
+module supplies the full bounded-iteration TRAINING LOOP — apply the top
+merge, re-segment, re-count, repeat — re-expressed in Spark's execution
+model the same way ``cluster.py`` re-expresses Lloyd:
+
+* **the corpus is scanned once** — training runs over the word-FREQUENCY
+  table (Zipf: orders of magnitude smaller than the corpus), segmented
+  into a ``syms array<string>`` column.  No iteration touches the corpus.
+* **pair counting is one combiner-friendly shuffle per iteration** —
+  adjacent (left, right) symbol pairs weighted by word count; partial
+  aggregation bounds the exchange by the pair-vocabulary size, not the
+  word count.
+* **the argmax is k-row-bounded driver state** — ``LIMIT 1`` via
+  TakeOrderedAndProject; the driver holds ONE (left, right, n) row per
+  iteration, the exact analogue of Lloyd's k*dim centroid state.
+* **the merge application is a map-only higher-order fold** — the chosen
+  pair becomes plan LITERALS (via ``F.lit``, so arbitrary symbol text is
+  safe) and every word's segmentation is rewritten by one
+  ``aggregate()`` lambda inside whole-stage codegen: greedy
+  left-to-right non-overlapping replacement, the standard BPE merge
+  semantics.  No join, no shuffle, no Python.
+* **each iteration persists its vocab and unpersists the previous** so
+  the bounded loop (default 8 iterations) reads the cached parent
+  instead of replaying the lineage chain.
+
+Determinism: counts are exact integers; the argmax total order is
+(n DESC, left, right) — ties impossible beyond identical pairs.  The
+loop stops early when no adjacent pair remains (every word fully
+merged).  This makes the whole merge sequence reproducible across
+partitionings, which is why the planted-merge and pure-Python-golden
+tests can pin it exactly (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BPE_TRAIN_ITERS = 8
+
+
+def char_segment(wfreq: DataFrame) -> DataFrame:
+    """(word, wn) -> (syms array<string>, wn): each distinct word split
+    into single-character symbols.  Empty words are dropped (Spark's
+    ``sequence(1, 0)`` yields a DESCENDING [1, 0], not an empty list —
+    the same guard the shingle builder uses)."""
+    return wfreq.select(
+        F.expr(
+            "CASE WHEN length(word) >= 1 THEN "
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("syms"),
+        "wn",
+    ).filter(F.size("syms") > 0)
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency — the one
+    shuffle per training iteration, bounded by the pair vocabulary."""
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) >= 2 THEN "
+                "transform(sequence(1, size(syms) - 1), "
+                "          i -> struct(syms[i - 1] AS l, syms[i] AS r)) "
+                "ELSE CAST(array() AS array<struct<l:string,r:string>>) END"
+            )
+        ).alias("p"),
+        "wn",
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("wn").cast("long").alias("n"))
+
+
+def apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every segmentation, replacing adjacent (left, right) with
+    the merged token — greedy left-to-right non-overlapping (a fold whose
+    accumulator's LAST element participates in the next comparison, so
+    'aaa' under (a,a) becomes [aa, a], the standard BPE behaviour).
+    Map-only; the pair enters the plan via ``F.lit`` (no text splicing)."""
+    merged = left + right
+    folded = F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return vocab.select(folded.alias("syms"), "wn")
+
+
+def train_merges(
+    wfreq: DataFrame, iters: int = BPE_TRAIN_ITERS
+) -> list[dict]:
+    """Run ``iters`` BPE merge iterations over the (word, wn) frequency
+    table; returns one record per executed merge:
+    ``{iter, left_sym, right_sym, merged, n, total_syms}`` where ``n`` is
+    the pair's count when chosen and ``total_syms`` the corpus symbol
+    total AFTER applying it (sum(wn * len(syms)) — the compression-
+    progress metric; it must fall by exactly n per merge, which the
+    tests assert).  Stops early when no adjacent pair remains."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    vocab = char_segment(wfreq).persist()
+    merges: list[dict] = []
+    try:
+        for it in range(1, iters + 1):
+            best = (
+                pair_counts(vocab)
+                .orderBy(F.col("n").desc(), "left_sym", "right_sym")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            nxt = apply_merge(vocab, b["left_sym"], b["right_sym"]).persist()
+            total = nxt.select(
+                F.sum(F.size("syms") * F.col("wn")).cast("long")
+            ).collect()[0][0]
+            vocab.unpersist()
+            vocab = nxt
+            merges.append(
+                {
+                    "iter": it,
+                    "left_sym": b["left_sym"],
+                    "right_sym": b["right_sym"],
+                    "merged": b["left_sym"] + b["right_sym"],
+                    "n": int(b["n"]),
+                    "total_syms": int(total),
+                }
+            )
+    finally:
+        vocab.unpersist()
+    return merges

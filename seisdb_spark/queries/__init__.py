@@ -233,7 +233,14 @@ DRIVER_WINDOW: list[str] = [
     # family keeps bm25_multiquery — the strictly stronger batch-serving
     # form — and hybrid_rrf_topk in-window)
     "pq_recall_eval",
-    "quality_classifier_score",
+    # round-10 rotation (r9 verdict item #5): bpe_train_merges — the full
+    # bounded-iteration BPE training loop (functions/bpe.py; rows-only:
+    # data-dependent iterative fixpoint, pure-Python-golden + planted
+    # pytest) gets its clean no_oracle driver row — in for
+    # quality_classifier_score (green r6+r7+r8+r9, rotation-eligible;
+    # the quality family keeps streaming_quality_gate in-window and the
+    # classifier's oracle stays pytest-checked every round)
+    "bpe_train_merges",
     # round-9 rotation (r8 verdict item #7): mrl_pq_adc_topk — the MRL x
     # PQ composition, serving a 16-dim prefix from the first 2 code bytes
     # of the existing codes table — in for vocab_coverage (green r6+r7+r8;

@@ -3937,6 +3937,65 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE training loop (iterations 1..K) -----------------------------------
+# The full bounded-iteration training loop bpe_merge_candidates is
+# iteration 1 of: apply the top merge, re-segment the vocab, re-count,
+# repeat (functions/bpe.py — the cluster.py Lloyd-loop shape: one
+# pair-key shuffle + a LIMIT-1 argmax collect + a map-only fold rewrite
+# per iteration, 1-row driver state, vocab persisted across iterations,
+# corpus never re-scanned).  Rows-only: the merge sequence is a
+# data-dependent iterative fixpoint (each iteration's argmax becomes the
+# next iteration's plan literals), not expressible as one static SQL
+# text; determinism is exact-integer counts + a total argmax order, and
+# the pure-Python golden in tests/test_extensions.py pins the entire
+# sequence, with planted-merge tests pinning hand-computed cases.
+BPE_TRAIN_ITERS = 8
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # iterative data-dependent fixpoint — rows-only by design
+    doc=f"BPE TRAINING LOOP (iterations 1..{BPE_TRAIN_ITERS}): the full "
+    "merge-train recurrence over the word-frequency table — count "
+    "adjacent symbol pairs (one combiner-friendly shuffle bounded by the "
+    "pair vocabulary), pick the argmax (LIMIT 1, 1-row driver state), "
+    "rewrite every segmentation with a map-only higher-order fold "
+    "(greedy left-to-right non-overlapping, the standard BPE semantics), "
+    "repeat; stops early when no pair remains. One row per executed "
+    "merge: (iter, left_sym, right_sym, merged, n, total_syms); "
+    "total_syms falls by exactly n per merge. Exact integer counts and "
+    "a total argmax order make the sequence partitioning-independent; "
+    "pytest pins it against a pure-Python golden and planted vocabs. "
+    "At 100 TB the corpus is scanned ONCE into the Zipf-small vocab; "
+    "every iteration is vocab-sized.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import bpe as bpe_lib
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
+    schema = (
+        "iter int, left_sym string, right_sym string, merged string, "
+        "n long, total_syms long"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["iter"],
+                m["left_sym"],
+                m["right_sym"],
+                m["merged"],
+                m["n"],
+                m["total_syms"],
+            )
+            for m in merges
+        ],
+        schema,
+    )
+
+
 # --- PII redaction transform ------------------------------------------------
 # The transform stage pii_scan_counts gates: rewrite every email and long
 # digit run to a typed placeholder, emit the redacted text's digest +

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
 
 from seisdb_spark.functions.text import SHINGLE_K
 from seisdb_spark.queries.registry import REGISTRY
@@ -1155,6 +1155,113 @@ def test_bpe_merge_planted_top_pair(spark, tmp_path):
     assert list(out.sort_values("rank")["pair"]) == ["ab", "bc"]
     counts = dict(zip(out["pair"], out["n"]))
     assert counts == {"ab": 5, "bc": 3}
+
+
+def _py_bpe_golden(wfreq: dict, iters: int) -> list:
+    """Pure-Python BPE trainer: same argmax order (n DESC, left, right),
+    same greedy left-to-right non-overlapping merge, same early stop."""
+    vocab = {}
+    for w, n in wfreq.items():
+        if len(w) >= 1:
+            key = tuple(w)
+            vocab[key] = vocab.get(key, 0) + n
+    merges = []
+    for it in range(1, iters + 1):
+        pc = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+        total = sum(len(k) * c for k, c in vocab.items())
+        merges.append(
+            {
+                "iter": it,
+                "left_sym": left,
+                "right_sym": right,
+                "merged": left + right,
+                "n": n,
+                "total_syms": total,
+            }
+        )
+    return merges
+
+
+def test_bpe_train_planted_merge_sequence(spark, tmp_path):
+    """The ENTIRE merge sequence on a planted vocab must equal the
+    hand-computed one, including the early stop once every word is fully
+    merged: 'aab' x3 + 'ab' x2 -> pairs (a,b)=5 > (a,a)=3, so merge 1 is
+    'ab'; then (a,ab)=3 is the only pair -> merge 2 is 'aab'; then no
+    adjacent pair remains -> the loop stops at 2 of 8 iterations.
+    total_syms must fall by exactly n each merge (12-5=7, 7-3=4... with
+    'ab' words: initial 3*3+2*2=13; after m1: 3*2+2*1=8=13-5; after m2:
+    3*1+2*1=5=8-3)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aab ab aab", "aab ab"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [10, 6],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["bpe_train_merges"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("iter")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2  # early stop: nothing left to merge
+    assert list(out["merged"]) == ["ab", "aab"]
+    assert list(out["n"]) == [5, 3]
+    assert list(out["total_syms"]) == [8, 5]  # 13-5, 8-3
+
+
+def test_bpe_train_matches_python_golden_on_smoke(spark):
+    """The full 8-iteration merge sequence over the smoke documents table
+    must equal the pure-Python golden bit-for-bit (exact integer counts +
+    total argmax order make the sequence partitioning-independent), and
+    iteration 1 must agree with bpe_merge_candidates' rank-1 pair."""
+    from seisdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    wfreq = {}
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if w:
+                wfreq[w] = wfreq.get(w, 0) + 1
+    # NB: Spark's split keeps empty strings (consecutive spaces) but
+    # char_segment drops length-0 words, matching the `if w` guard above.
+    want = _py_bpe_golden(wfreq, 8)
+    got = (
+        REGISTRY["bpe_train_merges"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .sort_values("iter")
+        .to_dict("records")
+    )
+    assert got == want
+    cand = (
+        REGISTRY["bpe_merge_candidates"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    top = cand.loc[cand["rank"] == 1].iloc[0]
+    assert got[0]["merged"] == top["pair"] and got[0]["n"] == top["n"]
 
 
 def test_pii_redaction_planted(spark, tmp_path):
