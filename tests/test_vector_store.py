@@ -288,3 +288,53 @@ def test_mrl_pq_prefix_adc_plans_takeordered_map_only(spark):
     assert not has_node(plan, "hashpartitioning")
     assert not has_node(plan, "rangepartitioning")
     assert not has_node(plan, "SortMergeJoin")
+
+
+def test_refined_codebooks_do_not_hurt_recall(spark):
+    """Closes the loop between 'refinement lowers quantization error'
+    (pinned above) and 'refinement does not hurt retrieval' (r9 verdict
+    item #7): MEAN recall@10 over 20 probe queries against the same
+    exact squared-L2 ground truth pq_recall_eval uses, scored at both
+    codebook operating points — seed (Lloyd iters=0, the oracle-checked
+    row) and refined (iters=2, the pq_refined_encode path).  The mean is
+    the right statistic: a SINGLE probe's recall is high-variance under
+    re-clustering (measured here: vec_id 0 drops 0.3 -> 0.1 while the
+    20-probe mean rises 0.24 -> 0.33), so the pinned property is the
+    population one — refinement must IMPROVE mean recall on this corpus,
+    strictly, mirroring the strict qerr improvement pinned above.
+    Codes come from the Spark encode; the ADC gather-sum runs in numpy
+    over the same distance tables (recall sets don't depend on fp
+    association order at these magnitudes)."""
+    from seisdb_spark.functions import pq as pq_lib
+    from seisdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    vids = pdf.vec_id.to_numpy()
+
+    def mean_recall(iters: int) -> float:
+        books = pq_lib.train_codebooks(emb, iters=iters)
+        cp = (
+            pq_lib.pq_encode(emb, books)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        code_mat = np.array([np.asarray(c) for c in cp.codes])
+        recs = []
+        for qi in range(20):
+            q = mat[qi]
+            d2 = ((mat - q) ** 2).sum(axis=1)
+            truth = set(vids[np.lexsort((vids, d2))[:10]])
+            table = np.array(pq_lib.adc_table(books, q))
+            adc = table[
+                np.arange(code_mat.shape[1])[None, :], code_mat
+            ].sum(axis=1)
+            got = set(vids[np.lexsort((vids, adc))[:10]])
+            recs.append(len(got & truth) / 10)
+        return float(np.mean(recs))
+
+    seed, refined = mean_recall(0), mean_recall(2)
+    assert refined > seed  # strictly better in aggregate on this corpus
+    assert refined >= 0.3  # and actually retrieving, not noise-level
