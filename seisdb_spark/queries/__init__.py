@@ -198,11 +198,16 @@ DRIVER_WINDOW: list[str] = [
     "curation_keep_set",
     "split_leakage_audit",
     "salted_skew_agg",
-    # round-7 late rotation: ngram_novelty_score (first-seen-content
-    # fraction, the incremental-curation twin of passage dedup) in for
-    # curation_pipeline_stats (green r4+r5+r6; the composed-curation family
-    # keeps curation_keep_set — the strictly stronger end-to-end row)
-    "ngram_novelty_score",
+    # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
+    # decontamination (functions/bloom.py: declarative bit_or-built
+    # filter, broadcast 1-row dense word array, exact verify of bloom
+    # survivors; oracle = decontamination_overlap's SQL verbatim, valid
+    # because bloom has no false negatives) — in for ngram_novelty_score
+    # (green r7+r8+r9, rotation-eligible; the novelty family keeps
+    # streaming_novelty_probe in-window, whose oracle recomputes the
+    # relational novelty end-to-end).  (r7-era slot history:
+    # ngram_novelty_score had replaced curation_pipeline_stats.)
+    "bloom_decontamination",
     # --- round-6 late additions: corpus-frequency rarity scoring + mixture
     # --- reweighting take the slots of text_quality_score and
     # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and

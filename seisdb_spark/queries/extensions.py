@@ -1840,6 +1840,76 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_decontamination",
+    oracle=None,  # set right after definition: shares the exact twin's SQL
+    doc="BLOOM-PREFILTERED DECONTAMINATION: the same train-x-benchmark "
+    "shingle report as decontamination_overlap, with the corpus side "
+    "prefiltered by a declaratively-built Bloom filter over the bench "
+    "shingle set (functions/bloom.py: bit_or word aggregation -> 1-row "
+    "dense array<bigint>, Kirsch-Mitzenmacher double hashing, K=5, 10 "
+    "bits/key, O(1) element_at probes in whole-stage codegen). Bloom has "
+    "NO false negatives by construction, and every bloom survivor is "
+    "exact-verified against the broadcast bench set, so the result "
+    "EQUALS the exact twin's — the oracle IS its SQL. The scale trade: "
+    "where the exact twin broadcasts the full bench shingle STRINGS and "
+    "hash-joins every corpus shingle, this broadcasts a fixed-size bit "
+    "array (128 KB at 2^20 bits) and the verify join's input shrinks to "
+    "true hits + ~1% false positives — the pattern that keeps "
+    "decontamination affordable when the eval suite grows from MBs "
+    "toward GBs against a 100 TB corpus. The filter is sized at plan "
+    "time from one bench-side count (eval-sized, constant in the "
+    "corpus).",
+    bench=True,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions.bloom import (
+        bloom_bits_for,
+        bloom_hit,
+        build_bloom,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    bench_keys = bench_sh.select("sh").distinct()
+    # one eval-sized count sizes the filter (the ann_signbucket adaptive-
+    # width pattern); the bench side is re-derived inside the final plan —
+    # it is MBs against the corpus, and production would persist it
+    m_bits = bloom_bits_for(max(bench_keys.count(), 1))
+    words = build_bloom(bench_keys, "sh", m_bits)
+    train_sh = shingle_tokens(
+        docs.filter(~is_bench), k=DECON_SHINGLE_K, distinct=False
+    )
+    cand = (
+        train_sh.crossJoin(F.broadcast(words))
+        .filter(bloom_hit(F.col("words"), F.col("sh"), m_bits))
+        .drop("words")
+    )
+    return (
+        cand.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def _share_bloom_decon_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["bloom_decontamination"] = replace(
+        REGISTRY["bloom_decontamination"],
+        oracle=REGISTRY["decontamination_overlap"].oracle,
+    )
+
+
+_share_bloom_decon_oracle()
+
+
 # --- sequence packing ----------------------------------------------------
 PACK_SEQ_TOKENS = 2048  # context-window budget per packed sequence
 PACK_N_SHARDS = N_TRAINING_SHARDS
