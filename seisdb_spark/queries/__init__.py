@@ -169,7 +169,15 @@ DRIVER_WINDOW: list[str] = [
     # --- smoke, in place of knn_cosine_labeled / dedup_jaccard_pairs /
     # --- training_shard_manifest (each green r4+r5+r6, families covered) --
     "bm25_multiquery",
-    "hybrid_rrf_topk",
+    # round-10 rotation: hll_sketch_rollup — mergeable DataSketches HLL
+    # partials union-merged per lang with a hard +-5% gate vs exact (the
+    # scan-once-merge-forever sketch-table shape; joins
+    # approx_quantile_gate in the sketch family) — in for hybrid_rrf_topk
+    # (green r7+r8+r9, rotation-eligible; the retrieval family keeps
+    # bm25_multiquery, pq_recall_eval, mrl_pq_adc_topk and
+    # mrl_truncation_eval in-window, and the RRF fusion stays
+    # pytest-oracle-checked every round)
+    "hll_sketch_rollup",
     # --- round-8 rotation: the vector-store codec surface (r7 verdict item
     # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
     # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty

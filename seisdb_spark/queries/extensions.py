@@ -1194,6 +1194,74 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable HLL sketch rollup -------------------------------------------
+# The capability approx_count_distinct does NOT give you: STORED partial
+# sketches that merge later.  At 100 TB, corpus-wide distinct questions
+# ("how many distinct tokens per language?") are answered from a tiny
+# per-(shard/day/source) sketch TABLE — raw data is scanned once when the
+# shard lands, every later rollup is a merge of kilobyte sketches.  Spark
+# 3.5+ ships the Apache DataSketches HLL family as SQL aggregates
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), which is the
+# engine-native way to express it.
+HLL_LGK = 12  # DataSketches lgConfigK: ~0.8% relative standard error
+
+
+@query(
+    "hll_sketch_rollup",
+    oracle="""
+        SELECT lang,
+               CAST(count(DISTINCT source) AS INT) AS n_sources,
+               CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct,
+               1 AS merged_within
+        FROM (
+            SELECT lang, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY lang
+    """,
+    doc=f"MERGEABLE SKETCH ROLLUP with a HARD gate (the "
+    "approx_quantile_gate pattern): per-(lang, source) DataSketches HLL "
+    f"sketches (lgK={HLL_LGK}) of distinct words — the stored-partials "
+    "stage a production pipeline persists per shard — are union-merged "
+    "per lang and the merged estimate must land within +-5% of the "
+    "exact distinct count (far outside HLL's ~0.8% RSE at this lgK; "
+    "DataSketches is exact below its sparse threshold, so driver-scale "
+    "corpora gate at equality). Spark emits the exact counts plus 0/1 "
+    "flags, the oracle the exact counts plus literal 1. At 100 TB the "
+    "raw scan happens ONCE per arriving shard; every rollup after that "
+    "merges kilobyte sketches — the scan-once-merge-forever shape "
+    "approx_count_distinct alone cannot express.",
+    bench=True,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    partials = tok.groupBy("lang", "source").agg(
+        F.expr(f"hll_sketch_agg(w, {HLL_LGK})").alias("sk")
+    )
+    merged = partials.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = tok.groupBy("lang").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    )
+    within = (
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        )
+        .cast("int")
+        .alias("merged_within")
+    )
+    return exact.join(merged, "lang").select(
+        "lang", "n_sources", "exact_distinct", within
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

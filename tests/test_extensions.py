@@ -1490,3 +1490,39 @@ def test_new_ops_tolerate_empty_embeddings(spark, tmp_path):
     ev = REGISTRY["retrieval_eval_recall"].spark(spark, str(tmp_path)).toPandas()
     assert set(ev.method) == {"signbucket", "ivf"}
     assert (ev.hits == 0).all() and (ev.top1_rank == 0).all()
+
+
+def test_hll_rollup_gate_and_oracle_shape(spark):
+    """Every per-lang row must gate merged_within=1 (driver-scale corpora
+    sit below the DataSketches sparse threshold, where HLL is exact) and
+    n_sources must equal the distinct (lang, source) partial count."""
+    out = REGISTRY["hll_sketch_rollup"].spark(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.merged_within == 1).all()
+    assert (out.n_sources >= 1).all()
+    assert (out.exact_distinct >= 1).all()
+
+
+def test_hll_partials_merge_like_direct_sketch(spark):
+    """The property the stored-partials design depends on: union-merging
+    per-group sketches estimates the SAME value as one direct sketch over
+    the whole key set (measured identical at lgK=12 on 200k keys — the
+    union preserves the register state), and both land within HLL's
+    design error of the truth."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(200000).select(
+        (F.col("id") % 8).alias("g"),
+        F.concat(F.lit("k"), F.col("id")).alias("w"),
+    )
+    direct = big.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        big.groupBy("g")
+        .agg(F.expr("hll_sketch_agg(w, 12)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == direct
+    assert abs(direct - 200000) <= 200000 * 0.03  # ~0.8% RSE design point

@@ -65,6 +65,16 @@ STRESS_QUERIES = {
     "ann_signbucket_topk": lambda p: has_node(p, "BroadcastHashJoin [bucket"),
     # the benchmark shingle set must stay broadcast (never corpus-shuffled)
     "decontamination_overlap": lambda p: has_node(p, "BroadcastHashJoin"),
+    # the 1-row bloom words table arrives via broadcast nested-loop (a
+    # single-row side, never a cartesian of real extents); survivors'
+    # exact verify stays a broadcast hash join — the corpus side must
+    # never shuffle before the bloom filter prunes it
+    "bloom_decontamination": lambda p: (
+        has_node(p, "BroadcastNestedLoopJoin")
+        and has_node(p, "BroadcastHashJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "SortMergeJoin")
+    ),
     # exactly ONE shuffle (hash on shard), never a global range sort
     "sequence_packing": lambda p: (
         count_exchanges(p, key="shard") == 1
