@@ -204,7 +204,15 @@ DRIVER_WINDOW: list[str] = [
     "approx_quantile_gate",
     "vocab_coverage_32k",
     "curation_keep_set",
-    "split_leakage_audit",
+    # round-10 rotation: streaming_hll_rollup — per-microbatch HLL sketch
+    # maintenance (the 11th oracle-bearing streaming entry: raw text
+    # scanned once AT INGEST into a persisted sketch table, rollups merge
+    # kilobyte partials; oracle = the batch rollup's SQL, valid because
+    # HLL union is split-invariant) — in for split_leakage_audit (green
+    # r7+r8+r9, rotation-eligible; the leakage/decontamination family
+    # keeps streaming_decontamination, bloom_decontamination, and
+    # curation_keep_set's decon stage in-window)
+    "streaming_hll_rollup",
     "salted_skew_agg",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built

@@ -578,3 +578,107 @@ def _share_int4_oracle() -> None:
 
 
 _share_int4_oracle()
+
+
+@query(
+    "streaming_hll_rollup",
+    oracle=None,  # set below: shares the batch rollup's SQL
+    doc="STREAMING SKETCH MAINTENANCE: each arriving document microbatch "
+    "contributes per-(lang, source) DataSketches HLL partials "
+    "(hll_sketch_agg over the batch's words) appended to a sketch TABLE "
+    "in batch_id-derived overwrite paths — the incremental form of "
+    "hll_sketch_rollup's stored-partials stage: raw text is scanned "
+    "exactly once, AT INGEST, and every later distinct-count rollup "
+    "merges kilobyte sketches. The final rollup union-merges partials "
+    "across batches AND sources per lang (HLL union takes per-register "
+    "maxima — associative and split-invariant, so batch boundaries "
+    "cannot change the merged register state) and gates the estimate "
+    "within +-5% of the exact distinct count from the full table. "
+    "Oracle is the batch twin's SQL — stream==batch on complete data.",
+)
+def streaming_hll_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.extensions import HLL_LGK
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_hll_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sk_dir = os.path.join(out_dir, "sketches")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def sketch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select(
+                "lang", "source", F.explode(F.split("text", " ")).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("lang", "source")
+            .agg(F.expr(f"hll_sketch_agg(w, {HLL_LGK})").alias("sk"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sk_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sketch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema("lang string, source string, sk binary")
+        .option("recursiveFileLookup", "true")
+        .parquet(sk_dir)
+    )
+    merged = partials.groupBy("lang").agg(
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("exact_distinct"))
+    )
+    within = (
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        )
+        .cast("int")
+        .alias("merged_within")
+    )
+    return exact.join(merged, "lang").select(
+        "lang", "n_sources", "exact_distinct", within
+    )
+
+
+# stream==batch equivalence: the streaming sketch table's oracle IS the
+# batch rollup's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_hll_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_hll_rollup"] = replace(
+        REGISTRY["streaming_hll_rollup"],
+        oracle=REGISTRY["hll_sketch_rollup"].oracle,
+    )
+
+
+_share_hll_oracle()

@@ -524,3 +524,35 @@ def test_int4_stream_equals_batch_across_microbatches(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     batches = sorted(os.listdir(os.path.join(out, "codes")))
     assert len(batches) == 3  # one directory per microbatch, idempotent keys
+
+
+def test_hll_stream_split_invariant_across_microbatches(spark, tmp_path):
+    """The streamed sketch table over the documents split into 3 files
+    (3 genuine microbatches) must produce the SAME rollup as the batch
+    twin over the unsplit table — HLL union takes per-register maxima,
+    so batch boundaries cannot change the merged state — and each
+    microbatch must land partials in its own batch-id directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_hll_rollup
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+    # the stream scans the split tree; the exact side inside the query
+    # loads the same tree via load_table (recursive=False reads only
+    # matching files), so point both at a dir holding ALL splits
+    out = str(tmp_path / "hll_stream")
+    got = _sorted(
+        streaming_hll_rollup(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["hll_sketch_rollup"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "sketches"))) == 3
