@@ -338,3 +338,15 @@ def test_refined_codebooks_do_not_hurt_recall(spark):
     seed, refined = mean_recall(0), mean_recall(2)
     assert refined > seed  # strictly better in aggregate on this corpus
     assert refined >= 0.3  # and actually retrieving, not noise-level
+
+
+def test_pq_adc_n_use_validated():
+    """n_use=0 would build malformed empty-sum SQL and n_use > n_sub
+    would silently no-op — both must raise (r9 advice)."""
+    from seisdb_spark.functions import pq as pq_lib
+
+    books = [[[0.0] * 8] * 4] * 8
+    q = np.zeros(64)
+    for bad in (0, -1, 9):
+        with pytest.raises(ValueError, match="n_use"):
+            pq_lib.pq_adc_topk(None, books, q, n_use=bad)
