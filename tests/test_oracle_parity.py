@@ -105,12 +105,16 @@ def test_driver_window_leads_registry():
 
     assert len(DRIVER_WINDOW) == 50
     assert list(e.queries())[:50] == DRIVER_WINDOW
-    # every window entry except these 3 documented rows-only ones has an
+    # every window entry except these documented rows-only ones has an
     # oracle (kmeans_refine_assign rotated OUT in round 8 after its r7
-    # rows-only smoke row served its purpose)
+    # rows-only smoke row served its purpose; pq_refined_encode and
+    # bpe_train_merges are round-10 rows-only rotations getting their one
+    # clean driver execution, out again next round per the precedent)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
+        "pq_refined_encode",
         "multimodal_decode_features",
+        "bpe_train_merges",
         "sgt_pipeline_records",
         "dgf_pipeline_records",
     ]
