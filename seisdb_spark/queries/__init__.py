@@ -229,7 +229,14 @@ DRIVER_WINDOW: list[str] = [
     # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and
     # --- multimodal families keep quality_filter_pipeline /
     # --- multimodal_decode_features in-window) ------------------------------
-    "token_rarity_score",
+    # round-10 rotation: heavy_hitters_gate — the frequent-items sketch
+    # class (Spark 4 approx_top_k) hard-gated against the exact top-K,
+    # the third sketch family member next to approx_quantile_gate and
+    # hll_sketch_rollup — in for token_rarity_score (green r6+r7+r8+r9,
+    # rotation-eligible; the corpus-frequency family keeps
+    # vocab_coverage_32k and the new heavy-hitters row in-window, and
+    # the rarity scoring stays pytest-oracle-checked every round)
+    "heavy_hitters_gate",
     "source_mix_weights",
     "multimodal_decode_features",
     # --- round-6 rotation: first driver rows for the two new ops, plus the

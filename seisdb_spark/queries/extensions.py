@@ -1262,6 +1262,92 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- frequent-items (heavy hitters) sketch gate ----------------------------
+# The third sketch class next to quantiles (approx_quantile_gate) and
+# distinct counts (hll_sketch_rollup): WHICH items dominate, estimated in
+# one pass with bounded state.  Spark 4 ships approx_top_k (a
+# frequent-items sketch aggregate whose per-partition state is
+# maxItemsTracked entries, merged map-side); the exact top-K is the
+# test-scale referee, the sketch is the production path — at 100 TB the
+# exact word count is a full vocab shuffle, the sketch is one constant-
+# state pass.
+HH_TOPK = 10
+HH_TRACKED = 8192  # sketch capacity; error bound is n_total/tracked
+
+
+@query(
+    "heavy_hitters_gate",
+    oracle=f"""
+        WITH wc AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        sel AS (
+            SELECT w, n FROM wc ORDER BY n DESC, w LIMIT {HH_TOPK}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rank,
+               w AS word, n AS exact_n,
+               1 AS in_sketch, 1 AS est_within
+        FROM sel
+    """,
+    doc=f"HEAVY HITTERS with a HARD gate (the approx_quantile_gate "
+    f"pattern): the exact top-{HH_TOPK} words (one vocab-key combiner "
+    "shuffle + TakeOrderedAndProject, ties broken by word) each checked "
+    f"against Spark's approx_top_k frequent-items sketch (capacity "
+    f"{HH_TRACKED}; additive error <= n_total/capacity) — every exact "
+    "heavy hitter must appear in the sketch with its estimate within "
+    "+-5% of truth. Spark emits the exact ranks/counts plus 0/1 flags, "
+    "the oracle the exact ranks/counts plus literal 1. At 100 TB the "
+    "sketch is the production path (constant state per partition, "
+    "map-side merge); the exact count is the test-scale referee.",
+    bench=True,
+)
+def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
+    rank_w = Window.orderBy(F.col("n").desc(), "w")
+    exact = sel.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        F.col("w").alias("word"),
+        F.col("n").alias("exact_n"),
+    )
+    # fetch the sketch's FULL tracked list, not just its top-K: the exact
+    # top-K breaks count ties by word, the sketch arbitrarily, so a
+    # boundary tie could drop an exact heavy hitter from the sketch's own
+    # top-K slice while its (exact) estimate sits right below the cut
+    sketch = (
+        tok.agg(
+            F.expr(f"approx_top_k(w, {HH_TRACKED}, {HH_TRACKED})").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
+    )
+    gated = exact.join(F.broadcast(sketch), "word", "left")
+    return gated.select(
+        "rank",
+        "word",
+        "exact_n",
+        F.col("est").isNotNull().cast("int").alias("in_sketch"),
+        (
+            F.abs(
+                F.coalesce(F.col("est"), F.lit(0)).cast("double")
+                - F.col("exact_n")
+            )
+            <= F.col("exact_n") * 0.05
+        )
+        .cast("int")
+        .alias("est_within"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

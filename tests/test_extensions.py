@@ -1526,3 +1526,36 @@ def test_hll_partials_merge_like_direct_sketch(spark):
     )
     assert merged == direct
     assert abs(direct - 200000) <= 200000 * 0.03  # ~0.8% RSE design point
+
+
+def test_heavy_hitters_gate_planted(spark, tmp_path):
+    """A planted dominant word must come out rank 1 with exact count and
+    both gates green; boundary ties (two words sharing the rank-K count)
+    must not break the gate — the sketch is probed by membership in its
+    full tracked list, not its own arbitrarily-tie-broken top-K slice."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # 'zz' x5; 'aa' and 'bb' tie at 3; eight singletons pad the
+            # vocab past K so the top-10 boundary cuts through the ties
+            "text": [
+                "zz zz zz aa bb c1 c2 c3 c4",
+                "zz zz aa aa bb bb c5 c6 c7 c8",
+            ],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [26, 29],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["heavy_hitters_gate"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0].word == "zz" and out.loc[0].exact_n == 5
+    assert list(out.word[:3]) == ["zz", "aa", "bb"]  # ties broken by word
+    assert (out.in_sketch == 1).all()
+    assert (out.est_within == 1).all()
