@@ -200,6 +200,21 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and count_exchanges(p, key="vec_id") == 0
     ),
+    # sketch partials collapse to (lang, source) keys; the union-merge is
+    # a lang-keyed exchange of kilobyte sketches; no sort, no cartesian
+    "hll_sketch_rollup": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
+    # exact top-K stays a TakeOrdered over the one vocab-key exchange;
+    # the sketch agg adds no extra corpus shuffle; the gate join carries
+    # a k-row broadcast side
+    "heavy_hitters_gate": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and has_node(p, "Broadcast")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+    ),
     # round-8 vector-store rows: encode/projection are MAP-ONLY literal
     # folds (no keyed shuffle of vectors at any scale; the one-time
     # seed/mean collects happen at plan build, outside the scan)
