@@ -142,3 +142,43 @@ def train_merges(
     finally:
         vocab.unpersist()
     return merges
+
+
+def segment_words(
+    words: DataFrame, merges: list[dict], col: str = "word"
+) -> DataFrame:
+    """Apply a trained merge sequence to every word — the TOKENIZE step.
+    Adds ``syms array<string>`` and ``n_tokens int``; everything else is
+    preserved.  Map-only: each merge is one higher-order fold (the same
+    greedy left-to-right non-overlapping semantics training used) chained
+    in merge order, all literals via ``F.lit``.  Intended for the DISTINCT
+    word table (Zipf: segment the vocab once, join token counts back to
+    the corpus), not the raw token stream."""
+    syms = F.expr(
+        f"CASE WHEN length({col}) >= 1 THEN "
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1)) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    def one_merge(prev, left, right, merged):
+        # a closure per merge: PySpark reads the lambda's ARITY to build
+        # the higher-order function, so captures can't ride as defaults
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate(
+            prev, F.expr("CAST(array() AS array<string>)"), step
+        )
+
+    for m in merges:
+        syms = one_merge(syms, m["left_sym"], m["right_sym"], m["merged"])
+    return words.withColumn("syms", syms).withColumn(
+        "n_tokens", F.size("syms")
+    )

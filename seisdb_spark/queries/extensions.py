@@ -4220,6 +4220,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_apply_tokenize",
+    oracle=None,  # merges are a data-dependent fixpoint — rows-only
+    doc=f"BPE TOKENIZE (train -> APPLY): the trained {BPE_TRAIN_ITERS}-"
+    "merge sequence (functions/bpe.py::train_merges, collected at plan "
+    "time — k-bounded driver state, the codebook pattern) applied to the "
+    "DISTINCT word table as chained map-only folds — Zipf means the "
+    "vocab is segmented ONCE, then per-word token counts join back to "
+    "the corpus word stream (AQE picks broadcast when the vocab is "
+    "small) and roll up per document. One row per doc: (doc_id, "
+    "n_words, n_bpe_tokens, tokens_per_word). This replaces the "
+    "regex ESTIMATE (bpe_token_estimate) with counts from an actual "
+    "learned tokenizer — the number a sequence-packing or budget stage "
+    "actually needs. Rows-only: the merge sequence is data-dependent; "
+    "pytest pins the segmentation against a pure-Python golden and "
+    "planted merges.",
+)
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import bpe as bpe_lib
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
+    vocab_tok = bpe_lib.segment_words(
+        wfreq.select("word"), merges
+    ).select("word", "n_tokens")
+    return (
+        tok.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
 # --- PII redaction transform ------------------------------------------------
 # The transform stage pii_scan_counts gates: rewrite every email and long
 # digit run to a typed placeholder, emit the redacted text's digest +

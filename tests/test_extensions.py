@@ -1559,3 +1559,52 @@ def test_heavy_hitters_gate_planted(spark, tmp_path):
     assert list(out.word[:3]) == ["zz", "aa", "bb"]  # ties broken by word
     assert (out.in_sketch == 1).all()
     assert (out.est_within == 1).all()
+
+
+def _py_apply_merges(word: str, merges: list) -> int:
+    syms = list(word)
+    for m in merges:
+        left, right, merged = m["left_sym"], m["right_sym"], m["merged"]
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_apply_matches_python_golden_on_smoke(spark):
+    """Per-doc BPE token counts from the train->apply query must equal a
+    pure-Python re-derivation: golden-train the same 8 merges, segment
+    every word greedily in merge order, sum per doc."""
+    from seisdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    wfreq = {}
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if w:
+                wfreq[w] = wfreq.get(w, 0) + 1
+    merges = _py_bpe_golden(wfreq, 8)
+    want = {}
+    for _, row in docs.iterrows():
+        words = [w for w in row.text.split(" ") if w]
+        want[row.doc_id] = (
+            len(words),
+            sum(_py_apply_merges(w, merges) for w in words),
+        )
+    out = (
+        REGISTRY["bpe_apply_tokenize"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens) for _, r in out.iterrows()
+    }
+    assert got == want
+    # merges actually compress: fewer tokens than characters somewhere
+    chars = {
+        row.doc_id: sum(len(w) for w in row.text.split(" ") if w)
+        for _, row in docs.iterrows()
+    }
+    assert any(got[d][1] < chars[d] for d in got)
