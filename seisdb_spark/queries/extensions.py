@@ -1272,7 +1272,21 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact word count is a full vocab shuffle, the sketch is one constant-
 # state pass.
 HH_TOPK = 10
-HH_TRACKED = 8192  # sketch capacity; error bound is n_total/tracked
+#: Hard capacity ceiling.  Spark's approx_top_k does NOT degrade
+#: gracefully past maxItemsTracked: moderately past capacity (~3x)
+#: counts INFLATE (eviction floors), and far past (~5x) it returns an
+#: EMPTY array (found by the x1000 scale harness: 31k words vs a fixed
+#: 8192 produced zero rows, which AQE propagated into null gate flags;
+#: both modes pinned in tests/test_extensions.py::
+#: test_spark_approx_top_k_overflow_modes).  Capacity is therefore
+#: sized at plan time
+#: from a cheap approx_count_distinct (the bloom_decontamination
+#: adaptive pattern) and overflow past this ceiling raises instead of
+#: silently zeroing the gate.  The sketch path is for BOUNDED-
+#: cardinality columns (the classic heavy-hitters use case: categories,
+#: domains, langs, source tags, capped vocabs); an unbounded vocabulary
+#: keeps the exact vocab-key shuffle, which is already corpus-cheap.
+HH_TRACKED_MAX = 1 << 21
 
 
 @query(
@@ -1297,13 +1311,19 @@ HH_TRACKED = 8192  # sketch capacity; error bound is n_total/tracked
     doc=f"HEAVY HITTERS with a HARD gate (the approx_quantile_gate "
     f"pattern): the exact top-{HH_TOPK} words (one vocab-key combiner "
     "shuffle + TakeOrderedAndProject, ties broken by word) each checked "
-    f"against Spark's approx_top_k frequent-items sketch (capacity "
-    f"{HH_TRACKED}; additive error <= n_total/capacity) — every exact "
-    "heavy hitter must appear in the sketch with its estimate within "
-    "+-5% of truth. Spark emits the exact ranks/counts plus 0/1 flags, "
-    "the oracle the exact ranks/counts plus literal 1. At 100 TB the "
-    "sketch is the production path (constant state per partition, "
-    "map-side merge); the exact count is the test-scale referee.",
+    "against Spark's approx_top_k sketch, whose capacity is sized at "
+    "plan time from a cheap approx_count_distinct with 30% headroom — "
+    "NECESSARY, not an optimization: past maxItemsTracked approx_top_k "
+    "first inflates counts (eviction floors) and then returns EMPTY "
+    "(caught by the x1000 harness at a fixed 8192 vs 31k words), so a "
+    "fixed capacity silently corrupts the gate at scale; past the hard "
+    "ceiling the query raises loudly instead. Every exact heavy hitter must appear "
+    "in the sketch with its estimate within +-5% of truth. Spark emits "
+    "the exact ranks/counts plus 0/1 flags, the oracle the exact "
+    "ranks/counts plus literal 1. The sketch path targets BOUNDED-"
+    "cardinality columns (categories/domains/tags/capped vocabs — "
+    "constant state per partition, map-side merge); unbounded vocabs "
+    "keep the exact vocab-key shuffle, already corpus-cheap.",
     bench=True,
 )
 def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1331,19 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
+    est_nd = tok.agg(
+        F.expr("approx_count_distinct(w)").alias("nd")
+    ).collect()[0]["nd"]
+    tracked = 1024
+    while tracked < est_nd * 13 // 10 + 16:
+        tracked <<= 1
+    if tracked > HH_TRACKED_MAX:
+        raise ValueError(
+            f"heavy_hitters_gate: ~{est_nd} distinct items exceeds the "
+            f"sketch ceiling {HH_TRACKED_MAX} — approx_top_k returns "
+            "EMPTY past its capacity; use the exact vocab-key path for "
+            "unbounded-cardinality columns"
+        )
     wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
     rank_w = Window.orderBy(F.col("n").desc(), "w")
@@ -1325,7 +1358,7 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-K slice while its (exact) estimate sits right below the cut
     sketch = (
         tok.agg(
-            F.expr(f"approx_top_k(w, {HH_TRACKED}, {HH_TRACKED})").alias("tk")
+            F.expr(f"approx_top_k(w, {tracked}, {tracked})").alias("tk")
         )
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))

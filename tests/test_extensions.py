@@ -1608,3 +1608,59 @@ def test_bpe_apply_matches_python_golden_on_smoke(spark):
         for _, row in docs.iterrows()
     }
     assert any(got[d][1] < chars[d] for d in got)
+
+
+def test_spark_approx_top_k_overflow_modes(spark):
+    """Documents the Spark behavior heavy_hitters_gate's adaptive
+    capacity exists to guard against — approx_top_k does not degrade
+    gracefully past maxItemsTracked, in either of two modes: (a) when a
+    single PARTITION's distinct items exceed capacity the result is
+    EMPTY (the x1000 harness hit this: 31k words vs 8192), and (b) when
+    only the MERGED distinct count exceeds capacity the items survive
+    but with INFLATED counts (singletons reported as count 2 here).
+    Both silently corrupt a fixed-capacity gate."""
+    from pyspark.sql import functions as F
+
+    def run(nd):
+        big = spark.range(nd).select(
+            F.concat(F.lit("w"), F.col("id")).alias("w")
+        )
+        return big.agg(F.expr("approx_top_k(w, 1024, 1024)")).collect()[0][0]
+
+    # (a) far past capacity (~5x) the sketch gives up -> EMPTY
+    arr = run(5000)
+    assert arr is not None and len(arr) == 0
+    # (b) moderately past capacity (~3x) items survive with INFLATED
+    # counts (eviction floors: singletons reported as count 2)
+    arr = run(3000)
+    assert len(arr) == 1024
+    assert any(r["count"] > 1 for r in arr)  # every true count is 1
+
+
+def test_heavy_hitters_gate_survives_vocab_past_old_capacity(spark, tmp_path):
+    """Regression for the x1000 failure: a corpus whose vocabulary
+    (12k distinct words) exceeds the previously-fixed 8192 capacity
+    must still gate every flag green — the adaptive capacity resizes
+    instead of letting the sketch overflow to empty (which AQE then
+    propagates into null flags)."""
+    filler = " ".join(f"w{i}" for i in range(12000))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["zz zz zz zz " + filler, "zz aa aa"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [10, 8],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        REGISTRY["heavy_hitters_gate"]
+        .spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0].word == "zz" and out.loc[0].exact_n == 5
+    assert (out.in_sketch == 1).all()
+    assert (out.est_within == 1).all()
