@@ -1664,3 +1664,18 @@ def test_heavy_hitters_gate_survives_vocab_past_old_capacity(spark, tmp_path):
     assert out.loc[0].word == "zz" and out.loc[0].exact_n == 5
     assert (out.in_sketch == 1).all()
     assert (out.est_within == 1).all()
+
+
+def test_bpe_apply_plan_shape(spark):
+    """The tokenize-apply pipeline must stay shaped for scale: the vocab
+    segmentation is expression-only (no Python boundary), the token-count
+    join back to the corpus word stream is an equi-join (never a
+    cartesian), and nothing introduces a global sort."""
+    from seisdb_spark.plancheck import final_plan, has_node
+
+    df = REGISTRY["bpe_apply_tokenize"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "rangepartitioning")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "NestedLoopJoin")
