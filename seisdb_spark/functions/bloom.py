@@ -48,11 +48,17 @@ def bloom_bits_for(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
     return m
 
 
-def _positions(key, m_bits: int, k: int) -> list:
-    """The K bit positions for a key column, as Columns in [0, m_bits)."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m_bits))
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+def _positions(key, m_bits, k: int) -> list:
+    """The K bit positions for a key column, as Columns in [0, m_bits).
+    ``m_bits`` may be a python int (build side) or a Column (probe side,
+    derived from the words array itself); residues are taken BEFORE the
+    multiply so the arithmetic stays far from BIGINT range under ANSI."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = m_bits if hasattr(m_bits, "_jc") or hasattr(m_bits, "_expr") else F.lit(m_bits)
+    h1 = F.pmod(F.xxhash64(key), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), m)
+    return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(k)]
 
 
 def build_bloom(
@@ -93,13 +99,23 @@ def build_bloom(
     )
 
 
-def bloom_hit(words, key, m_bits: int, k: int = BLOOM_K):
+def bloom_hit(words, key, m_bits: int | None = None, k: int = BLOOM_K):
     """Boolean Column: every one of the key's K bits is set in ``words``
     (an ``array<bigint>`` column from build_bloom, typically supplied via
     ``crossJoin(F.broadcast(words_row))``).  O(1) element_at lookups, all
-    inside whole-stage codegen."""
+    inside whole-stage codegen.
+
+    The modulus is DERIVED from the words array (size * 64) rather than
+    trusted from the caller: a probe m_bits larger than the build's
+    would index past the array, turn the word lookup NULL, and silently
+    DROP true members — breaking the no-false-negatives property the
+    oracle-sharing pipelines depend on.  ``m_bits`` is accepted for API
+    symmetry with build_bloom and IGNORED in favor of the derived value;
+    the k used must still match the build's k — that stays on the
+    caller."""
+    m = F.size(words).cast("long") * 64
     cond = F.lit(True)
-    for p in _positions(key, m_bits, k):
+    for p in _positions(key, m, k):
         word = F.element_at(words, F.shiftright(p, 6).cast("int") + 1)
         bit = F.call_function(
             "shiftleft",
