@@ -64,10 +64,13 @@ def _positions(key, m_bits, k: int) -> list:
 def build_bloom(
     keys: DataFrame, col: str, m_bits: int, k: int = BLOOM_K
 ) -> DataFrame:
-    """ONE-row DataFrame ``(words array<bigint>)`` — the dense filter for
-    the key column.  The bit_or exchange carries at most m_bits/64 rows
-    regardless of key count; the densify join runs over the same m_bits/64
-    range table."""
+    """ONE-row DataFrame ``(words array<bigint>, bloom_k int)`` — the
+    dense filter for the key column, carrying its OWN hash count so a
+    probe cannot silently disagree with the build (pass the row's
+    ``bloom_k`` column as ``bloom_hit``'s ``built_k`` and a mismatch
+    raises at runtime instead of reintroducing false negatives).  The
+    bit_or exchange carries at most m_bits/64 rows regardless of key
+    count; the densify join runs over the same m_bits/64 range table."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     n_words = m_bits // 64
@@ -96,25 +99,41 @@ def build_bloom(
     return dense.agg(
         F.expr("transform(array_sort(collect_list(struct(word, bits))), s -> s.bits)")
         .alias("words")
-    )
+    ).withColumn("bloom_k", F.lit(k).cast("int"))
 
 
-def bloom_hit(words, key, m_bits: int | None = None, k: int = BLOOM_K):
+def bloom_hit(words, key, k: int = BLOOM_K, built_k=None):
     """Boolean Column: every one of the key's K bits is set in ``words``
     (an ``array<bigint>`` column from build_bloom, typically supplied via
     ``crossJoin(F.broadcast(words_row))``).  O(1) element_at lookups, all
     inside whole-stage codegen.
 
-    The modulus is DERIVED from the words array (size * 64) rather than
-    trusted from the caller: a probe m_bits larger than the build's
-    would index past the array, turn the word lookup NULL, and silently
-    DROP true members — breaking the no-false-negatives property the
-    oracle-sharing pipelines depend on.  ``m_bits`` is accepted for API
-    symmetry with build_bloom and IGNORED in favor of the derived value;
-    the k used must still match the build's k — that stays on the
-    caller."""
+    Both build-time parameters are protected against probe-side drift —
+    either failure mode would silently DROP true members and break the
+    no-false-negatives property the oracle-sharing pipelines depend on:
+
+    * the modulus is DERIVED from the words array (size * 64), never
+      trusted from the caller — a probe modulus larger than the build's
+      would index past the array and turn lookups NULL (there is no
+      ``m_bits`` parameter at all);
+    * the hash count ``k`` must equal the build's — a probe k greater
+      than the build's tests bits the build never set.  ``k`` has to be
+      a Python int (it unrolls into K element_at expressions), so the
+      build row carries its k (``bloom_k``); pass that column as
+      ``built_k`` and a mismatch RAISES at runtime (``raise_error``)
+      instead of returning false."""
     m = F.size(words).cast("long") * 64
-    cond = F.lit(True)
+    if built_k is not None:
+        cond = F.when(built_k == F.lit(k), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bloom_hit: probe k={k} does not match build k="),
+                    built_k.cast("string"),
+                )
+            ).cast("boolean")
+        )
+    else:
+        cond = F.lit(True)
     for p in _positions(key, m, k):
         word = F.element_at(words, F.shiftright(p, 6).cast("int") + 1)
         bit = F.call_function(

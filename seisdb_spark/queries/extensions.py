@@ -1272,21 +1272,53 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact word count is a full vocab shuffle, the sketch is one constant-
 # state pass.
 HH_TOPK = 10
-#: Hard capacity ceiling.  Spark's approx_top_k does NOT degrade
-#: gracefully past maxItemsTracked: moderately past capacity (~3x)
-#: counts INFLATE (eviction floors), and far past (~5x) it returns an
-#: EMPTY array (found by the x1000 scale harness: 31k words vs a fixed
-#: 8192 produced zero rows, which AQE propagated into null gate flags;
-#: both modes pinned in tests/test_extensions.py::
+#: Hard capacity ceiling = Spark's own limit.  approx_top_k does NOT
+#: degrade gracefully past maxItemsTracked: moderately past capacity
+#: (~3x) counts INFLATE (eviction floors), and far past (~5x) it
+#: returns an EMPTY array (found by the x1000 scale harness: 31k words
+#: vs a fixed 8192 produced zero rows, which AQE propagated into null
+#: gate flags; both modes pinned in tests/test_extensions.py::
 #: test_spark_approx_top_k_overflow_modes).  Capacity is therefore
-#: sized at plan time
-#: from a cheap approx_count_distinct (the bloom_decontamination
-#: adaptive pattern) and overflow past this ceiling raises instead of
-#: silently zeroing the gate.  The sketch path is for BOUNDED-
-#: cardinality columns (the classic heavy-hitters use case: categories,
-#: domains, langs, source tags, capped vocabs); an unbounded vocabulary
-#: keeps the exact vocab-key shuffle, which is already corpus-cheap.
-HH_TRACKED_MAX = 1 << 21
+#: sized at plan time from a cheap cardinality estimate and overflow
+#: past this ceiling raises loudly instead of silently zeroing the
+#: gate.  The ceiling equals Spark 4.1's internal
+#: MAX_ITEMS_TRACKED_LIMIT = 1,000,000 (ApproxTopK.scala) — a larger
+#: local ceiling would be unreachable: Spark itself rejects
+#: maxItemsTracked above it, so our informative ValueError must fire
+#: FIRST (r10 ADVICE item; the limit is not a power of two and Spark
+#: accepts any capacity <= it, so the doubling search clamps to it).
+#: The sketch path is for BOUNDED-cardinality columns (the classic
+#: heavy-hitters use case: categories, domains, langs, source tags,
+#: capped vocabs); an unbounded vocabulary keeps the exact vocab-key
+#: shuffle, which is already corpus-cheap.
+HH_TRACKED_MAX = 1_000_000
+
+
+def hh_tracked_capacity(est_nd: int) -> int:
+    """approx_top_k capacity for an estimated ``est_nd`` distinct items:
+    30% headroom + 16, power-of-two doubling from 1024, clamped to
+    Spark's hard maxItemsTracked limit (HH_TRACKED_MAX = 1,000,000 —
+    not itself a power of two; Spark accepts any capacity <= it).
+    Raises when even the clamped capacity cannot cover the estimate —
+    BEFORE Spark's opaque approxTopKMaxItemsTrackedExceedsLimit error
+    and before the sketch silently corrupts (inflated counts, then
+    empty).  This is also the validation point for CALLER-SUPPLIED
+    cardinalities: production pipelines feed ``est_nd`` from a
+    persisted stat (e.g. one KB-sized row of the HLL sketch table
+    ``hll_sketch_rollup`` maintains) instead of scanning the corpus."""
+    need = est_nd * 13 // 10 + 16
+    if need > HH_TRACKED_MAX:
+        raise ValueError(
+            f"hh_tracked_capacity: ~{est_nd} distinct items needs sketch "
+            f"capacity {need} > Spark's maxItemsTracked limit "
+            f"{HH_TRACKED_MAX} — approx_top_k rejects larger capacities "
+            "and silently corrupts past smaller ones; use the exact "
+            "vocab-key path for unbounded-cardinality columns"
+        )
+    tracked = 1024
+    while tracked < need:
+        tracked <<= 1
+    return min(tracked, HH_TRACKED_MAX)
 
 
 @query(
@@ -1312,18 +1344,25 @@ HH_TRACKED_MAX = 1 << 21
     f"pattern): the exact top-{HH_TOPK} words (one vocab-key combiner "
     "shuffle + TakeOrderedAndProject, ties broken by word) each checked "
     "against Spark's approx_top_k sketch, whose capacity is sized at "
-    "plan time from a cheap approx_count_distinct with 30% headroom — "
-    "NECESSARY, not an optimization: past maxItemsTracked approx_top_k "
-    "first inflates counts (eviction floors) and then returns EMPTY "
-    "(caught by the x1000 harness at a fixed 8192 vs 31k words), so a "
-    "fixed capacity silently corrupts the gate at scale; past the hard "
-    "ceiling the query raises loudly instead. Every exact heavy hitter must appear "
-    "in the sketch with its estimate within +-5% of truth. Spark emits "
-    "the exact ranks/counts plus 0/1 flags, the oracle the exact "
-    "ranks/counts plus literal 1. The sketch path targets BOUNDED-"
-    "cardinality columns (categories/domains/tags/capped vocabs — "
-    "constant state per partition, map-side merge); unbounded vocabs "
-    "keep the exact vocab-key shuffle, already corpus-cheap.",
+    "plan time with 30% headroom from a KB-sized HLL sketch over the "
+    "materialized vocab (the persisted-stat shape: production reads "
+    "the cardinality from the sketch table hll_sketch_rollup "
+    "maintains, validated by hh_tracked_capacity) — NECESSARY, not an "
+    "optimization: past maxItemsTracked approx_top_k first inflates "
+    "counts (eviction floors) and then returns EMPTY (caught by the "
+    "x1000 harness at a fixed 8192 vs 31k words), so a fixed capacity "
+    "silently corrupts the gate at scale; past Spark's own 1,000,000 "
+    "limit the query raises loudly instead. The corpus is scanned "
+    "exactly TWICE (exact vocab pass + sketch pass; the r10 "
+    "approx_count_distinct third scan is gone — sizing reads the "
+    "localCheckpointed Zipf-small vocab). Every exact heavy hitter "
+    "must appear in the sketch with its estimate within +-5% of "
+    "truth. Spark emits the exact ranks/counts plus 0/1 flags, the "
+    "oracle the exact ranks/counts plus literal 1. The sketch path "
+    "targets BOUNDED-cardinality columns (categories/domains/tags/"
+    "capped vocabs — constant state per partition, map-side merge); "
+    "unbounded vocabs keep the exact vocab-key shuffle, already "
+    "corpus-cheap.",
     bench=True,
 )
 def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,20 +1370,25 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
-    est_nd = tok.agg(
-        F.expr("approx_count_distinct(w)").alias("nd")
-    ).collect()[0]["nd"]
-    tracked = 1024
-    while tracked < est_nd * 13 // 10 + 16:
-        tracked <<= 1
-    if tracked > HH_TRACKED_MAX:
-        raise ValueError(
-            f"heavy_hitters_gate: ~{est_nd} distinct items exceeds the "
-            f"sketch ceiling {HH_TRACKED_MAX} — approx_top_k returns "
-            "EMPTY past its capacity; use the exact vocab-key path for "
-            "unbounded-cardinality columns"
+    # corpus scan 1 of 2: the exact vocab counts (the gate's referee
+    # needs them regardless), materialized ONCE — localCheckpoint is
+    # vocab-bounded (Zipf-small), and both the capacity sizing and the
+    # exact top-K read it instead of re-scanning the corpus
+    wc = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # sizing from a KB-sized HLL sketch over the materialized vocab —
+    # the same stat a production pipeline persists (hll_sketch_rollup's
+    # stored-partials row); hh_tracked_capacity validates it against
+    # Spark's hard maxItemsTracked limit
+    est_nd = wc.agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(w, {HLL_LGK}))").alias(
+            "nd"
         )
-    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ).collect()[0]["nd"]
+    tracked = hh_tracked_capacity(int(est_nd))
     sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
     rank_w = Window.orderBy(F.col("n").desc(), "w")
     exact = sel.select(
@@ -1352,10 +1396,11 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("word"),
         F.col("n").alias("exact_n"),
     )
-    # fetch the sketch's FULL tracked list, not just its top-K: the exact
+    # probe the sketch's FULL tracked list, not just its top-K: the exact
     # top-K breaks count ties by word, the sketch arbitrarily, so a
     # boundary tie could drop an exact heavy hitter from the sketch's own
-    # top-K slice while its (exact) estimate sits right below the cut
+    # top-K slice while its (exact) estimate sits right below the cut.
+    # corpus scan 2 of 2.
     sketch = (
         tok.agg(
             F.expr(f"approx_top_k(w, {tracked}, {tracked})").alias("tk")
@@ -1363,7 +1408,13 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
     )
-    gated = exact.join(F.broadcast(sketch), "word", "left")
+    # the tracked list is CAPACITY-sized (up to 1M rows) — semi-join it
+    # down to the K exact heavy-hitter words before broadcasting, so the
+    # gate join's broadcast side really is k rows (r10 ADVICE item)
+    sketch_k = sketch.join(
+        F.broadcast(exact.select("word")), "word", "semi"
+    )
+    gated = exact.join(F.broadcast(sketch_k), "word", "left")
     return gated.select(
         "rank",
         "word",
@@ -2072,8 +2123,10 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         train_sh.crossJoin(F.broadcast(words))
-        .filter(bloom_hit(F.col("words"), F.col("sh"), m_bits))
-        .drop("words")
+        .filter(
+            bloom_hit(F.col("words"), F.col("sh"), built_k=F.col("bloom_k"))
+        )
+        .drop("words", "bloom_k")
     )
     return (
         cand.join(F.broadcast(bench_sh), "sh")

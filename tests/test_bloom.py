@@ -39,7 +39,7 @@ def test_bloom_no_false_negatives_and_sane_fpr(spark):
     )
     got = (
         probe.crossJoin(F.broadcast(words))
-        .select("k", bloom_hit(F.col("words"), F.col("k"), m_bits).alias("hit"))
+        .select("k", bloom_hit(F.col("words"), F.col("k")).alias("hit"))
         .toPandas()
     )
     inserted = got[got.k.str.slice(4).astype(int) < 2000]
@@ -57,6 +57,32 @@ def test_bloom_build_is_word_bounded(spark):
     assert len(row["words"]) == m_bits // 64
     assert any(w != 0 for w in row["words"])  # the 3 keys set bits
     assert sum(1 for w in row["words"] if w == 0) > 0  # and most stay 0
+    assert row["bloom_k"] == 5  # the build embeds its hash count
+
+
+def test_bloom_probe_k_mismatch_raises(spark):
+    """A probe whose k disagrees with the build's embedded bloom_k must
+    RAISE (raise_error), never silently return false — a silent false
+    would be a false negative, the one failure mode the module exists
+    to rule out.  A matching k passes the guard."""
+    import pytest
+
+    keys = spark.range(10).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("kk")
+    )
+    words = build_bloom(keys, "kk", 1024, k=5)
+    probe = keys.crossJoin(F.broadcast(words))
+    ok = probe.select(
+        bloom_hit(F.col("words"), F.col("kk"), k=5, built_k=F.col("bloom_k"))
+        .alias("hit")
+    ).toPandas()
+    assert ok.hit.all()
+    with pytest.raises(Exception, match="does not match build k"):
+        probe.select(
+            bloom_hit(
+                F.col("words"), F.col("kk"), k=7, built_k=F.col("bloom_k")
+            ).alias("hit")
+        ).collect()
 
 
 def test_bloom_decontamination_equals_exact_twin(spark):

@@ -1637,6 +1637,51 @@ def test_spark_approx_top_k_overflow_modes(spark):
     assert any(r["count"] > 1 for r in arr)  # every true count is 1
 
 
+def test_hh_tracked_capacity_respects_spark_limit():
+    """r10 ADVICE regression: Spark 4.1's approx_top_k hard-rejects
+    maxItemsTracked > 1,000,000 (MAX_ITEMS_TRACKED_LIMIT), so the sizing
+    must (a) clamp the doubling search to that limit — which is NOT a
+    power of two — when the need fits under it, and (b) raise the
+    informative ValueError BEFORE Spark's opaque error when it does not.
+    ~450k distinct was exactly the regime the old 1<<21 ceiling silently
+    waved through: need = 450k*1.3 ~ 585k -> doubled to 2^20 = 1,048,576
+    > 1e6, an opaque Spark analysis error."""
+    from seisdb_spark.queries.extensions import (
+        HH_TRACKED_MAX,
+        hh_tracked_capacity,
+    )
+
+    assert HH_TRACKED_MAX == 1_000_000
+    # small vocab: plain power-of-two doubling with 30% headroom
+    assert hh_tracked_capacity(100) == 1024
+    assert hh_tracked_capacity(3000) == 4096
+    # ~450k distinct: need ~585k fits under 1e6 but its power-of-two
+    # (2^20) does not -> clamp to Spark's exact limit, never exceed it
+    assert hh_tracked_capacity(450_000) == 1_000_000
+    assert hh_tracked_capacity(768_000) == 1_000_000  # need 998,416
+    # past the limit: loud, actionable, and OURS (not Spark's)
+    with pytest.raises(ValueError, match="maxItemsTracked limit"):
+        hh_tracked_capacity(770_000)  # need 1,001,016 > 1e6
+    with pytest.raises(ValueError, match="exact vocab-key path"):
+        hh_tracked_capacity(10_000_000)
+
+
+def test_spark_accepts_clamped_non_power_of_two_capacity(spark):
+    """The clamped capacity (1,000,000 — not a power of two) must be a
+    capacity Spark actually accepts; Spark's own limit must reject
+    nothing we can emit.  (A tiny input suffices: the capacity is an
+    analysis-time parameter, rejected at plan time if invalid.)"""
+    from pyspark.sql import functions as F
+
+    arr = (
+        spark.range(50)
+        .select(F.concat(F.lit("w"), F.col("id") % 7).alias("w"))
+        .agg(F.expr("approx_top_k(w, 5, 1000000)"))
+        .collect()[0][0]
+    )
+    assert [r["item"] for r in arr][0] is not None and len(arr) == 5
+
+
 def test_heavy_hitters_gate_survives_vocab_past_old_capacity(spark, tmp_path):
     """Regression for the x1000 failure: a corpus whose vocabulary
     (12k distinct words) exceeds the previously-fixed 8192 capacity

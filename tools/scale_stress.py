@@ -207,8 +207,10 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
     ),
     # exact top-K stays a TakeOrdered over the one vocab-key exchange;
-    # the sketch agg adds no extra corpus shuffle; the gate join carries
-    # a k-row broadcast side
+    # the sketch agg adds no extra corpus shuffle; the capacity-sized
+    # tracked list is semi-joined down to the K exact heavy-hitter words
+    # BEFORE broadcasting, so the gate join's broadcast side is k rows
+    # (not the up-to-1M-entry tracked list)
     "heavy_hitters_gate": lambda p: (
         has_node(p, "TakeOrderedAndProject")
         and has_node(p, "Broadcast")
