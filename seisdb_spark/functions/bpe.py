@@ -41,6 +41,20 @@ from pyspark.sql import functions as F
 
 BPE_TRAIN_ITERS = 8
 
+#: Merge-count bound for the expression-form tokenizer
+#: (``segment_words``): each merge is one chained ``aggregate()`` fold,
+#: and Catalyst resolves ONE nested higher-order lambda per analyzer
+#: iteration — so the Resolution batch's fixed-point budget
+#: (``spark.sql.analyzer.maxIterations`` = 100) is exhausted at ~96
+#: chained folds ("Max iterations (100) reached for batch Resolution",
+#: measured on Spark 4.1.2; analysis time is also linear in K: ~1 s at
+#: K=32, ~2 s at K=64).  64 keeps comfortable headroom below the cliff
+#: while covering demo-scale vocabularies; a production tokenizer
+#: (~30k merges) uses ``segment_words_kernel`` — one Arrow-batched
+#: ``mapInPandas`` whose plan size is CONSTANT in the merge count (the
+#: merge list rides as a broadcast, the encode-kernel pattern).
+SEGMENT_EXPR_MAX_MERGES = 64
+
 
 def char_segment(wfreq: DataFrame) -> DataFrame:
     """(word, wn) -> (syms array<string>, wn): each distinct word split
@@ -154,6 +168,15 @@ def segment_words(
     in merge order, all literals via ``F.lit``.  Intended for the DISTINCT
     word table (Zipf: segment the vocab once, join token counts back to
     the corpus), not the raw token stream."""
+    if len(merges) > SEGMENT_EXPR_MAX_MERGES:
+        raise ValueError(
+            f"segment_words: {len(merges)} merges exceeds the expression "
+            f"form's bound ({SEGMENT_EXPR_MAX_MERGES}) — each merge is a "
+            "chained aggregate() fold and Catalyst resolves one nested "
+            "lambda per analyzer iteration, so large merge lists exhaust "
+            "the Resolution fixed-point budget (~96 on Spark 4.1); use "
+            "segment_words_kernel for production-size vocabularies"
+        )
     syms = F.expr(
         f"CASE WHEN length({col}) >= 1 THEN "
         f"transform(sequence(1, length({col})), i -> substring({col}, i, 1)) "
@@ -182,3 +205,80 @@ def segment_words(
     return words.withColumn("syms", syms).withColumn(
         "n_tokens", F.size("syms")
     )
+
+
+def apply_merges_py(word: str, pairs: list[tuple[str, str, str]]) -> list[str]:
+    """Pure-Python twin of the fold: apply (left, right, merged) pairs in
+    merge order, each pass greedy left-to-right non-overlapping (the
+    accumulator's LAST element participates in the next comparison, so
+    'aaa' under (a,a) -> [aa, a]).  This IS the kernel's per-word body,
+    public so tests and the driver-side golden share one definition."""
+    syms = list(word)
+    for left, right, merged in pairs:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def segment_words_kernel(
+    words: DataFrame, merges: list[dict], col: str = "word"
+) -> DataFrame:
+    """Arrow-batched twin of ``segment_words`` for production-size merge
+    lists: ONE ``mapInPandas`` whose plan is CONSTANT in the merge count
+    — the trained (left, right, merged) list rides to executors as a
+    broadcast variable (a ~30k-merge vocabulary is < 1 MB) and each
+    Arrow batch of words is segmented by the pure-Python greedy fold
+    (``apply_merges_py``, byte-identical semantics to the expression
+    form — pinned by tests/test_bpe_kernel.py on the trained golden).
+    Same contract: adds ``syms array<string>`` and ``n_tokens int``,
+    preserves every input column; map-only, zero shuffle, the
+    ``pipeline/build.py::encode_records`` kernel pattern."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if col not in words.columns:
+        raise ValueError(f"segment_words_kernel: no column {col!r}")
+    pairs = [(m["left_sym"], m["right_sym"], m["merged"]) for m in merges]
+    bc = words.sparkSession.sparkContext.broadcast(pairs)
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [
+            StructField("syms", ArrayType(StringType()), False),
+            StructField("n_tokens", IntegerType(), False),
+        ]
+    )
+
+    def segment(batches):
+        ps = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            segs = [
+                apply_merges_py(w, ps) if isinstance(w, str) and w else []
+                for w in pdf[col]
+            ]
+            pdf["syms"] = segs
+            pdf["n_tokens"] = [len(s) for s in segs]
+            yield pdf
+
+    return words.mapInPandas(segment, out_schema)
+
+
+def segment_words_auto(
+    words: DataFrame, merges: list[dict], col: str = "word"
+) -> DataFrame:
+    """Dispatcher: the expression form (whole-stage codegen, zero Python)
+    under its documented merge-count bound, the Arrow kernel beyond it.
+    Both produce identical rows; only the physical plan differs."""
+    if len(merges) <= SEGMENT_EXPR_MAX_MERGES:
+        return segment_words(words, merges, col=col)
+    return segment_words_kernel(words, merges, col=col)

@@ -4332,7 +4332,10 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("word") >= 1)
     wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
     merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
-    vocab_tok = bpe_lib.segment_words(
+    # auto-dispatch: chained-fold expression form at this demo merge
+    # count (zero Python); the Arrow mapInPandas kernel past the
+    # expression form's documented bound (functions/bpe.py)
+    vocab_tok = bpe_lib.segment_words_auto(
         wfreq.select("word"), merges
     ).select("word", "n_tokens")
     return (
