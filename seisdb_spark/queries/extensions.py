@@ -2173,16 +2173,68 @@ def _bpe_tokens_col() -> F.Column:
     return F.greatest(toks.cast("long"), sub.cast("long"))
 
 
+def learned_token_counts(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """Per-doc token counts from a TRAINED merge list — the real-
+    tokenizer replacement for the ``_bpe_tokens_col`` regex estimate,
+    shaped for scale: the DISTINCT word table is segmented ONCE
+    (``segment_words_auto``: expression form under its merge-count
+    bound, the Arrow kernel past it — Zipf makes the vocab orders of
+    magnitude smaller than the corpus), per-word counts join back to
+    the corpus word stream (AQE broadcasts the small vocab), and sum
+    per doc.  Returns ``(doc_id, n_tokens)`` — docs whose text splits
+    to no words are absent (callers coalesce to 0).  Feed the result
+    to ``packing_assignment`` / ``budgeted_selection`` as
+    ``token_counts``."""
+    from seisdb_spark.functions import bpe as bpe_lib
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    vocab_tok = bpe_lib.segment_words_auto(
+        tok.select("word").distinct(), merges
+    ).select("word", F.col("n_tokens").alias("_wtok"))
+    return (
+        tok.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_wtok").cast("long").alias("n_tokens"))
+    )
+
+
+def _with_token_counts(docs: DataFrame, token_counts: DataFrame | None) -> DataFrame:
+    """Attach ``n_tokens``: the regex ESTIMATE when ``token_counts`` is
+    None (row-local, zero extra shuffle), else a learned per-doc count
+    table ``(doc_id, n_tokens)`` left-joined on doc_id (absent docs —
+    no words — count 0).  The join keys on doc_id so AQE broadcasts
+    whichever side is small; at training-set scale both sides are the
+    same corpus and it is one co-partitioned shuffle."""
+    if token_counts is None:
+        return docs.withColumn("n_tokens", _bpe_tokens_col())
+    tc = token_counts.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("_n_tokens")
+    )
+    return (
+        docs.join(tc, "doc_id", "left")
+        .withColumn(
+            "n_tokens", F.coalesce(F.col("_n_tokens"), F.lit(0).cast("long"))
+        )
+        .drop("_n_tokens")
+    )
+
+
 def packing_assignment(
     docs: DataFrame,
     n_shards: int = PACK_N_SHARDS,
     seq_tokens: int = PACK_SEQ_TOKENS,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence-packing columns over any (doc_id, text)
     relation: adds ``n_tokens``, ``shard`` (text-hash mod n_shards),
     ``seq_in_shard``, ``offset_in_seq``; all input columns preserved.
     One hash Exchange on ``shard``, per-shard running-sum window, no
-    global sort.  Shared by the ``sequence_packing`` driver query and
+    global sort.  ``token_counts`` (doc_id, n_tokens) switches the
+    budgeting from the regex estimate to real learned-tokenizer counts
+    (``learned_token_counts``); the packing recurrence is identical.
+    Shared by the ``sequence_packing`` driver query and
     ``build_training_set(pack=True)``."""
     from pyspark.sql import Window
 
@@ -2190,7 +2242,7 @@ def packing_assignment(
 
     h = content_hash32("text")
     t = (
-        docs.withColumn("n_tokens", _bpe_tokens_col())
+        _with_token_counts(docs, token_counts)
         .withColumn("shard", (h % n_shards).cast("int"))
         .withColumn("_h", h)
     )
@@ -2211,12 +2263,15 @@ def budgeted_selection(
     docs: DataFrame,
     budget_per_shard: int = _BUDGET_PER_SHARD,
     n_shards: int = BUDGET_N_SHARDS,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy per-(lang, shard) token-budget prefix over any (doc_id, lang,
     text) relation: adds ``n_tokens``, ``shard``, ``budget_used_before``
     and keeps only rows whose prior running total is under the shard
     budget; all input columns preserved.  Docs are ordered by md5 text
-    digest (id-reassignment invariant).  Shared by the
+    digest (id-reassignment invariant).  ``token_counts`` (doc_id,
+    n_tokens) switches budgeting from the regex estimate to learned-
+    tokenizer counts (``learned_token_counts``).  Shared by the
     ``budgeted_sample_per_lang`` driver query and
     ``build_training_set(sample='budgeted')``."""
     from pyspark.sql import Window
@@ -2225,7 +2280,7 @@ def budgeted_selection(
 
     h = content_hash32("text")
     t = (
-        docs.withColumn("n_tokens", _bpe_tokens_col())
+        _with_token_counts(docs, token_counts)
         .withColumn("shard", (h % n_shards).cast("int"))
         .withColumn("_h", h)
     )
