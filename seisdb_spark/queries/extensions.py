@@ -1432,6 +1432,107 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min sketch gate (point-frequency estimation) --------------------
+# The fourth classic sketch next to quantiles (approx_quantile_gate),
+# distinct counts (hll_sketch_rollup), and top-k (heavy_hitters_gate):
+# "how often does THIS item occur", answered from bounded mergeable
+# state.  functions/cms.py keeps the sketch in relational form (Spark's
+# binary count_min_sketch aggregate has no SQL-side merge or estimate),
+# so per-shard partials persist as tiny (d, col, n) tables and every
+# rollup is a groupBy-sum.
+CMS_PROBE_WORDS = (
+    # the sf corpus's heavy hitters (collision-heavy cells), mid-tail
+    # words, and one never-seen key (est must stay within 0..eps*N)
+    "join", "hash", "row", "batch", "scan", "column", "customer",
+    "filter", "small", "merge", "zzz_never_seen",
+)
+_CMS_PROBE_VALUES = ", ".join(f"('{w}')" for w in CMS_PROBE_WORDS)
+
+
+@query(
+    "cm_sketch_gate",
+    oracle=f"""
+        WITH wc AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        probes(word) AS (VALUES {_CMS_PROBE_VALUES})
+        SELECT p.word,
+               CAST(COALESCE(wc.n, 0) AS BIGINT) AS exact_n,
+               1 AS ge_exact, 1 AS within_bound
+        FROM probes p LEFT JOIN wc ON wc.w = p.word
+    """,
+    doc="COUNT-MIN SKETCH point-frequency gate (the approx_quantile_gate "
+    "pattern, completing the sketch family): per-source counter-table "
+    "partials (functions/cms.py — depth 5 hash rows x 4096 counters, "
+    "xxhash64-positioned, at most depth*width rows per source however "
+    "many tokens flowed in) are union-merged by one groupBy(d,col).sum "
+    "— count-min merge IS element-wise addition, exact and associative, "
+    "so shard boundaries cannot change the merged table — then a fixed "
+    "probe word list (heavy hitters + tail + one never-seen key) is "
+    "estimated by min-of-counters against the broadcast merged table "
+    "and hard-gated BOTH ways: est >= exact (CM never undercounts, by "
+    "construction) AND est <= exact + ceil(e*N/width) (the classic "
+    "eps*N overcount bound; N read from the sketch itself — every hash "
+    "row sums to N, no extra scan). Spark emits exact counts plus 0/1 "
+    "flags, the oracle exact counts plus literal 1. Two corpus scans "
+    "(build + exact referee); the merged sketch is localCheckpointed "
+    "KB-state, the table a production pipeline persists per shard and "
+    "merges forever.",
+    bench=True,
+)
+def cm_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from seisdb_spark.functions import cms
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    # corpus scan 1 of 2: the per-source partial tables a production
+    # pipeline persists; merged + materialized ONCE (<= depth*width
+    # rows) so the probe and the in-sketch total both read KB-state
+    merged = cms.cm_merge(
+        cms.cm_partials(tok, "w", ["source"])
+    ).localCheckpoint(eager=True)
+    probes = spark.createDataFrame(
+        [(w,) for w in CMS_PROBE_WORDS], "word string"
+    )
+    est = cms.cm_probe(probes, merged, "word")
+    # corpus scan 2 of 2: the exact referee over the probe list only
+    exact = (
+        tok.join(
+            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumnRenamed("w", "word")
+    )
+    gated = (
+        est.join(F.broadcast(exact), "word", "left")
+        .withColumn(
+            "exact_n", F.coalesce("exact_n", F.lit(0).cast("long"))
+        )
+        .crossJoin(F.broadcast(cms.cm_total(merged)))
+    )
+    bound = F.ceil(
+        F.lit(math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
+    ).cast("long")
+    return gated.select(
+        "word",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
+        (F.col("est") <= F.col("exact_n") + bound)
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
