@@ -682,3 +682,155 @@ def _share_hll_oracle() -> None:
 
 
 _share_hll_oracle()
+
+
+@query(
+    "streaming_topk_rollup",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING HEAVY-HITTERS MAINTENANCE: each arriving document "
+    "microbatch contributes ONE approx_top_k_accumulate sketch row "
+    "(Spark 4's mergeable frequent-items partial: a binary sketch + its "
+    "capacity) appended to a persisted sketch table in batch_id-derived "
+    "overwrite paths — the incremental form of heavy_hitters_gate, so "
+    "the frequent-items class gets the scan-once-at-ingest shape the "
+    "HLL table already has. The rollup approx_top_k_combine-merges the "
+    "partials and gates exactly like the batch twin (exact top-K "
+    "referee, membership + +-5% flags, capacity-sized broadcast cut to "
+    "k rows). UNLIKE HLL union, top-k combine is NOT boundary-invariant "
+    "in general (past capacity, eviction order depends on the split), "
+    "so capacity is sized at 1.3x the full vocab (hh_tracked_capacity "
+    "over the same KB-sized HLL-on-vocab stat the batch gate reads) — "
+    "in that capacity >= cardinality regime every partial tracks its "
+    "batch's full count map, combine is exact element-wise addition, "
+    "and stream == batch EXACTLY (the 3-microbatch pytest pins it). "
+    "Oracle is the batch gate's SQL — stream==batch on complete data.",
+)
+def streaming_topk_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.extensions import (
+        HH_TOPK,
+        HLL_LGK,
+        hh_tracked_capacity,
+    )
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_topk_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sk_dir = os.path.join(out_dir, "sketches")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    # the exact referee needs the full table regardless; its vocab is
+    # materialized once (Zipf-small) and sizes the capacity via the same
+    # KB-sized HLL stat the batch gate uses.  capacity >= 1.3x vocab is
+    # what makes the per-batch sketches exact and the combine
+    # boundary-invariant (see doc)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    est_nd = wc.agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(w, {HLL_LGK}))").alias(
+            "nd"
+        )
+    ).collect()[0]["nd"]
+    tracked = hh_tracked_capacity(int(est_nd))
+
+    def sketch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .agg(
+                F.expr(f"approx_top_k_accumulate(w, {tracked})").alias("st")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sk_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sketch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema(
+            "st struct<sketch:binary,maxItemsTracked:int,"
+            "itemDataType:string,itemDataTypeDDL:string>"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(sk_dir)
+    )
+    # combine the persisted partials and read back the FULL tracked list
+    # (the batch gate's tie-safe probe shape)
+    sketch_full = (
+        partials.agg(
+            F.expr(
+                f"approx_top_k_estimate("
+                f"approx_top_k_combine(st, {tracked}), {tracked})"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
+    )
+    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
+    rank_w = Window.orderBy(F.col("n").desc(), "w")
+    exact = sel.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        F.col("w").alias("word"),
+        F.col("n").alias("exact_n"),
+    )
+    sketch_k = sketch_full.join(
+        F.broadcast(exact.select("word")), "word", "semi"
+    )
+    gated = exact.join(F.broadcast(sketch_k), "word", "left")
+    return gated.select(
+        "rank",
+        "word",
+        "exact_n",
+        F.col("est").isNotNull().cast("int").alias("in_sketch"),
+        (
+            F.abs(
+                F.coalesce(F.col("est"), F.lit(0)).cast("double")
+                - F.col("exact_n")
+            )
+            <= F.col("exact_n") * 0.05
+        )
+        .cast("int")
+        .alias("est_within"),
+    )
+
+
+# stream==batch equivalence: the streaming top-k sketch table's oracle IS
+# the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_topk_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_topk_rollup"] = replace(
+        REGISTRY["streaming_topk_rollup"],
+        oracle=REGISTRY["heavy_hitters_gate"].oracle,
+    )
+
+
+_share_topk_oracle()

@@ -556,3 +556,36 @@ def test_hll_stream_split_invariant_across_microbatches(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "sketches"))) == 3
+
+
+def test_topk_stream_split_matches_batch_gate(spark, tmp_path):
+    """The streamed approx_top_k sketch table over the documents split
+    into 3 files (3 genuine microbatches) must produce the SAME gate
+    rows as the batch heavy_hitters_gate over the unsplit table.  This
+    is only guaranteed in the capacity >= cardinality regime the query
+    pins (top-k combine is NOT boundary-invariant past capacity —
+    eviction order depends on the split), which is exactly why capacity
+    is sized at 1.3x the full vocab.  Each microbatch must land its
+    one-row partial in its own batch-id directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_topk_rollup
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+    out = str(tmp_path / "topk_stream")
+    got = _sorted(
+        streaming_topk_rollup(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["heavy_hitters_gate"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want.in_sketch == 1).all() and (want.est_within == 1).all()
+    assert len(os.listdir(os.path.join(out, "sketches"))) == 3
