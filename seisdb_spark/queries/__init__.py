@@ -153,16 +153,16 @@ DRIVER_WINDOW: list[str] = [
     # streaming_incremental_dedup, which carries the batch twin's oracle)
     "editdist_neardup_join",
     "doc_winnowing_fingerprints",
-    # round-10 rotation (r9 verdict item #3): pq_refined_encode — the
-    # rows-only Lloyd-refined codebook twin, the ONLY registry entry with
-    # zero driver executions ever — gets its one clean no_oracle driver
-    # row (the kmeans_refine_assign r7 precedent: one in-window rows-only
-    # round, then out) in for retrieval_eval_recall (green r7+r8+r9,
-    # rotation-eligible; the retrieval-quality-eval family keeps
-    # pq_recall_eval and mrl_truncation_eval in-window, and the
-    # brute-force top-k oracle stays composed verbatim inside
-    # pq_recall_eval's exact-L2 ground truth).
-    "pq_refined_encode",
+    # round-11 rotation (r10 verdict item #1): bpe_apply_tokenize — the
+    # BPE train->apply tokenize step (now routed through the merge-count
+    # dispatcher: expression form at demo K, Arrow kernel past its
+    # bound), the only registry entry never driver-executed — gets its
+    # rows-only driver row in for pq_refined_encode (rows-only; its one
+    # clean driver execution landed in r10, so it rotates out per the
+    # kmeans_refine_assign precedent: one in-window rows-only round,
+    # then out; the Lloyd-refinement machinery stays pinned by the
+    # recall-improvement pytest and the refined-codebook goldens).
+    "bpe_apply_tokenize",
     "ann_signbucket_topk",
     "ann_ivf_topk",
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means
@@ -197,7 +197,14 @@ DRIVER_WINDOW: list[str] = [
     # --- seed/assign machinery is hash-checked through semantic_dedup,
     # --- ann_ivf_topk, and the new PQ rows).
     "pca_project",
-    "pq_encode_codes",
+    # round-11 rotation: cm_sketch_gate — the count-min point-frequency
+    # gate (functions/cms.py: relational counter tables, element-wise-
+    # addition merge, min-of-counters probe; the fourth sketch class) —
+    # in for pq_encode_codes (green r8+r9+r10, rotation-eligible; the
+    # PQ family keeps pq_adc_topk, ivfpq_adc_topk, pq_recall_eval and
+    # mrl_pq_adc_topk in-window, and the encode CTE stack stays
+    # composed verbatim inside their oracles)
+    "cm_sketch_gate",
     "pq_adc_topk",
     "ivfpq_adc_topk",
     "streaming_novelty_probe",
@@ -261,14 +268,16 @@ DRIVER_WINDOW: list[str] = [
     # family keeps bm25_multiquery — the strictly stronger batch-serving
     # form — and hybrid_rrf_topk in-window)
     "pq_recall_eval",
-    # round-10 rotation (r9 verdict item #5): bpe_train_merges — the full
-    # bounded-iteration BPE training loop (functions/bpe.py; rows-only:
-    # data-dependent iterative fixpoint, pure-Python-golden + planted
-    # pytest) gets its clean no_oracle driver row — in for
-    # quality_classifier_score (green r6+r7+r8+r9, rotation-eligible;
-    # the quality family keeps streaming_quality_gate in-window and the
-    # classifier's oracle stays pytest-checked every round)
-    "bpe_train_merges",
+    # round-11 rotation: streaming_topk_rollup — per-microbatch
+    # approx_top_k_accumulate partials persisted to a sketch table,
+    # combine-merged and gated like the batch heavy_hitters_gate (the
+    # 12th oracle-bearing streaming entry; capacity sized into the
+    # exact regime where combine IS boundary-invariant) — in for
+    # bpe_train_merges (rows-only; its one clean driver execution
+    # landed in r10, out per the one-rows-only-round precedent; the
+    # training loop stays pure-Python-golden + planted-pytest pinned,
+    # and its merges feed the in-window bpe_apply_tokenize row)
+    "streaming_topk_rollup",
     # round-9 rotation (r8 verdict item #7): mrl_pq_adc_topk — the MRL x
     # PQ composition, serving a 16-dim prefix from the first 2 code bytes
     # of the existing codes table — in for vocab_coverage (green r6+r7+r8;
