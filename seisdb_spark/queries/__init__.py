@@ -107,6 +107,25 @@ seed/assign machinery is hash-checked through ``semantic_dedup`` /
 ``ann_ivf_topk`` / the new PQ rows).  The eight late-r7 operators keep
 their slots until thrice-green per the rotation rule.
 
+Round-11 rotation: the two NEW sketch operators (``cm_sketch_gate`` —
+declarative count-min point-frequency gate, the fourth sketch class —
+and ``streaming_topk_rollup`` — persisted approx_top_k partials, the
+12th oracle-bearing streaming entry) rotate IN, plus
+``bpe_apply_tokenize`` (rows-only: the only registry entry never
+driver-executed, now routed through the merge-count dispatcher).
+A fourth swap: ``streaming_cm_rollup`` (the count-min ingest twin — the
+13th oracle-bearing streaming entry, completing the batch+streaming
+symmetry for all three mergeable sketch classes) rotates in late in the
+round.  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+(rows-only entries whose one clean driver execution landed in r10 — the
+kmeans_refine_assign one-rows-only-round precedent),
+``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
+``pq_adc_topk``, ``ivfpq_adc_topk``, ``pq_recall_eval`` and
+``mrl_pq_adc_topk`` in-window, with the encode CTE stack composed
+verbatim inside their oracles), and ``approx_quantile_gate`` (green
+r8+r9+r10; the sketch family keeps six in-window members across all
+four sketch classes).
+
 Deliberately OUTSIDE the window (all still pytest-oracle-checked every
 round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
@@ -208,7 +227,15 @@ DRIVER_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_adc_topk",
     "streaming_novelty_probe",
-    "approx_quantile_gate",
+    # round-11 rotation: streaming_cm_rollup — per-microbatch count-min
+    # counter partials persisted and addition-merged (the 13th oracle-
+    # bearing streaming entry; trivially boundary-invariant, unlike
+    # top-k combine) — in for approx_quantile_gate (green r8+r9+r10,
+    # rotation-eligible; the sketch family keeps hll_sketch_rollup,
+    # heavy_hitters_gate, cm_sketch_gate and both streaming sketch
+    # twins in-window, and the quantile gate stays pytest-oracle-
+    # checked every round)
+    "streaming_cm_rollup",
     "vocab_coverage_32k",
     "curation_keep_set",
     # round-10 rotation: streaming_hll_rollup — per-microbatch HLL sketch

@@ -834,3 +834,121 @@ def _share_topk_oracle() -> None:
 
 
 _share_topk_oracle()
+
+
+@query(
+    "streaming_cm_rollup",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING COUNT-MIN MAINTENANCE: each arriving document "
+    "microbatch contributes per-source count-min counter partials "
+    "(functions/cms.py cm_partials — at most sources x depth x width "
+    "rows per batch however many tokens flowed in) appended to a "
+    "persisted sketch table in batch_id-derived overwrite paths — the "
+    "incremental form of cm_sketch_gate, completing the per-class "
+    "symmetry: distinct (HLL), top-k, and point frequencies each have "
+    "a batch rollup AND its scan-once-at-ingest twin. Count-min merge "
+    "IS element-wise addition of exact integer counters (one "
+    "groupBy(d,col).sum over the KB-sized partials), so it is "
+    "associative and batch boundaries PROVABLY cannot change the "
+    "merged table — no capacity regime needed, unlike approx_top_k. "
+    "The rollup then probes the fixed word list and hard-gates both "
+    "directions exactly like the batch twin. Oracle is the batch "
+    "gate's SQL — stream==batch on complete data.",
+)
+def streaming_cm_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions import cms
+    from seisdb_spark.queries.extensions import CMS_PROBE_WORDS
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_cm_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sk_dir = os.path.join(out_dir, "sketches")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def sketch(bdf: DataFrame, batch_id: int) -> None:
+        tok_b = bdf.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+        (
+            cms.cm_partials(tok_b, "w", ["source"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(sk_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sketch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema("source string, d int, col int, n long")
+        .option("recursiveFileLookup", "true")
+        .parquet(sk_dir)
+    )
+    merged = cms.cm_merge(partials).localCheckpoint(eager=True)
+    probes = spark.createDataFrame(
+        [(w,) for w in CMS_PROBE_WORDS], "word string"
+    )
+    est = cms.cm_probe(probes, merged, "word")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    exact = (
+        tok.join(
+            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumnRenamed("w", "word")
+    )
+    gated = (
+        est.join(F.broadcast(exact), "word", "left")
+        .withColumn("exact_n", F.coalesce("exact_n", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(cms.cm_total(merged)))
+    )
+    bound = F.ceil(
+        F.lit(math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
+    ).cast("long")
+    return gated.select(
+        "word",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
+        (F.col("est") <= F.col("exact_n") + bound)
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+# stream==batch equivalence: the streaming counter table's oracle IS the
+# batch gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_cm_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_cm_rollup"] = replace(
+        REGISTRY["streaming_cm_rollup"],
+        oracle=REGISTRY["cm_sketch_gate"].oracle,
+    )
+
+
+_share_cm_oracle()

@@ -589,3 +589,35 @@ def test_topk_stream_split_matches_batch_gate(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert (want.in_sketch == 1).all() and (want.est_within == 1).all()
     assert len(os.listdir(os.path.join(out, "sketches"))) == 3
+
+
+def test_cm_stream_split_matches_batch_gate(spark, tmp_path):
+    """The streamed count-min counter table over the documents split
+    into 3 files (3 genuine microbatches) must produce the SAME gate
+    rows as the batch cm_sketch_gate over the unsplit table — count-min
+    merge is element-wise addition of exact integer counters, so batch
+    boundaries provably cannot change the merged table (no capacity
+    regime needed, unlike approx_top_k).  Each microbatch lands its
+    partials in its own batch-id directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_cm_rollup
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+    out = str(tmp_path / "cm_stream")
+    got = _sorted(
+        streaming_cm_rollup(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["cm_sketch_gate"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want.ge_exact == 1).all() and (want.within_bound == 1).all()
+    assert len(os.listdir(os.path.join(out, "sketches"))) == 3

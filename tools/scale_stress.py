@@ -217,6 +217,16 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "CartesianProduct")
     ),
+    # the sketch build's exchange is the (source,d,col) combiner shuffle
+    # (bounded by groups x depth x width, not by token count); the merged
+    # table rides a broadcast into the probe, the 1-row total arrives via
+    # broadcast nested-loop, and nothing may flip to a sort or cartesian
+    "cm_sketch_gate": lambda p: (
+        has_node(p, "Broadcast")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "SortMergeJoin")
+    ),
     # round-8 vector-store rows: encode/projection are MAP-ONLY literal
     # folds (no keyed shuffle of vectors at any scale; the one-time
     # seed/mean collects happen at plan build, outside the scan)
