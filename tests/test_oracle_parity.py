@@ -108,13 +108,13 @@ def test_driver_window_leads_registry():
     # every window entry except these documented rows-only ones has an
     # oracle (kmeans_refine_assign rotated OUT in round 8 after its r7
     # rows-only smoke row served its purpose; pq_refined_encode and
-    # bpe_train_merges are round-10 rows-only rotations getting their one
-    # clean driver execution, out again next round per the precedent)
+    # bpe_train_merges did the same in round 10 and are OUT this round;
+    # bpe_apply_tokenize is the round-11 rows-only rotation getting its
+    # one clean driver execution, out again next round per the precedent)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
-        "pq_refined_encode",
+        "bpe_apply_tokenize",
         "multimodal_decode_features",
-        "bpe_train_merges",
         "sgt_pipeline_records",
         "dgf_pipeline_records",
     ]
