@@ -2494,6 +2494,39 @@ def budgeted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing_learned",
+    oracle=None,  # trained merges are a data-dependent fixpoint — rows-only
+    doc=f"SEQUENCE PACKING ON LEARNED COUNTS: the same concat-then-chunk "
+    f"assignment as sequence_packing, but budgeted with REAL tokenizer "
+    "counts — train the BPE merges (functions/bpe.py), derive per-doc "
+    "counts via learned_token_counts (segment the DISTINCT vocab once, "
+    "join counts back to the corpus word stream), and feed them to "
+    "packing_assignment as token_counts. This is the production form: "
+    "the regex estimate mis-budgets exactly when compression matters "
+    "(repetitive text packs ~2x denser than the estimate predicts — "
+    "pinned by the planted-divergence pytest). Rows-only: the merge "
+    "sequence is data-dependent; the packing invariants and the "
+    "estimate-vs-learned assignment divergence are pytest-pinned "
+    "(tests/test_learned_packing.py). Same scale shape as the estimate "
+    "path — one hash Exchange on shard, per-shard running-sum window — "
+    "plus the vocab-sized tokenize join.",
+)
+def sequence_packing_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import bpe as bpe_lib
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
+    tc = learned_token_counts(docs, merges)
+    return packing_assignment(docs, token_counts=tc).select(
+        "doc_id", "shard", "n_tokens", "seq_in_shard", "offset_in_seq"
+    )
+
+
+@query(
     "quality_filter_pipeline",
     oracle=f"""
         SELECT doc_id,

@@ -217,6 +217,20 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "CartesianProduct")
     ),
+    # tokenize-apply: the vocab segmentation is expression-only at the
+    # demo merge count (no Python boundary; past the documented bound the
+    # dispatcher switches to the Arrow kernel and MapInPandas would be
+    # expected), the count join back to the corpus word stream stays an
+    # equi-join, and nothing introduces a global sort.  NOTE the timed
+    # collect covers the APPLY pipeline; the 8-iteration training loop
+    # runs at plan-build time (untimed), matching bpe_train_merges being
+    # deliberately un-benched — it is a training job, not a query
+    "bpe_apply_tokenize": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and not has_node(p, "NestedLoopJoin")
+    ),
     # the sketch build's exchange is the (source,d,col) combiner shuffle
     # (bounded by groups x depth x width, not by token count); the merged
     # table rides a broadcast into the probe, the 1-row total arrives via
