@@ -116,7 +116,11 @@ driver-executed, now routed through the merge-count dispatcher).
 A fourth swap: ``streaming_cm_rollup`` (the count-min ingest twin — the
 13th oracle-bearing streaming entry, completing the batch+streaming
 symmetry for all three mergeable sketch classes) rotates in late in the
-round.  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+round, and a fifth: ``kmv_jaccard_gate`` (bottom-k set-operation
+sketch — pairwise source Jaccard/intersection, the estimate HLL's
+union-only merge cannot express) in for ``pq_adc_topk`` (green
+r8+r9+r10; the PQ family keeps ``ivfpq_adc_topk``, ``pq_recall_eval``
+and ``mrl_pq_adc_topk`` in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -224,7 +228,15 @@ DRIVER_WINDOW: list[str] = [
     # mrl_pq_adc_topk in-window, and the encode CTE stack stays
     # composed verbatim inside their oracles)
     "cm_sketch_gate",
-    "pq_adc_topk",
+    # round-11 rotation: kmv_jaccard_gate — the KMV bottom-k set-
+    # operation sketch (functions/kmv.py: pairwise source Jaccard /
+    # intersection / union-distinct, the estimate HLL's union-only
+    # merge cannot express; fifth sketch class) — in for pq_adc_topk
+    # (green r8+r9+r10, rotation-eligible; the PQ family keeps
+    # ivfpq_adc_topk, pq_recall_eval and mrl_pq_adc_topk in-window,
+    # and the flat-ADC CTE stack stays composed verbatim inside
+    # pq_recall_eval's oracle)
+    "kmv_jaccard_gate",
     "ivfpq_adc_topk",
     "streaming_novelty_probe",
     # round-11 rotation: streaming_cm_rollup — per-microbatch count-min

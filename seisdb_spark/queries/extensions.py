@@ -1533,6 +1533,148 @@ def cm_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- KMV set-operation sketch gate -----------------------------------------
+# The fifth sketch class, and the one HLL cannot cover: set
+# INTERSECTIONS.  "How many distinct tokens do two sources SHARE"
+# (cross-source vocabulary drift, decontamination overlap audits) has
+# no HLL answer — HLL merges by union only.  functions/kmv.py keeps a
+# per-group bottom-k hash signature: union = merge-sort bottom-k,
+# intersection/Jaccard = Broder match fraction, all expression-only.
+KMV_GATE_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_KMV_SRC_LIST = ", ".join(f"'{s}'" for s in KMV_GATE_SOURCES)
+
+
+@query(
+    "kmv_jaccard_gate",
+    oracle=f"""
+        WITH sw AS (
+            SELECT DISTINCT source, w
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+                WHERE source IN ({_KMV_SRC_LIST})
+            )
+            WHERE w <> ''
+        ),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM sw GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, i.n_inter,
+               CAST(ca.n + cb.n - i.n_inter AS BIGINT) AS n_union,
+               1 AS jaccard_within, 1 AS union_within
+        FROM inter i
+        JOIN cnt ca ON ca.source = i.src_a
+        JOIN cnt cb ON cb.source = i.src_b
+    """,
+    doc="KMV SET-OPERATION sketch gate (the approx_quantile_gate "
+    "pattern, fifth sketch class): per-source bottom-k hash signatures "
+    "(functions/kmv.py, k=1024 — one distinct-key exchange + a "
+    "group-local vocab sort, k-bounded state) support the estimate HLL "
+    "cannot express at all: pairwise INTERSECTION/Jaccard between "
+    "sources. All 5x4/2 source pairs get a Broder match-fraction "
+    "Jaccard estimate and a merged-union distinct estimate, hard-gated "
+    "within +-0.1 absolute / +-10% of the exact values (one shared "
+    "vocab scan, localCheckpointed). Below k distinct keys a signature "
+    "IS the full hashed set and every estimate is EXACT — the driver-"
+    "scale regime, making the gate deterministic — while the x1000 "
+    "tier exercises the real estimating regime (31k-word vocab >> k). "
+    "Spark emits exact intersection/union counts plus 0/1 flags, the "
+    "oracle the exact counts plus literal 1. At 100 TB the signatures "
+    "are the persisted KB-sized stat: every cross-source overlap "
+    "question after ingest merges bottom-k arrays instead of "
+    "re-joining vocabularies.",
+    bench=True,
+)
+def kmv_jaccard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import kmv
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # ONE corpus scan: the per-source distinct vocab, materialized once
+    # (bounded by 5 sources x vocab) — the exact referee and the KMV
+    # build both read it
+    sw = (
+        docs.filter(F.col("source").isin(*KMV_GATE_SOURCES))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnt = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = sw.alias("a"), sw.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            cnt.select(
+                F.col("source").alias("src_a"), F.col("n").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("src_b"), F.col("n").alias("n_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    sk = kmv.kmv_sketch(sw, "w", ["source"])
+    x, y = sk.alias("x"), sk.alias("y")
+    est = (
+        x.crossJoin(F.broadcast(y))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+            kmv.kmv_jaccard_est_expr(F.col("x.ks"), F.col("y.ks")).alias(
+                "est_j"
+            ),
+            kmv.kmv_distinct_est_expr(
+                kmv.kmv_merge_expr(F.col("x.ks"), F.col("y.ks"))
+            ).alias("est_u"),
+        )
+    )
+    gated = exact.join(F.broadcast(est), ["src_a", "src_b"])
+    exact_j = F.col("n_inter").cast("double") / F.col("n_union")
+    return gated.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        "n_union",
+        (F.abs(F.col("est_j") - exact_j) <= 0.1)
+        .cast("int")
+        .alias("jaccard_within"),
+        (
+            F.abs(F.col("est_u") - F.col("n_union"))
+            <= F.col("n_union") * 0.1
+        )
+        .cast("int")
+        .alias("union_within"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -231,6 +231,15 @@ STRESS_QUERIES = {
         and not has_node(p, "BatchEvalPython")
         and not has_node(p, "NestedLoopJoin")
     ),
+    # KMV signatures: the per-source bottom-k window must stay GROUP-
+    # partitioned (hash exchange on source, never a global range sort);
+    # the 5-row signature pair join rides a broadcast; the only real-
+    # extent joins are vocab-sized equi-joins
+    "kmv_jaccard_gate": lambda p: (
+        has_node(p, "Broadcast")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+    ),
     # the sketch build's exchange is the (source,d,col) combiner shuffle
     # (bounded by groups x depth x width, not by token count); the merged
     # table rides a broadcast into the probe, the 1-row total arrives via
