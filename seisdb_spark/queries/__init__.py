@@ -116,11 +116,17 @@ driver-executed, now routed through the merge-count dispatcher).
 A fourth swap: ``streaming_cm_rollup`` (the count-min ingest twin — the
 13th oracle-bearing streaming entry, completing the batch+streaming
 symmetry for all three mergeable sketch classes) rotates in late in the
-round, and a fifth: ``kmv_jaccard_gate`` (bottom-k set-operation
+round, a fifth: ``kmv_jaccard_gate`` (bottom-k set-operation
 sketch — pairwise source Jaccard/intersection, the estimate HLL's
 union-only merge cannot express) in for ``pq_adc_topk`` (green
 r8+r9+r10; the PQ family keeps ``ivfpq_adc_topk``, ``pq_recall_eval``
-and ``mrl_pq_adc_topk`` in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+and ``mrl_pq_adc_topk`` in-window), and a sixth:
+``streaming_kmv_rollup`` (the KMV ingest twin — 14th oracle-bearing
+streaming entry; with it, ALL FOUR mergeable sketch classes have
+batch rollup + scan-once-at-ingest forms) in for
+``embedding_int4_block_quantize`` (green r8+r9+r10; the quantize
+family keeps ``streaming_int4_quantize``, which runs the same
+extracted transform and carries the batch twin's oracle).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -330,14 +336,16 @@ DRIVER_WINDOW: list[str] = [
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
     # --- Structured Streaming (round-6 note: streaming_quality_gate took
     # --- doc_chunking's slot — thrice-green r3+r4+r5) -----------------------
-    # round-8 late rotation: embedding_int4_block_quantize (per-vector
-    # block-grid int4 codec — the zero-shuffle storage point next to the
-    # corpus-grid int8 row) in for streaming_tumbling_counts (green
-    # r2-r7, SIX hard rows — the most over-proven window entry; its
-    # oracle is the batch twin tumbling_window_counts', which stays
-    # pytest-checked, and the streaming family keeps five in-window
-    # members incl. both stateful dedup paths)
-    "embedding_int4_block_quantize",
+    # round-11 rotation: streaming_kmv_rollup — per-microbatch bottom-k
+    # signatures persisted and bottom-k-merged (the 14th oracle-bearing
+    # streaming entry; bottom-k merge is exact and associative, so
+    # boundary-invariance is structural) — in for
+    # embedding_int4_block_quantize (green r8+r9+r10, rotation-
+    # eligible; the embedding-quantize family keeps
+    # streaming_int4_quantize in-window, which runs the SAME extracted
+    # transform over each microbatch and carries the batch twin's
+    # oracle)
+    "streaming_kmv_rollup",
     # round-8 late rotation: mrl_truncation_eval (Matryoshka prefix-dim
     # retrieval quality vs the exact full-dim list — the adaptive-
     # retrieval counterpart of retrieval_eval_recall) in for

@@ -1544,6 +1544,97 @@ KMV_GATE_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 _KMV_SRC_LIST = ", ".join(f"'{s}'" for s in KMV_GATE_SOURCES)
 
 
+def kmv_source_vocab(docs: DataFrame) -> DataFrame:
+    """The gate's shared input: per-source distinct (source, w) over the
+    gate sources, materialized once (bounded by len(sources) x vocab).
+    The exact referee and the KMV signature build both read it."""
+    return (
+        docs.filter(F.col("source").isin(*KMV_GATE_SOURCES))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def kmv_pair_gate(sw: DataFrame, sk: DataFrame) -> DataFrame:
+    """Gate per-source KMV signatures ``sk`` (source, ks) against the
+    exact pairwise intersection/union derived from the distinct vocab
+    ``sw`` (source, w) — shared verbatim by the batch query and its
+    streaming persisted-signature twin (whose equality rests on bottom-k
+    merge being exact and associative)."""
+    from seisdb_spark.functions import kmv
+
+    cnt = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = sw.alias("a"), sw.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            cnt.select(
+                F.col("source").alias("src_a"), F.col("n").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("src_b"), F.col("n").alias("n_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    x, y = sk.alias("x"), sk.alias("y")
+    est = (
+        x.crossJoin(F.broadcast(y))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+            kmv.kmv_jaccard_est_expr(F.col("x.ks"), F.col("y.ks")).alias(
+                "est_j"
+            ),
+            kmv.kmv_distinct_est_expr(
+                kmv.kmv_merge_expr(F.col("x.ks"), F.col("y.ks"))
+            ).alias("est_u"),
+        )
+    )
+    gated = exact.join(F.broadcast(est), ["src_a", "src_b"])
+    exact_j = F.col("n_inter").cast("double") / F.col("n_union")
+    return gated.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        "n_union",
+        (F.abs(F.col("est_j") - exact_j) <= 0.1)
+        .cast("int")
+        .alias("jaccard_within"),
+        (
+            F.abs(F.col("est_u") - F.col("n_union"))
+            <= F.col("n_union") * 0.1
+        )
+        .cast("int")
+        .alias("union_within"),
+    )
+
+
 @query(
     "kmv_jaccard_gate",
     oracle=f"""
@@ -1594,85 +1685,9 @@ def kmv_jaccard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seisdb_spark.functions import kmv
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # ONE corpus scan: the per-source distinct vocab, materialized once
-    # (bounded by 5 sources x vocab) — the exact referee and the KMV
-    # build both read it
-    sw = (
-        docs.filter(F.col("source").isin(*KMV_GATE_SOURCES))
-        .select("source", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    cnt = sw.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    a, b = sw.alias("a"), sw.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    exact = (
-        inter.join(
-            cnt.select(
-                F.col("source").alias("src_a"), F.col("n").alias("n_a")
-            ),
-            "src_a",
-        )
-        .join(
-            cnt.select(
-                F.col("source").alias("src_b"), F.col("n").alias("n_b")
-            ),
-            "src_b",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            "n_inter",
-            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
-        )
-    )
+    sw = kmv_source_vocab(docs)
     sk = kmv.kmv_sketch(sw, "w", ["source"])
-    x, y = sk.alias("x"), sk.alias("y")
-    est = (
-        x.crossJoin(F.broadcast(y))
-        .filter(F.col("x.source") < F.col("y.source"))
-        .select(
-            F.col("x.source").alias("src_a"),
-            F.col("y.source").alias("src_b"),
-            kmv.kmv_jaccard_est_expr(F.col("x.ks"), F.col("y.ks")).alias(
-                "est_j"
-            ),
-            kmv.kmv_distinct_est_expr(
-                kmv.kmv_merge_expr(F.col("x.ks"), F.col("y.ks"))
-            ).alias("est_u"),
-        )
-    )
-    gated = exact.join(F.broadcast(est), ["src_a", "src_b"])
-    exact_j = F.col("n_inter").cast("double") / F.col("n_union")
-    return gated.select(
-        "src_a",
-        "src_b",
-        "n_inter",
-        "n_union",
-        (F.abs(F.col("est_j") - exact_j) <= 0.1)
-        .cast("int")
-        .alias("jaccard_within"),
-        (
-            F.abs(F.col("est_u") - F.col("n_union"))
-            <= F.col("n_union") * 0.1
-        )
-        .cast("int")
-        .alias("union_within"),
-    )
+    return kmv_pair_gate(sw, sk)
 
 
 # ---------------------------------------------------------------------------

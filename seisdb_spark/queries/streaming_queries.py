@@ -952,3 +952,104 @@ def _share_cm_oracle() -> None:
 
 
 _share_cm_oracle()
+
+
+@query(
+    "streaming_kmv_rollup",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING KMV MAINTENANCE: each arriving document microbatch "
+    "contributes per-source bottom-k hash signatures (functions/kmv.py "
+    "kmv_sketch over the batch's distinct words — k-bounded rows per "
+    "source per batch) appended to a persisted signature table in "
+    "batch_id-derived overwrite paths — the incremental form of "
+    "kmv_jaccard_gate, completing the per-class symmetry for ALL FOUR "
+    "mergeable sketch classes (distinct/HLL, top-k, point frequency, "
+    "set operations): raw text scanned once AT INGEST, every later "
+    "cross-source overlap question merges KB-sized bottom-k arrays. "
+    "Bottom-k merge (flatten -> distinct -> sort -> slice k) is exact "
+    "and associative — the bottom-k of a union IS the bottom-k of the "
+    "merged bottom-ks — so batch boundaries provably cannot change the "
+    "merged signature (the pytest pins stream==batch frame-equal on a "
+    "3-microbatch split). The rollup gates pairwise Jaccard/union "
+    "exactly like the batch twin. Oracle is the batch gate's SQL.",
+)
+def streaming_kmv_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions import kmv
+    from seisdb_spark.queries.extensions import (
+        KMV_GATE_SOURCES,
+        kmv_pair_gate,
+        kmv_source_vocab,
+    )
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_kmv_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sk_dir = os.path.join(out_dir, "signatures")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def sign(bdf: DataFrame, batch_id: int) -> None:
+        sw_b = (
+            bdf.filter(F.col("source").isin(*KMV_GATE_SOURCES))
+            .select("source", F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        (
+            kmv.kmv_sketch(sw_b, "w", ["source"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(sk_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sign)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema("source string, ks array<bigint>")
+        .option("recursiveFileLookup", "true")
+        .parquet(sk_dir)
+    )
+    # bottom-k union across batches per source: flatten the collected
+    # per-batch arrays, dedup, sort, keep k — exact and associative
+    sk = partials.groupBy("source").agg(
+        F.expr(
+            "slice(array_sort(array_distinct(flatten(collect_list(ks)))), "
+            f"1, {kmv.KMV_K})"
+        ).alias("ks")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_pair_gate(kmv_source_vocab(docs), sk)
+
+
+# stream==batch equivalence: the streaming signature table's oracle IS
+# the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_kmv_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_kmv_rollup"] = replace(
+        REGISTRY["streaming_kmv_rollup"],
+        oracle=REGISTRY["kmv_jaccard_gate"].oracle,
+    )
+
+
+_share_kmv_oracle()

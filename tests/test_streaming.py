@@ -621,3 +621,35 @@ def test_cm_stream_split_matches_batch_gate(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert (want.ge_exact == 1).all() and (want.within_bound == 1).all()
     assert len(os.listdir(os.path.join(out, "sketches"))) == 3
+
+
+def test_kmv_stream_split_matches_batch_gate(spark, tmp_path):
+    """The streamed bottom-k signature table over the documents split
+    into 3 files (3 genuine microbatches) must produce the SAME gate
+    rows as the batch kmv_jaccard_gate over the unsplit table — the
+    bottom-k of a union IS the bottom-k of the merged bottom-ks (exact,
+    associative), so batch boundaries provably cannot change the merged
+    signature.  Each microbatch lands its k-bounded per-source rows in
+    its own batch-id directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_kmv_rollup
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+    out = str(tmp_path / "kmv_stream")
+    got = _sorted(
+        streaming_kmv_rollup(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["kmv_jaccard_gate"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want.jaccard_within == 1).all() and (want.union_within == 1).all()
+    assert len(os.listdir(os.path.join(out, "signatures"))) == 3
