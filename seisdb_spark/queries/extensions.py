@@ -5148,3 +5148,155 @@ def _set_int4_oracle() -> None:
 
 
 _set_int4_oracle()
+
+
+# --- Trained bigram-LM perplexity gate --------------------------------------
+# CCNet-style model-based quality filtering (Wenzek et al. 2020, public):
+# train a small LM on a trusted reference slice, score every candidate
+# document by perplexity, keep the low-perplexity (in-domain-like) ones.
+# The model here is an add-1-smoothed BIGRAM LM learned IN-ENGINE from
+# the reference sources (unlike quality_classifier_score, whose weights
+# are a hash-derived stand-in, this model is genuinely TRAINED from
+# data): P(w2|w1) = (c12 + 1) / (c1 + V).  Per-bigram NLL is computed
+# with NO libm call — octave-reduced integer log2 plus the [1/1] Pade
+# fractional part, quantized to BIGINT nanonats (functions/ngram_lm.py
+# docstring has the proof and the <= 1.2 % error measurement) — so every
+# per-doc sum is exact integer arithmetic, order-free, engine-identical.
+#
+# Scale shape: training = ONE scan of the reference slice into the
+# bigram count table; context counts (c1 = sum_w2 c12) and the vocab
+# size are aggregations over that already-vocab-bounded table (the
+# persisted LM is these tables, the sketch-table pattern); scoring =
+# one corpus scan
+# with two joins against the count tables (AQE decides broadcast — no
+# hints) and ONE groupBy(doc_id) with map-side partial sums.  At sf0.01
+# the reference slice (src0-src3) averages mean-NLL ~3.32e9 nanonats vs
+# ~3.47e9 for out-of-domain sources — the LM discriminates, and the
+# keep threshold sits between the two modes.
+LM_REF_SOURCES = ("src0", "src1", "src2", "src3")
+LM_KEEP_NLL_NANO = 3_400_000_000
+
+_LM_REF_LIST = ", ".join(f"'{s}'" for s in LM_REF_SOURCES)
+
+
+@query(
+    "ngram_lm_perplexity",
+    oracle=f"""
+        WITH arrs AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
+            FROM arrs, unnest(generate_series(1, len(l) - 1)) AS u(i)
+        ),
+        refb AS (
+            SELECT w1, w2 FROM big WHERE source IN ({_LM_REF_LIST})
+        ),
+        bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM refb GROUP BY w1, w2
+        ),
+        cc AS (
+            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+            FROM bc GROUP BY w1
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT w) AS BIGINT) + 1 AS v
+            FROM (SELECT w1 AS w FROM bc
+                  UNION ALL SELECT w2 FROM bc)
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   COALESCE(cc.c1, 0) + v.v AS a,
+                   COALESCE(bc.c12, 0) + 1 AS bb
+            FROM big b
+            LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+            LEFT JOIN cc ON cc.w1 = b.w1
+            CROSS JOIN vocab v
+        ),
+        terms AS (
+            SELECT doc_id, {{NLL}} AS nll FROM scored
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(nll) AS BIGINT) AS sum_nll
+            FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               sum_nll // n_bigrams AS mean_nll_nano,
+               CAST(CASE WHEN sum_nll // n_bigrams < {LM_KEEP_NLL_NANO}
+                    THEN 1 ELSE 0 END AS INT) AS ppl_keep
+        FROM agg
+    """,
+    doc=f"TRAINED bigram-LM perplexity gate (CCNet-style model-based "
+    f"quality filtering): an add-1-smoothed bigram LM learned from the "
+    f"reference sources {LM_REF_SOURCES} scores every document's mean "
+    "bigram NLL in exact BIGINT nanonats (octave-reduced integer log2 "
+    "+ IEEE-deterministic Pade fraction — no libm anywhere, so the "
+    "values are bit-identical across engines); keep = mean NLL below "
+    f"{LM_KEEP_NLL_NANO} nanonats (between the in-domain and out-of-"
+    "domain modes at sf0.01).  Training is ONE reference scan into the "
+    "bigram count table (context counts and vocab size derive from it, "
+    "never a second corpus pass); scoring is one "
+    "corpus scan, two AQE-decided joins against the LM tables, one "
+    "partial-agged groupBy(doc_id).  At 100 TB the LM tables are the "
+    "persisted KB-MB stat — train once, score every shard forever.",
+    bench=True,
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import ngram_lm as lm
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    big = lm.bigram_pairs(docs, "doc_id", "source")
+    ref = big.filter(F.col("source").isin(*LM_REF_SOURCES)).select("w1", "w2")
+    bc, cc, vocab = lm.train_bigram_lm(ref)
+    scored = (
+        big.select("doc_id", "w1", "w2")
+        .join(bc, ["w1", "w2"], "left")
+        .join(cc, ["w1"], "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("bb"),
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    terms = scored.select(
+        "doc_id", lm.nll_nano_expr("a", "bb").alias("nll")
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll").cast("long").alias("sum_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("sum_nll div n_bigrams").alias("mean_nll_nano"),
+        F.when(
+            F.expr("sum_nll div n_bigrams") < F.lit(LM_KEEP_NLL_NANO), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("ppl_keep"),
+    )
+
+
+def _set_lm_oracle() -> None:
+    from dataclasses import replace
+
+    from seisdb_spark.functions.ngram_lm import nll_nano_sql
+
+    spec = REGISTRY["ngram_lm_perplexity"]
+    sql = spec.oracle.replace(
+        "{NLL}", nll_nano_sql("a", "bb", dialect="duck")
+    )
+    REGISTRY["ngram_lm_perplexity"] = replace(spec, oracle=sql)
+
+
+_set_lm_oracle()
