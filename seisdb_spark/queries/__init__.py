@@ -126,7 +126,18 @@ streaming entry; with it, ALL FOUR mergeable sketch classes have
 batch rollup + scan-once-at-ingest forms) in for
 ``embedding_int4_block_quantize`` (green r8+r9+r10; the quantize
 family keeps ``streaming_int4_quantize``, which runs the same
-extracted transform and carries the batch twin's oracle).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+extracted transform and carries the batch twin's oracle), and a
+seventh: ``ngram_lm_perplexity`` (the TRAINED bigram-LM perplexity
+gate — CCNet-style model-based quality filtering with exact-BIGINT
+nanonat NLLs, no libm anywhere) in for ``mrl_truncation_eval`` (green
+r8+r9+r10; the MRL family keeps ``mrl_pq_adc_topk``, whose oracle
+composes the same prefix-truncation machinery), and an eighth:
+``streaming_lm_score`` (the LM's score-on-ingest twin — 15th
+oracle-bearing streaming entry: train once from the static reference
+slice, stream-static join per microbatch, stream==batch exact because
+bigrams never span documents) in for ``streaming_novelty_probe``
+(green r8+r9+r10; novelty stays oracle-composed and pytest-checked,
+and the streaming family keeps seven in-window members).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -244,7 +255,15 @@ DRIVER_WINDOW: list[str] = [
     # pq_recall_eval's oracle)
     "kmv_jaccard_gate",
     "ivfpq_adc_topk",
-    "streaming_novelty_probe",
+    # round-11 rotation (eighth swap): streaming_lm_score — the trained
+    # bigram LM's score-on-ingest twin (15th oracle-bearing streaming
+    # entry; train once from the static reference, stream-static join
+    # per microbatch, shares the batch gate's oracle) in for
+    # streaming_novelty_probe (green r8+r9+r10; the novelty machinery
+    # stays oracle-composed in its own registry entry and pytest-checked
+    # every round, and the streaming family keeps seven oracle-bearing
+    # members in-window)
+    "streaming_lm_score",
     # round-11 rotation: streaming_cm_rollup — per-microbatch count-min
     # counter partials persisted and addition-merged (the 13th oracle-
     # bearing streaming entry; trivially boundary-invariant, unlike
@@ -346,14 +365,13 @@ DRIVER_WINDOW: list[str] = [
     # transform over each microbatch and carries the batch twin's
     # oracle)
     "streaming_kmv_rollup",
-    # round-8 late rotation: mrl_truncation_eval (Matryoshka prefix-dim
-    # retrieval quality vs the exact full-dim list — the adaptive-
-    # retrieval counterpart of retrieval_eval_recall) in for
-    # streaming_sessionize (green r3, the r4 events incident, then green
-    # r5+r6+r7 — thrice-green since the fix; sessionize semantics stay
-    # in-window via the batch twin sessionize_events, and the streaming
-    # family keeps four oracle-bearing members)
-    "mrl_truncation_eval",
+    # round-11 rotation (seventh swap): ngram_lm_perplexity — the TRAINED
+    # bigram-LM perplexity gate (CCNet-style model-based quality
+    # filtering; exact-BIGINT nanonat NLL via octave-reduced integer
+    # log2 + Pade fraction, no libm) in for mrl_truncation_eval (green
+    # r8+r9+r10; the MRL family keeps mrl_pq_adc_topk in-window, whose
+    # oracle composes the same prefix-truncation machinery)
+    "ngram_lm_perplexity",
     # round-7 late rotation: bpe_merge_candidates (tokenizer-training
     # pair counts over the vocab table) in for streaming_dedup_events
     # (green r4+r5+r6; stateful streaming dedup stays in-window via

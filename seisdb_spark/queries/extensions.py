@@ -5179,6 +5179,65 @@ LM_KEEP_NLL_NANO = 3_400_000_000
 _LM_REF_LIST = ", ".join(f"'{s}'" for s in LM_REF_SOURCES)
 
 
+def lm_score_df(
+    docs: DataFrame, bc: DataFrame, cc: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Score a documents frame against a trained bigram LM — the
+    transform SHARED by the batch gate and the streaming score-on-ingest
+    twin (the int4_block_quantize_df precedent: one extracted function,
+    so stream==batch is equality of code, not of intent).  Per-document
+    scores depend only on that document's own text plus the static LM
+    tables, so microbatch boundaries cannot change a single value."""
+    from seisdb_spark.functions import ngram_lm as lm
+
+    big = lm.bigram_pairs(docs, "doc_id")
+    scored = (
+        big.join(bc, ["w1", "w2"], "left")
+        .join(cc, ["w1"], "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("bb"),
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    terms = scored.select(
+        "doc_id", lm.nll_nano_expr("a", "bb").alias("nll")
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll").cast("long").alias("sum_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("sum_nll div n_bigrams").alias("mean_nll_nano"),
+        F.when(
+            F.expr("sum_nll div n_bigrams") < F.lit(LM_KEEP_NLL_NANO), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("ppl_keep"),
+    )
+
+
+def train_lm_from_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the reference bigram LM from the corpus's trusted slice —
+    the shared train step (one reference scan; the count tables come
+    back localCheckpointed, i.e. materialized: the persisted model)."""
+    from seisdb_spark.functions import ngram_lm as lm
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ref = lm.bigram_pairs(docs.filter(F.col("source").isin(*LM_REF_SOURCES)))
+    return lm.train_bigram_lm(ref)
+
+
 @query(
     "ngram_lm_perplexity",
     oracle=f"""
@@ -5246,45 +5305,9 @@ _LM_REF_LIST = ", ".join(f"'{s}'" for s in LM_REF_SOURCES)
     bench=True,
 )
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import ngram_lm as lm
-
+    bc, cc, vocab = train_lm_from_corpus(spark, sf_dir)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    big = lm.bigram_pairs(docs, "doc_id", "source")
-    ref = big.filter(F.col("source").isin(*LM_REF_SOURCES)).select("w1", "w2")
-    bc, cc, vocab = lm.train_bigram_lm(ref)
-    scored = (
-        big.select("doc_id", "w1", "w2")
-        .join(bc, ["w1", "w2"], "left")
-        .join(cc, ["w1"], "left")
-        .crossJoin(vocab)
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
-            .cast("long")
-            .alias("bb"),
-            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
-            .cast("long")
-            .alias("a"),
-        )
-    )
-    terms = scored.select(
-        "doc_id", lm.nll_nano_expr("a", "bb").alias("nll")
-    )
-    agg = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("nll").cast("long").alias("sum_nll"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        F.expr("sum_nll div n_bigrams").alias("mean_nll_nano"),
-        F.when(
-            F.expr("sum_nll div n_bigrams") < F.lit(LM_KEEP_NLL_NANO), 1
-        )
-        .otherwise(0)
-        .cast("int")
-        .alias("ppl_keep"),
-    )
+    return lm_score_df(docs, bc, cc, vocab)
 
 
 def _set_lm_oracle() -> None:

@@ -1053,3 +1053,89 @@ def _share_kmv_oracle() -> None:
 
 
 _share_kmv_oracle()
+
+
+@query(
+    "streaming_lm_score",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING LM SCORE-ON-INGEST: the trained bigram LM's other "
+    "half of the train-once/score-forever story made executable — the "
+    "model is trained ONCE from the static reference slice (the "
+    "localCheckpointed count tables ARE the persisted model), then "
+    "every arriving document microbatch is scored by the SAME extracted "
+    "transform as the batch gate (extensions.py::lm_score_df joined "
+    "against the SAME in-memory tables — a stream-static join, the "
+    "production CCNet shape where quality filtering runs at ingest "
+    "cost, not as a corpus job). foreachBatch writes per-doc scores to "
+    "batch_id-derived OVERWRITE paths (idempotent under checkpoint-"
+    "recovery replays). Every score depends only on that document's own "
+    "text plus the static LM tables — bigrams never span documents and "
+    "documents never span microbatches — so stream==batch is exact, and "
+    "the oracle is the batch twin's SQL. 15th oracle-bearing streaming "
+    "entry.",
+)
+def streaming_lm_score(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from seisdb_spark.queries.extensions import (
+        lm_score_df,
+        train_lm_from_corpus,
+    )
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_lm_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    scores_dir = os.path.join(out_dir, "scores")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    # Train once, BEFORE the stream starts: the count tables come back
+    # localCheckpointed (materialized), so each microbatch joins against
+    # computed state — no per-batch re-train, no reference re-scan.
+    bc, cc, vocab = train_lm_from_corpus(spark, sf_dir)
+
+    def score(bdf: DataFrame, batch_id: int) -> None:
+        (
+            lm_score_df(bdf, bc, cc, vocab)
+            .write.mode("overwrite")
+            .parquet(os.path.join(scores_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "doc_id long, n_bigrams long, mean_nll_nano long, ppl_keep int"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(scores_dir)
+    )
+
+
+# stream==batch equivalence: the streaming scorer's oracle IS the batch
+# gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_lm_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_lm_score"] = replace(
+        REGISTRY["streaming_lm_score"],
+        oracle=REGISTRY["ngram_lm_perplexity"].oracle,
+    )
+
+
+_share_lm_oracle()

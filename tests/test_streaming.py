@@ -653,3 +653,35 @@ def test_kmv_stream_split_matches_batch_gate(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert (want.jaccard_within == 1).all() and (want.union_within == 1).all()
     assert len(os.listdir(os.path.join(out, "signatures"))) == 3
+
+
+def test_lm_score_stream_equals_batch_across_microbatches(spark, tmp_path):
+    """The streaming LM scorer over the documents split into 3 files
+    (3 genuine microbatches) must equal the batch gate row-for-row:
+    the LM is trained once from the (complete) static tree, and each
+    doc's score is a function of its own text plus the static tables —
+    bigrams never span documents, documents never span microbatches.
+    The nanonat encoding is exact integers, so the comparison has no
+    tolerance."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_lm_score
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+
+    out = str(tmp_path / "lm_stream")
+    got = _sorted(
+        streaming_lm_score(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["ngram_lm_perplexity"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "scores"))) == 3

@@ -118,6 +118,19 @@ STRESS_QUERIES = {
         not has_node(p, "CartesianProduct")
         and not has_node(p, "rangepartitioning")
     ),
+    # LM scoring: the 1-row vocab size arrives via broadcast nested-loop
+    # (single-row side, fine); the two LM count-table joins are equi-
+    # joins (AQE picks broadcast vs shuffle by vocabulary size, the
+    # token_rarity_score contract); the per-doc rollup is a hash
+    # exchange — never a cartesian, never a global sort.  The trained
+    # model is localCheckpointed at plan build, so the harness ratio
+    # times the SCORING scan (the term that scales); the train cost is
+    # vocab-bounded either way.
+    "ngram_lm_perplexity": lambda p: (
+        has_node(p, "BroadcastNestedLoopJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+    ),
     # corpus collapses to source-sized rows before the 1-row total rejoins
     "source_mix_weights": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
