@@ -137,7 +137,14 @@ oracle-bearing streaming entry: train once from the static reference
 slice, stream-static join per microbatch, stream==batch exact because
 bigrams never span documents) in for ``streaming_novelty_probe``
 (green r8+r9+r10; novelty stays oracle-composed and pytest-checked,
-and the streaming family keeps seven in-window members).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+and the streaming family keeps seven in-window members); a ninth and
+tenth: ``hist_quantile_rollup`` + ``streaming_quantile_rollup`` (the
+mergeable fixed-grid histogram quantile sketch and its ingest twin —
+the 16th oracle-bearing streaming entry; with it EVERY mergeable
+sketch class has a scan-once-at-ingest form) in for ``ivfpq_adc_topk``
+and ``ann_ivf_topk`` (both green r8+r9+r10; the PQ/IVF machinery
+stays composed verbatim inside ``pq_recall_eval``'s oracle and the
+ANN family keeps ``ann_signbucket_topk`` in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -204,7 +211,14 @@ DRIVER_WINDOW: list[str] = [
     # recall-improvement pytest and the refined-codebook goldens).
     "bpe_apply_tokenize",
     "ann_signbucket_topk",
-    "ann_ivf_topk",
+    # round-11 rotation (tenth swap): streaming_quantile_rollup — the
+    # histogram sketch's ingest twin (16th oracle-bearing streaming
+    # entry; per-microbatch bin-count partials, addition-merged —
+    # split-invariant by integer arithmetic; shares the batch rollup's
+    # oracle) in for ann_ivf_topk (green r8+r9+r10; the ANN family
+    # keeps ann_signbucket_topk in-window and the IVF machinery stays
+    # composed verbatim inside pq_recall_eval's oracle)
+    "streaming_quantile_rollup",
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means
     # --- smoke, in place of knn_cosine_labeled / dedup_jaccard_pairs /
     # --- training_shard_manifest (each green r4+r5+r6, families covered) --
@@ -254,7 +268,14 @@ DRIVER_WINDOW: list[str] = [
     # and the flat-ADC CTE stack stays composed verbatim inside
     # pq_recall_eval's oracle)
     "kmv_jaccard_gate",
-    "ivfpq_adc_topk",
+    # round-11 rotation (ninth swap): hist_quantile_rollup — the
+    # mergeable fixed-grid histogram quantile sketch (the relational
+    # quantile form percentile_approx cannot express: persistable,
+    # addition-merged partials; hard-gated on the exact quantile lying
+    # inside the estimated bin) in for ivfpq_adc_topk (green
+    # r8+r9+r10; the PQ family keeps pq_recall_eval and mrl_pq_adc_topk
+    # in-window, whose oracles compose the IVF-PQ CTE stack verbatim)
+    "hist_quantile_rollup",
     # round-11 rotation (eighth swap): streaming_lm_score — the trained
     # bigram LM's score-on-ingest twin (15th oracle-bearing streaming
     # entry; train once from the static reference, stream-static join

@@ -5323,3 +5323,127 @@ def _set_lm_oracle() -> None:
 
 
 _set_lm_oracle()
+
+
+# --- Mergeable histogram quantile sketch ------------------------------------
+# The quantile class's RELATIONAL mergeable form (functions/histq.py):
+# approx_quantile_gate's percentile_approx is a Greenwald-Khanna sketch
+# locked inside an opaque aggregation buffer — no SQL-level merge, so no
+# way to persist per-source/per-batch quantile state and roll it up
+# later.  Fixed-grid histograms ARE that form: per-source bin counts
+# (<= 64 rows each) merge by plain addition, and the quantile estimate
+# carries the histogram guarantee — the exact q-quantile lies inside
+# the estimated bin — as exact integer arithmetic both engines agree
+# on, which keeps the gate oracle-bearing (the approx_quantile_gate
+# pattern).  The exact referee is a value-frequency table (bounded by
+# the metric's distinct-value count), never a global sort of rows.
+from seisdb_spark.functions.histq import (  # noqa: E402
+    HQ_BIN_W,
+    HQ_NBINS,
+    HQ_PROBE_PM,
+)
+
+_HQ_PM_LIST = ", ".join(str(p) for p in HQ_PROBE_PM)
+
+
+@query(
+    "hist_quantile_rollup",
+    oracle=f"""
+        WITH p AS (
+            SELECT least(n_chars // {HQ_BIN_W}, {HQ_NBINS - 1}) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, n,
+                   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum
+            FROM p
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM p),
+        probes AS (
+            SELECT q_pm, (q_pm * n_total + 999) // 1000 AS r
+            FROM (SELECT unnest([{_HQ_PM_LIST}]) AS q_pm)
+            CROSS JOIN tot
+        ),
+        est AS (
+            SELECT q_pm, r, min(bin) AS est_bin
+            FROM probes JOIN cum ON cum.cum >= probes.r
+            GROUP BY q_pm, r
+        ),
+        vf AS (
+            SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY n_chars
+        ),
+        vcum AS (
+            SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+            FROM vf
+        ),
+        ex AS (
+            SELECT q_pm, min(v) AS exact_v
+            FROM est JOIN vcum ON vcum.cum >= est.r
+            GROUP BY q_pm
+        )
+        SELECT CAST(est.q_pm AS INT) AS q_pm,
+               est_bin * {HQ_BIN_W} AS est_lo,
+               (est_bin + 1) * {HQ_BIN_W} AS est_hi,
+               exact_v,
+               CAST(CASE WHEN exact_v >= est_bin * {HQ_BIN_W}
+                          AND (exact_v < (est_bin + 1) * {HQ_BIN_W}
+                               OR est_bin = {HQ_NBINS - 1})
+                    THEN 1 ELSE 0 END AS INT) AS within_bin
+        FROM est JOIN ex USING (q_pm)
+    """,
+    doc="MERGEABLE HISTOGRAM QUANTILE SKETCH (sixth sketch-family "
+    "member; the quantile class's relational mergeable form): per-"
+    "source fixed-grid bin counts over document length (<= 64 rows per "
+    "source — fixed-size state regardless of row count or domain), "
+    "addition-merged across sources, cumulative counts over the 64-row "
+    "merged frame, and each probed per-mille quantile estimated as the "
+    "first bin reaching rank ceil(q*N/1000). Hard-gated on the "
+    "histogram guarantee: the exact q-quantile (from a value-frequency "
+    "table, never a global row sort) must lie inside the estimated "
+    "bin — exact integer arithmetic, deterministic in both engines. "
+    "percentile_approx cannot express this shape: its sketch has no "
+    "SQL merge, so per-source/per-batch quantile state cannot be "
+    "persisted and rolled up. One (source, bin)-keyed combiner "
+    "shuffle; every later frame is <= 64 rows. At 100 TB the partials "
+    "table IS the persisted stat — length-distribution questions after "
+    "ingest merge KB-sized histograms.",
+    bench=True,
+)
+def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import histq
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    partials = histq.hist_partials(docs, "n_chars", ["source"])
+    merged = histq.hist_merge(partials)
+    qb = histq.hist_quantile_bins(merged)
+
+    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
+    exact = (
+        qb.select("q_pm", "r")
+        .join(vcum, F.col("cum") >= F.col("r"))
+        .groupBy("q_pm")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    return qb.join(exact, "q_pm").select(
+        F.col("q_pm").cast("int").alias("q_pm"),
+        "est_lo",
+        "est_hi",
+        "exact_v",
+        (
+            (F.col("exact_v") >= F.col("est_lo"))
+            & (
+                (F.col("exact_v") < F.col("est_hi"))
+                | (F.col("est_bin") == F.lit(HQ_NBINS - 1))
+            )
+        )
+        .cast("int")
+        .alias("within_bin"),
+    )

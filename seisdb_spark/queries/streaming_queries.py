@@ -1139,3 +1139,113 @@ def _share_lm_oracle() -> None:
 
 
 _share_lm_oracle()
+
+
+@query(
+    "streaming_quantile_rollup",
+    oracle=None,  # set below: shares the batch rollup's SQL
+    doc="STREAMING QUANTILE SKETCH MAINTENANCE (16th oracle-bearing "
+    "streaming entry — with it, EVERY mergeable sketch class in the "
+    "engine has a scan-once-at-ingest twin): each arriving document "
+    "microbatch contributes per-source fixed-grid histogram partials "
+    "(functions/histq.py, <= 64 rows per source per batch) appended to "
+    "a persisted sketch table in batch_id-derived OVERWRITE paths. The "
+    "final rollup addition-merges partials across batches AND sources — "
+    "integer addition is associative and commutative, so microbatch "
+    "boundaries provably cannot change a single merged count — then "
+    "estimates the probed quantiles and gates them against the exact "
+    "referee, exactly as the batch twin does (whose oracle it shares: "
+    "stream==batch on complete data).",
+)
+def streaming_quantile_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions import histq
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_hq_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sk_dir = os.path.join(out_dir, "hist")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def sketch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            histq.hist_partials(bdf, "n_chars", ["source"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(sk_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sketch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema("source string, bin long, n long")
+        .option("recursiveFileLookup", "true")
+        .parquet(sk_dir)
+    )
+    merged = histq.hist_merge(partials)
+    qb = histq.hist_quantile_bins(merged)
+
+    docs = load_table(spark, sf_dir, "documents")
+    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
+    exact = (
+        qb.select("q_pm", "r")
+        .join(vcum, F.col("cum") >= F.col("r"))
+        .groupBy("q_pm")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    return qb.join(exact, "q_pm").select(
+        F.col("q_pm").cast("int").alias("q_pm"),
+        "est_lo",
+        "est_hi",
+        "exact_v",
+        (
+            (F.col("exact_v") >= F.col("est_lo"))
+            & (
+                (F.col("exact_v") < F.col("est_hi"))
+                | (F.col("est_bin") == F.lit(histq.HQ_NBINS - 1))
+            )
+        )
+        .cast("int")
+        .alias("within_bin"),
+    )
+
+
+# stream==batch equivalence: the streamed histogram table's oracle IS the
+# batch rollup's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_hq_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_quantile_rollup"] = replace(
+        REGISTRY["streaming_quantile_rollup"],
+        oracle=REGISTRY["hist_quantile_rollup"].oracle,
+    )
+
+
+_share_hq_oracle()

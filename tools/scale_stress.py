@@ -131,6 +131,16 @@ STRESS_QUERIES = {
         and not has_node(p, "CartesianProduct")
         and not has_node(p, "rangepartitioning")
     ),
+    # histogram quantile sketch: the (source, bin) partials aggregation
+    # is the only corpus-keyed shuffle — everything after the histogram
+    # collapse runs on <= 64-row frames (their tiny windows may sort,
+    # which is why rangepartitioning is NOT forbidden here); never a
+    # cartesian, never a Python boundary.
+    "hist_quantile_rollup": lambda p: (
+        has_node(p, "hashpartitioning(source")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # corpus collapses to source-sized rows before the 1-row total rejoins
     "source_mix_weights": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
