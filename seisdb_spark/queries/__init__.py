@@ -144,7 +144,13 @@ the 16th oracle-bearing streaming entry; with it EVERY mergeable
 sketch class has a scan-once-at-ingest form) in for ``ivfpq_adc_topk``
 and ``ann_ivf_topk`` (both green r8+r9+r10; the PQ/IVF machinery
 stays composed verbatim inside ``pq_recall_eval``'s oracle and the
-ANN family keeps ``ann_signbucket_topk`` in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+ANN family keeps ``ann_signbucket_topk`` in-window); an eleventh:
+``weighted_sample_wor`` (deterministic Efraimidis-Spirakis weighted
+sampling without replacement — md5 uniforms + the octave-Pade integer
+log make the sampled set itself engine- and run-reproducible) in for
+``streaming_decontamination`` (green r8+r9+r10; decontamination keeps
+``bloom_decontamination`` in-window, the streaming family keeps six
+members, and the sampling family regains an in-window rep).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -405,7 +411,16 @@ DRIVER_WINDOW: list[str] = [
     "dsir_importance_weights",
     "streaming_incremental_dedup",
     "streaming_quality_gate",
-    "streaming_decontamination",
+    # round-11 rotation (eleventh swap): weighted_sample_wor —
+    # deterministic Efraimidis-Spirakis weighted sampling without
+    # replacement (md5-derived uniforms + the octave-Pade integer log:
+    # the sampled set itself is bit-identical across engines/runs) in
+    # for streaming_decontamination (green r8+r9+r10; decontamination
+    # keeps bloom_decontamination in-window sharing the exact twin's
+    # oracle, and the streaming family keeps six oracle-bearing
+    # members).  The sampling family regains an in-window rep
+    # (stratified_sample rotated out in r8 family-covered).
+    "weighted_sample_wor",
     # --- core §2 operators (one per family; twice-green siblings rotated out) -
     "p1_positional_projection",
     "j1_gather_join",

@@ -5447,3 +5447,137 @@ def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_bin"),
     )
+
+
+# --- Deterministic weighted sampling without replacement --------------------
+# Efraimidis-Spirakis (2006, public): a weighted-WOR sample of size K is
+# the K items with the largest u_i^(1/w_i), u_i uniform — equivalently
+# the K SMALLEST -ln(u_i)/w_i.  Curation pipelines need exactly this
+# primitive (keep a fixed per-language budget, weight-proportional, so
+# longer/higher-quality documents are kept preferentially but cheap docs
+# still get mass), and the classic blocker for an engine version is that
+# both the randomness and the log must be reproducible across engines.
+# Both are solved with existing repo machinery: u derives from md5 (the
+# oracle-portable hash discipline) as a 60-bit integer, and -ln(u) =
+# ln(2^60 / (h + 1)) is the octave-Pade nanonat NLL from
+# functions/ngram_lm.py — EXACT BIGINT arithmetic, so every priority
+# key, and therefore the sampled set itself, is bit-identical in Spark
+# and DuckDB.  One hash-partitioned window per language (partition-
+# local sort; no global ordering), rejected rows never leave their
+# partition.
+ES_SAMPLE_K = 20
+ES_HASH_HEX = 15  # 15 hex digits = 60 bits
+ES_U_DENOM = 1 << 60
+
+
+def _duck_hexparse15(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,15),16,10) —
+    a 60-bit BIGINT from the md5 prefix."""
+    return " + ".join(
+        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (ES_HASH_HEX - 1 - j)}"
+        for j in range(ES_HASH_HEX)
+    )
+
+
+def _es_oracle_sql() -> str:
+    from seisdb_spark.functions.ngram_lm import nll_nano_sql
+
+    nll = nll_nano_sql("a", "bb", dialect="duck")
+    return f"""
+        WITH h AS (
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   ({_duck_hexparse15("CAST(doc_id AS VARCHAR)")}) + 1
+                       AS bb,
+                   CAST({ES_U_DENOM} AS BIGINT) AS a
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        pri AS (
+            SELECT lang, doc_id, weight,
+                   (({nll}) * 1000000) // weight AS es_key
+            FROM h
+        ),
+        rk AS (
+            SELECT lang, doc_id, weight, es_key,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY es_key, doc_id
+                   ) AS rank
+            FROM pri
+        )
+        SELECT lang, doc_id, weight, es_key, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= {ES_SAMPLE_K}
+    """
+
+
+@query(
+    "weighted_sample_wor",
+    oracle=None,  # set below (needs the ngram_lm import at def time)
+    doc=f"DETERMINISTIC WEIGHTED SAMPLING WITHOUT REPLACEMENT "
+    f"(Efraimidis-Spirakis): per-language top-{ES_SAMPLE_K} by the "
+    "smallest -ln(u)/w, with u a 60-bit md5-derived uniform and the "
+    "log the octave-Pade nanonat NLL (functions/ngram_lm.py) — no rand "
+    "seed, no libm, every priority key exact BIGINT arithmetic, so the "
+    "SAMPLED SET ITSELF is bit-identical across engines and runs (the "
+    "reproducibility a training-data pipeline needs to re-derive any "
+    "shipped corpus). Weight = n_chars: inclusion probability is "
+    "weight-proportional (the E-S guarantee), pinned by a 200-strata "
+    "distributional test. One hash-partitioned per-lang window "
+    "(partition-local sort, never a global ordering); at 100 TB the "
+    "per-partition top-K could further drop to a bounded heap via "
+    "groupBy-collect, but the window form already moves no rejected "
+    "row off its partition.",
+    bench=True,
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions.ngram_lm import nll_nano_sql
+
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.col("n_chars") > 0
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")),
+            1,
+            ES_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (h60 + F.lit(1)).cast("long").alias("bb"),
+        F.lit(ES_U_DENOM).cast("long").alias("a"),
+    )
+    nll = nll_nano_sql("a", "bb", dialect="spark")
+    pri = base.select(
+        "lang",
+        "doc_id",
+        "weight",
+        F.expr(f"(({nll}) * 1000000) div weight").alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        pri.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= ES_SAMPLE_K)
+        .select(
+            "lang",
+            "doc_id",
+            "weight",
+            "es_key",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _set_es_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["weighted_sample_wor"] = replace(
+        REGISTRY["weighted_sample_wor"], oracle=_es_oracle_sql()
+    )
+
+
+_set_es_oracle()

@@ -141,6 +141,15 @@ STRESS_QUERIES = {
         and not has_node(p, "CartesianProduct")
         and not has_node(p, "BatchEvalPython")
     ),
+    # E-S weighted sampling: one hash-partitioned per-lang window
+    # (partition-local sort) — never a global range sort, never a
+    # Python boundary; rejected rows never leave their partition.
+    "weighted_sample_wor": lambda p: (
+        has_node(p, "hashpartitioning(lang")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and not has_node(p, "CartesianProduct")
+    ),
     # corpus collapses to source-sized rows before the 1-row total rejoins
     "source_mix_weights": lambda p: (
         has_node(p, "Broadcast") and not has_node(p, "CartesianProduct")
