@@ -150,7 +150,12 @@ sampling without replacement — md5 uniforms + the octave-Pade integer
 log make the sampled set itself engine- and run-reproducible) in for
 ``streaming_decontamination`` (green r8+r9+r10; decontamination keeps
 ``bloom_decontamination`` in-window, the streaming family keeps six
-members, and the sampling family regains an in-window rep).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+members, and the sampling family regains an in-window rep); a twelfth:
+``streaming_lm_train`` (the LM's train-on-ingest twin — 17th
+oracle-bearing streaming entry; bigram-count partials addition-merge,
+so the full train+score pipeline now runs at ingest) in for
+``streaming_quality_gate`` (green r8+r9+r10; quality filtering keeps
+the trained-model pair in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -410,7 +415,16 @@ DRIVER_WINDOW: list[str] = [
     # seven other in-window entries incl. both stateful dedup paths)
     "dsir_importance_weights",
     "streaming_incremental_dedup",
-    "streaming_quality_gate",
+    # round-11 rotation (twelfth swap): streaming_lm_train — the LM's
+    # train-on-ingest twin (17th oracle-bearing streaming entry:
+    # per-microbatch bigram-count partials, addition-merged — split-
+    # invariant by integer arithmetic — then scored via the shared
+    # transform; with streaming_lm_score the whole train+score pipeline
+    # runs at ingest) in for streaming_quality_gate (green r8+r9+r10;
+    # quality filtering keeps ngram_lm_perplexity AND streaming_lm_score
+    # in-window — the trained-model gates — and the heuristic quality
+    # machinery stays pytest-oracle-checked every round)
+    "streaming_lm_train",
     # round-11 rotation (eleventh swap): weighted_sample_wor —
     # deterministic Efraimidis-Spirakis weighted sampling without
     # replacement (md5-derived uniforms + the octave-Pade integer log:

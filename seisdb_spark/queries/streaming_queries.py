@@ -1249,3 +1249,102 @@ def _share_hq_oracle() -> None:
 
 
 _share_hq_oracle()
+
+
+@query(
+    "streaming_lm_train",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING LM TRAIN-ON-INGEST (17th oracle-bearing streaming "
+    "entry — completes the LM symmetry: with streaming_lm_score the "
+    "whole train+score pipeline now runs at ingest, never re-scanning "
+    "raw text): each arriving microbatch's REFERENCE-slice documents "
+    "contribute bigram-count partials (functions/ngram_lm.py "
+    "bigram_pairs -> groupBy(w1, w2).count, vocab-bounded) appended to "
+    "a persisted model table in batch_id-derived OVERWRITE paths. The "
+    "final model addition-merges partials across batches — integer "
+    "addition is associative and commutative, so microbatch boundaries "
+    "provably cannot change a single count — and the context counts / "
+    "vocab size derive from the merged table exactly as in batch "
+    "training. The merged model then scores the full corpus via the "
+    "shared lm_score_df transform; stream==batch on complete data, so "
+    "the oracle is the batch gate's SQL.",
+)
+def streaming_lm_train(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions import ngram_lm as lm
+    from seisdb_spark.queries.extensions import LM_REF_SOURCES, lm_score_df
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_lmt_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    model_dir = os.path.join(out_dir, "model")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def train(bdf: DataFrame, batch_id: int) -> None:
+        ref = bdf.filter(F.col("source").isin(*LM_REF_SOURCES))
+        (
+            lm.bigram_pairs(ref)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(model_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(train)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.schema("w1 string, w2 string, c12 long")
+        .option("recursiveFileLookup", "true")
+        .parquet(model_dir)
+    )
+    # addition-merge across batches, then derive the model exactly as
+    # batch training does (train_bigram_lm's one-scan shape): context
+    # counts and vocab size come from the merged table itself.
+    bc = (
+        partials.groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("long").alias("c12"))
+        .localCheckpoint()
+    )
+    cc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = (
+        bc.select(F.col("w1").alias("w"))
+        .unionAll(bc.select(F.col("w2").alias("w")))
+        .agg((F.countDistinct("w") + F.lit(1)).cast("long").alias("v"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score_df(docs, bc, cc, vocab)
+
+
+# stream==batch equivalence: the incrementally-trained model's oracle IS
+# the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_lmt_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_lm_train"] = replace(
+        REGISTRY["streaming_lm_train"],
+        oracle=REGISTRY["ngram_lm_perplexity"].oracle,
+    )
+
+
+_share_lmt_oracle()

@@ -685,3 +685,33 @@ def test_lm_score_stream_equals_batch_across_microbatches(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "scores"))) == 3
+
+
+def test_lm_train_stream_equals_batch_across_microbatches(spark, tmp_path):
+    """Incremental LM training over documents split into 3 files (3
+    genuine microbatches) must score IDENTICALLY to the batch gate:
+    bigram-count partials addition-merge, so batch boundaries cannot
+    change a single model count — and therefore not a single nanonat
+    score.  Integer arithmetic leaves no tolerance."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_lm_train
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+
+    out = str(tmp_path / "lmt_stream")
+    got = _sorted(
+        streaming_lm_train(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["ngram_lm_perplexity"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "model"))) == 3
