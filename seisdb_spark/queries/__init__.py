@@ -155,7 +155,12 @@ members, and the sampling family regains an in-window rep); a twelfth:
 oracle-bearing streaming entry; bigram-count partials addition-merge,
 so the full train+score pipeline now runs at ingest) in for
 ``streaming_quality_gate`` (green r8+r9+r10; quality filtering keeps
-the trained-model pair in-window).  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+the trained-model pair in-window).  Registered late, NOT windowed (no
+remaining thrice-green entry can rotate out without leaving a family
+uncovered — twelve swaps this round is already the ceiling of healthy
+churn): ``streaming_weighted_sample`` (the A-ES reservoir twin, 18th
+oracle-bearing streaming entry, pytest-parity-checked) — the round-12
+rotation's first candidate, per the bpe_apply_tokenize precedent.  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps

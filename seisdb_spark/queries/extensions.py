@@ -5510,6 +5510,56 @@ def _es_oracle_sql() -> str:
     """
 
 
+def es_priorities(docs: DataFrame) -> DataFrame:
+    """Row-local E-S priority keys ``(lang, doc_id, weight, es_key)`` —
+    the transform SHARED by the batch sampler and its streaming twin
+    (each key depends only on the row itself, so it is computable
+    inside any microbatch).  Map-side only: no shuffle."""
+    from seisdb_spark.functions.ngram_lm import nll_nano_sql
+
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")),
+            1,
+            ES_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.filter(F.col("n_chars") > 0).select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (h60 + F.lit(1)).cast("long").alias("bb"),
+        F.lit(ES_U_DENOM).cast("long").alias("a"),
+    )
+    nll = nll_nano_sql("a", "bb", dialect="spark")
+    return base.select(
+        "lang",
+        "doc_id",
+        "weight",
+        F.expr(f"(({nll}) * 1000000) div weight").alias("es_key"),
+    )
+
+
+def es_take_topk(pri: DataFrame) -> DataFrame:
+    """Per-lang bottom-K by (es_key, doc_id) with dense ranks — the
+    selection step shared by batch and the streaming merge (bottom-K of
+    a union of per-batch bottom-Ks IS the global bottom-K)."""
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        pri.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= ES_SAMPLE_K)
+        .select(
+            "lang",
+            "doc_id",
+            "weight",
+            "es_key",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 @query(
     "weighted_sample_wor",
     oracle=None,  # set below (needs the ngram_lm import at def time)
@@ -5530,46 +5580,8 @@ def _es_oracle_sql() -> str:
     bench=True,
 )
 def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions.ngram_lm import nll_nano_sql
-
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(
-        F.col("n_chars") > 0
-    )
-    h60 = F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")),
-            1,
-            ES_HASH_HEX,
-        ),
-        16,
-        10,
-    ).cast("long")
-    base = docs.select(
-        "lang",
-        "doc_id",
-        F.col("n_chars").cast("long").alias("weight"),
-        (h60 + F.lit(1)).cast("long").alias("bb"),
-        F.lit(ES_U_DENOM).cast("long").alias("a"),
-    )
-    nll = nll_nano_sql("a", "bb", dialect="spark")
-    pri = base.select(
-        "lang",
-        "doc_id",
-        "weight",
-        F.expr(f"(({nll}) * 1000000) div weight").alias("es_key"),
-    )
-    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
-    return (
-        pri.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= ES_SAMPLE_K)
-        .select(
-            "lang",
-            "doc_id",
-            "weight",
-            "es_key",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return es_take_topk(es_priorities(docs))
 
 
 def _set_es_oracle() -> None:

@@ -1348,3 +1348,83 @@ def _share_lmt_oracle() -> None:
 
 
 _share_lmt_oracle()
+
+
+@query(
+    "streaming_weighted_sample",
+    oracle=None,  # set below: shares the batch sampler's SQL
+    doc="STREAMING WEIGHTED RESERVOIR SAMPLE (18th oracle-bearing "
+    "streaming entry — the A-ES reservoir form of weighted_sample_wor): "
+    "each arriving microbatch computes its documents' row-local E-S "
+    "priority keys (extensions.py::es_priorities — deterministic "
+    "md5-uniform + integer log, computable inside any batch) and "
+    "persists only its per-language bottom-K candidates in batch_id-"
+    "derived OVERWRITE paths. The final sample is the bottom-K of the "
+    "union of per-batch bottom-Ks — which IS the global bottom-K (every "
+    "global winner survives its own batch's cut), so microbatch "
+    "boundaries provably cannot change the sampled set, and the oracle "
+    "is the batch twin's SQL. This is reservoir sampling with kilobyte "
+    "state: at 100 TB the persisted candidate table is langs x K rows "
+    "per batch, and the shipped corpus sample can be re-derived or "
+    "extended incrementally without ever re-scanning raw text.",
+)
+def streaming_weighted_sample(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from seisdb_spark.queries.extensions import es_priorities, es_take_topk
+    from seisdb_spark.streaming import read_documents_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_es_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cand_dir = os.path.join(out_dir, "candidates")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def sample(bdf: DataFrame, batch_id: int) -> None:
+        (
+            es_take_topk(es_priorities(bdf))
+            .drop("rank")  # ranks are batch-local; the merge re-ranks
+            .write.mode("overwrite")
+            .parquet(os.path.join(cand_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sample)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    candidates = (
+        spark.read.schema(
+            "lang string, doc_id long, weight long, es_key long"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(cand_dir)
+    )
+    return es_take_topk(candidates)
+
+
+# stream==batch equivalence: the reservoir's oracle IS the batch
+# sampler's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_es_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_weighted_sample"] = replace(
+        REGISTRY["streaming_weighted_sample"],
+        oracle=REGISTRY["weighted_sample_wor"].oracle,
+    )
+
+
+_share_es_oracle()

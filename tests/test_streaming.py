@@ -715,3 +715,39 @@ def test_lm_train_stream_equals_batch_across_microbatches(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "model"))) == 3
+
+
+def test_weighted_sample_stream_equals_batch_across_microbatches(
+    spark, tmp_path
+):
+    """The streamed reservoir over documents split into 3 files (3
+    genuine microbatches) must select the EXACT same sample as the
+    batch sampler: priorities are row-local and deterministic, and the
+    bottom-K of the union of per-batch bottom-Ks is the global bottom-K
+    (every global winner survives its own batch's cut)."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import (
+        streaming_weighted_sample,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "documents").toPandas()
+    for i in range(3):
+        part = pdf[pdf.doc_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/documents.parquet", index=False)
+
+    out = str(tmp_path / "es_stream")
+    got = _sorted(
+        streaming_weighted_sample(
+            spark, src + "/arrival*", out_dir=out
+        ).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["weighted_sample_wor"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "candidates"))) == 3
