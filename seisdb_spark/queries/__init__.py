@@ -155,12 +155,14 @@ members, and the sampling family regains an in-window rep); a twelfth:
 oracle-bearing streaming entry; bigram-count partials addition-merge,
 so the full train+score pipeline now runs at ingest) in for
 ``streaming_quality_gate`` (green r8+r9+r10; quality filtering keeps
-the trained-model pair in-window).  Registered late, NOT windowed (no
-remaining thrice-green entry can rotate out without leaving a family
-uncovered — twelve swaps this round is already the ceiling of healthy
-churn): ``streaming_weighted_sample`` (the A-ES reservoir twin, 18th
-oracle-bearing streaming entry, pytest-parity-checked) — the round-12
-rotation's first candidate, per the bpe_apply_tokenize precedent.  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
+the trained-model pair in-window).  A thirteenth swap closed the round:
+``streaming_weighted_sample`` (the A-ES reservoir twin, 18th
+oracle-bearing streaming entry) in for ``corpus_datacard`` (green
+r8+r9+r10) — forced by the cumulative-coverage governance test, which
+(correctly) refuses any oracle-bearing registration that never sees a
+driver window; the datacard's component stats stay pytest-checked and
+corpus-summary coverage stays in-window via ``source_mix_weights`` and
+the sketch rollups.  Rotating OUT: ``pq_refined_encode`` and ``bpe_train_merges``
 (rows-only entries whose one clean driver execution landed in r10 — the
 kmeans_refine_assign one-rows-only-round precedent),
 ``pq_encode_codes`` (green r8+r9+r10; the PQ family keeps
@@ -385,7 +387,15 @@ DRIVER_WINDOW: list[str] = [
     # the vocabulary family keeps vocab_coverage_32k, the production-V
     # audit, in-window)
     "mrl_pq_adc_topk",
-    "corpus_datacard",
+    # round-11 rotation (thirteenth swap — forced by the cumulative-
+    # coverage governance test: every oracle-bearing entry must get a
+    # driver row in some round, so late registrations start in-window):
+    # streaming_weighted_sample (the A-ES reservoir twin, 18th oracle-
+    # bearing streaming entry) in for corpus_datacard (green r8+r9+r10;
+    # the datacard is a composition whose component stats all stay
+    # pytest-oracle-checked, and corpus-summary coverage stays in-window
+    # via source_mix_weights + the sketch rollups)
+    "streaming_weighted_sample",
     "packing_efficiency",
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
