@@ -207,11 +207,20 @@ DRIVER_WINDOW: list[str] = [
     # minhash_lsh_candidates, whose CTE stack stays hash-checked verbatim
     # inside editdist_neardup_join's oracle.)
     "streaming_int4_quantize",
-    # round-7 late rotation: dedup_keep_best (quality-prioritized cluster
-    # dedup) in for dedup_cluster_components (green r2-r6; its recursive-
-    # CTE oracle is composed VERBATIM inside keep_best's, so the closure
-    # stays end-to-end hash-checked through this row)
-    "dedup_keep_best",
+    # round-11 rotation (fourteenth swap — forced by the cumulative-
+    # coverage governance test: new oracle-bearing entries start
+    # in-window): zorder_layout_gate — the storage-layout / data-
+    # skipping class (functions/zorder.py: Morton zkey via an engine-
+    # portable div/mod interleave polynomial, zone-map tables under
+    # sorted-by-x vs Z-curve layouts, oracle-checked pruning counts for
+    # slab/box probes) — in for dedup_keep_best (green r7+r8+r9+r10,
+    # rotation-eligible; the dedup family keeps d1, editdist_neardup_
+    # join, semantic_dedup, streaming_incremental_dedup, and curation_
+    # keep_set — whose oracle composes keep_best's quality-priority
+    # closure — in-window).  (r7-era slot history: dedup_keep_best had
+    # replaced dedup_cluster_components, whose recursive-CTE oracle is
+    # composed verbatim inside keep_best's.)
+    "zorder_layout_gate",
     # round-7 late rotation: editdist_neardup_join (record-linkage verify:
     # LSH blocking + prefix-Levenshtein gate) in for dedup_incremental_probe
     # (green r4+r5+r6; the incremental-probe machinery stays in-window via
