@@ -88,6 +88,16 @@ def interleave_py(bx: int, by: int, bits: int = ZO_BITS) -> int:
     return z
 
 
+def _bin_sql(vcol: str, lo: str, hi: str) -> str:
+    """Fixed-grid bin of ``vcol`` given bounds (column names OR integer
+    literals) — the ONE formula every caller shares, so a bounds-source
+    change can never fork the grid."""
+    return (
+        f"least((({vcol} - {lo}) * {ZO_SIDE}) div ({hi} - {lo} + 1), "
+        f"{ZO_SIDE - 1})"
+    )
+
+
 def grid_bins(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
     """Bin two BIGINT columns onto the ZO_SIDE x ZO_SIDE grid (bounds
     from a 1-row min/max aggregate, broadcast back) and attach the
@@ -98,20 +108,118 @@ def grid_bins(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
         F.min(ycol).alias("_ylo"),
         F.max(ycol).alias("_yhi"),
     )
-    side = ZO_SIDE
     return (
         df.crossJoin(F.broadcast(b))
         .select(
             "*",
-            F.expr(
-                f"least((({xcol} - _xlo) * {side}) div (_xhi - _xlo + 1), {side - 1})"
-            ).alias("bx"),
-            F.expr(
-                f"least((({ycol} - _ylo) * {side}) div (_yhi - _ylo + 1), {side - 1})"
-            ).alias("by"),
+            F.expr(_bin_sql(xcol, "_xlo", "_xhi")).alias("bx"),
+            F.expr(_bin_sql(ycol, "_ylo", "_yhi")).alias("by"),
         )
         .drop("_xlo", "_xhi", "_ylo", "_yhi")
         .withColumn("zkey", F.expr(interleave_sql("bx", "by")))
+    )
+
+
+def grid_bounds(df: DataFrame, xcol: str, ycol: str) -> tuple:
+    """The published grid: global min/max of both dims as four driver
+    scalars (a 1-row collect — the bounded-driver-state discipline).
+    A streaming layout must fix the grid BEFORE batches arrive (each
+    microbatch seeing only its own extremes would fork the binning), so
+    this is read once from the static table, like streaming_lm_score
+    trains once from the static slice."""
+    r = df.agg(
+        F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+    ).collect()[0]
+    return (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
+
+
+def grid_bins_fixed(
+    df: DataFrame, xcol: str, ycol: str, bounds: tuple
+) -> DataFrame:
+    """``grid_bins`` with caller-supplied literal bounds — the identical
+    ``_bin_sql`` formula, so rows bin the same whether bounds came from
+    the same frame's aggregate or from the published grid."""
+    xlo, xhi, ylo, yhi = (int(v) for v in bounds)
+    return df.select(
+        "*",
+        F.expr(_bin_sql(xcol, str(xlo), str(xhi))).alias("bx"),
+        F.expr(_bin_sql(ycol, str(ylo), str(yhi))).alias("by"),
+    ).withColumn("zkey", F.expr(interleave_sql("bx", "by")))
+
+
+def layout_explode(g: DataFrame) -> DataFrame:
+    """Every binned row contributes its bucket under BOTH layouts via a
+    2-element explode (map-side, one scan — not a union of two)."""
+    return g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear_x").alias("layout"),
+                    F.expr(f"bx div {ZO_LIN_W}").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"zkey div {ZO_Z_W}").alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+        "bx",
+        "by",
+    ).select("lb.layout", "lb.bucket", "bx", "by")
+
+
+def probes_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        list(ZO_PROBES),
+        "probe string, pxlo long, pxhi long, pylo long, pyhi long",
+    )
+
+
+def zone_merge(partials: DataFrame) -> DataFrame:
+    """Merge zone-map partials across any split: min-of-mins /
+    max-of-maxes / sum-of-counts — associative, commutative, exact, so
+    partition or microbatch boundaries provably cannot change the
+    merged table."""
+    return partials.groupBy("layout", "bucket").agg(
+        F.min("min_bx").alias("min_bx"),
+        F.max("max_bx").alias("max_bx"),
+        F.min("min_by").alias("min_by"),
+        F.max("max_by").alias("max_by"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def scan_counts(zm: DataFrame, probes: DataFrame) -> DataFrame:
+    """Buckets/rows a zone-map-pruned scan touches per (layout, probe):
+    the <= 2*ZO_BUCKETS-row zone-map table against the broadcast probe
+    rectangles."""
+    return (
+        zm.join(
+            F.broadcast(probes),
+            (F.col("min_bx") <= F.col("pxhi"))
+            & (F.col("max_bx") >= F.col("pxlo"))
+            & (F.col("min_by") <= F.col("pyhi"))
+            & (F.col("max_by") >= F.col("pylo")),
+        )
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buckets_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_scanned"),
+        )
+    )
+
+
+def matched_counts(g: DataFrame, probes: DataFrame) -> DataFrame:
+    """Ground truth per probe: how many rows actually fall inside the
+    rectangle (layout-independent)."""
+    return (
+        g.join(
+            F.broadcast(probes),
+            F.col("bx").between(F.col("pxlo"), F.col("pxhi"))
+            & F.col("by").between(F.col("pylo"), F.col("pyhi")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
     )
 
 

@@ -277,7 +277,16 @@ DRIVER_WINDOW: list[str] = [
     # --- item; the Lloyd loop stays numpy-golden pytest-checked and its
     # --- seed/assign machinery is hash-checked through semantic_dedup,
     # --- ann_ivf_topk, and the new PQ rows).
-    "pca_project",
+    # round-11 rotation (fifteenth swap): streaming_zone_maps — the
+    # layout class's scan-once-at-ingest form (19th oracle-bearing
+    # streaming entry: the grid is published once from the static table,
+    # every arriving microbatch appends <=128-row zone-map partials, and
+    # min/max/sum merges are associative and exact, so the twin carries
+    # the batch gate's SQL verbatim) — in for pca_project (green
+    # r8+r9+r10, rotation-eligible; the vector-store family keeps
+    # pq_recall_eval and mrl_pq_adc_topk in-window, and the PCA
+    # Gram-merge machinery stays pytest-oracle-checked every round)
+    "streaming_zone_maps",
     # round-11 rotation: cm_sketch_gate — the count-min point-frequency
     # gate (functions/cms.py: relational counter tables, element-wise-
     # addition merge, min-of-counters probe; the fourth sketch class) —

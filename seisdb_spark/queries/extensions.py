@@ -5612,8 +5612,24 @@ from seisdb_spark.functions.zorder import (  # noqa: E402
     ZO_Z_W,
     grid_bins,
     interleave_sql,
+    layout_explode,
+    matched_counts,
+    probes_df,
+    scan_counts,
     zone_maps,
 )
+
+
+def zorder_events_xy(ev: DataFrame) -> DataFrame:
+    """The events table's two layout dimensions: user_id and value
+    quantized to integer millis (exact across engines: one IEEE double
+    multiply + floor).  Shared by the batch gate and the streaming
+    zone-map twin so the two can never bin differently."""
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("y"),
+    )
 
 _ZO_PROBE_VALUES = ", ".join(
     f"('{p}', {xl}, {xh}, {yl}, {yh})" for p, xl, xh, yl, yh in ZO_PROBES
@@ -5703,58 +5719,15 @@ _ZO_PROBE_VALUES = ", ".join(
     bench=True,
 )
 def zorder_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(load_table(spark, sf_dir, "events"))
-    d = ev.select(
-        "event_id",
-        F.col("user_id").alias("x"),
-        F.expr("cast(floor(value * 1000) as bigint)").alias("y"),
+    g = grid_bins(
+        zorder_events_xy(spread(load_table(spark, sf_dir, "events"))), "x", "y"
     )
-    g = grid_bins(d, "x", "y")
-    # one scan, not a union of two: every row contributes its bucket under
-    # BOTH layouts via a 2-element explode (map-side, stays in codegen)
-    lay = g.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("linear_x").alias("layout"),
-                    F.expr(f"bx div {ZO_LIN_W}").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("zorder").alias("layout"),
-                    F.expr(f"zkey div {ZO_Z_W}").alias("bucket"),
-                ),
-            )
-        ).alias("lb"),
-        "bx",
-        "by",
-    ).select("lb.layout", "lb.bucket", "bx", "by")
-    zm = zone_maps(lay)
-    probes = spark.createDataFrame(
-        list(ZO_PROBES), "probe string, pxlo long, pxhi long, pylo long, pyhi long"
-    )
-    scan = (
-        zm.join(
-            F.broadcast(probes),
-            (F.col("min_bx") <= F.col("pxhi"))
-            & (F.col("max_bx") >= F.col("pxlo"))
-            & (F.col("min_by") <= F.col("pyhi"))
-            & (F.col("max_by") >= F.col("pylo")),
+    zm = zone_maps(layout_explode(g))
+    probes = probes_df(spark)
+    return (
+        scan_counts(zm, probes)
+        .join(F.broadcast(matched_counts(g, probes)), "probe")
+        .select(
+            "layout", "probe", "buckets_scanned", "rows_scanned", "rows_matched"
         )
-        .groupBy("layout", "probe")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("buckets_scanned"),
-            F.sum("n_rows").cast("long").alias("rows_scanned"),
-        )
-    )
-    matched = (
-        g.join(
-            F.broadcast(probes),
-            F.col("bx").between(F.col("pxlo"), F.col("pxhi"))
-            & F.col("by").between(F.col("pylo"), F.col("pyhi")),
-        )
-        .groupBy("probe")
-        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
-    )
-    return scan.join(F.broadcast(matched), "probe").select(
-        "layout", "probe", "buckets_scanned", "rows_scanned", "rows_matched"
     )

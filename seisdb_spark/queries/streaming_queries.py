@@ -1428,3 +1428,122 @@ def _share_es_oracle() -> None:
 
 
 _share_es_oracle()
+
+
+@query(
+    "streaming_zone_maps",
+    oracle=None,  # set below: shares the batch gate's SQL
+    doc="STREAMING ZONE-MAP MAINTENANCE (19th oracle-bearing streaming "
+    "entry — the layout class's scan-once-at-ingest form): the grid is "
+    "published once from the static table (grid_bounds — a streaming "
+    "layout must fix the grid BEFORE batches arrive, the "
+    "streaming_lm_score static-train pattern), then every arriving "
+    "events microbatch bins its rows with the SAME _bin_sql formula, "
+    "writes its <= 128-row per-(layout,bucket) zone-map partials and "
+    "3-row probe-match partials to batch_id-derived overwrite paths, "
+    "and the final gate report is computed from the MERGED partials: "
+    "min-of-mins / max-of-maxes / sum-of-counts (and plain addition "
+    "for match counts) are associative and exact, so microbatch "
+    "boundaries provably cannot change a single output value and the "
+    "oracle is the batch gate's SQL verbatim. At 100 TB this is how a "
+    "layout's file statistics are actually maintained: footers/zone "
+    "maps accrue per arriving shard, and every pruning decision later "
+    "reads KB of merged stats, never the data.",
+)
+def streaming_zone_maps(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions.zorder import (
+        grid_bins_fixed,
+        grid_bounds,
+        layout_explode,
+        matched_counts,
+        probes_df,
+        scan_counts,
+        zone_maps,
+        zone_merge,
+    )
+    from seisdb_spark.queries.extensions import zorder_events_xy
+    from seisdb_spark.sources.tables import load_table
+    from seisdb_spark.streaming import read_events_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_zm_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    zm_dir = os.path.join(out_dir, "zonemaps")
+    m_dir = os.path.join(out_dir, "matched")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    bounds = grid_bounds(
+        zorder_events_xy(load_table(spark, sf_dir, "events")), "x", "y"
+    )
+
+    def maps(bdf: DataFrame, batch_id: int) -> None:
+        g_b = grid_bins_fixed(zorder_events_xy(bdf), "x", "y", bounds)
+        probes = probes_df(bdf.sparkSession)
+        (
+            zone_maps(layout_explode(g_b))
+            .write.mode("overwrite")
+            .parquet(os.path.join(zm_dir, f"batch-{batch_id}"))
+        )
+        (
+            matched_counts(g_b, probes)
+            .write.mode("overwrite")
+            .parquet(os.path.join(m_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(maps)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    zm = zone_merge(
+        spark.read.schema(
+            "layout string, bucket long, min_bx long, max_bx long, "
+            "min_by long, max_by long, n_rows long"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(zm_dir)
+    )
+    matched = (
+        spark.read.schema("probe string, rows_matched long")
+        .option("recursiveFileLookup", "true")
+        .parquet(m_dir)
+        .groupBy("probe")
+        .agg(F.sum("rows_matched").cast("long").alias("rows_matched"))
+    )
+    return scan_counts(zm, probes_df(spark)).join(
+        F.broadcast(matched), "probe"
+    ).select(
+        "layout", "probe", "buckets_scanned", "rows_scanned", "rows_matched"
+    )
+
+
+# stream==batch equivalence: merged zone maps equal the batch zone maps
+# exactly (min/max/sum are split-invariant), so the twin carries the
+# batch gate's SQL (QuerySpec is frozen; replace the registry entry).
+def _share_zm_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_zone_maps"] = replace(
+        REGISTRY["streaming_zone_maps"],
+        oracle=REGISTRY["zorder_layout_gate"].oracle,
+    )
+
+
+_share_zm_oracle()

@@ -751,3 +751,39 @@ def test_weighted_sample_stream_equals_batch_across_microbatches(
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "candidates"))) == 3
+
+
+def test_zone_maps_stream_split_matches_batch_gate(spark, tmp_path):
+    """The streamed zone-map table over events split into 3 files (3
+    genuine microbatches) must produce the SAME gate rows as the batch
+    zorder_layout_gate over the unsplit table: the grid is published
+    once from the static table (so every batch bins identically), and
+    min-of-mins / max-of-maxes / sum-of-counts merges are associative
+    and exact, so microbatch boundaries provably cannot change a single
+    zone-map cell.  Each microbatch lands its <=128-row partials in its
+    own batch-id directory."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_zone_maps
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    for i in range(3):
+        part = pdf[pdf.event_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/events.parquet", index=False)
+
+    out = str(tmp_path / "zm_stream")
+    got = _sorted(
+        streaming_zone_maps(
+            spark, src + "/arrival*", out_dir=out
+        ).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["zorder_layout_gate"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "zonemaps"))) == 3
+    assert len(os.listdir(os.path.join(out, "matched"))) == 3
