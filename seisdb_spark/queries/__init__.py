@@ -437,16 +437,22 @@ DRIVER_WINDOW: list[str] = [
     # r8+r9+r10; the MRL family keeps mrl_pq_adc_topk in-window, whose
     # oracle composes the same prefix-truncation machinery)
     "ngram_lm_perplexity",
-    # round-7 late rotation: bpe_merge_candidates (tokenizer-training
-    # pair counts over the vocab table) in for streaming_dedup_events
-    # (green r4+r5+r6; stateful streaming dedup stays in-window via
-    # streaming_incremental_dedup, which exercises the same state path)
-    "bpe_merge_candidates",
-    # round-7 late rotation: dsir_importance_weights (hashed-ngram
-    # importance resampling, the data-selection op) in for
-    # streaming_static_enrich (green r4+r5+r6; the streaming family keeps
-    # seven other in-window entries incl. both stateful dedup paths)
-    "dsir_importance_weights",
+    # round-11 rotation (sixteenth swap): timeseries_gapfill — the
+    # time-series resample/interpolate class (per-user dense hourly grid
+    # via sequence+explode, LOCF fill via last(ignorenulls); every
+    # carried value order-independent so the fill hash-matches exactly)
+    # — in for bpe_merge_candidates (green r7+r8+r9+r10; the pair-count
+    # machinery IS iteration 1 of bpe_train_merges and the tokenizer
+    # family keeps bpe_apply_tokenize in-window)
+    "timeseries_gapfill",
+    # round-11 rotation (seventeenth swap): scd2_history_build — the
+    # MERGE/upsert class (SCD2 validity intervals from the orders change
+    # log: exact BIGINT-cents deltas, ONE per-customer window computing
+    # version/lead/running-balance) — in for dsir_importance_weights
+    # (green r7+r8+r9+r10; the data-selection family keeps
+    # weighted_sample_wor and source_mix_weights in-window, and the DSIR
+    # bucket machinery stays pytest-oracle-checked every round)
+    "scd2_history_build",
     "streaming_incremental_dedup",
     # round-11 rotation (twelfth swap): streaming_lm_train — the LM's
     # train-on-ingest twin (17th oracle-bearing streaming entry:

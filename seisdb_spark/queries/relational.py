@@ -1264,3 +1264,141 @@ def except_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p_partkey"))
     )
     return part.subtract(shipped)
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+        SELECT user_id, hour,
+               coalesce(n_events, 0) AS n_events,
+               CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+               last_value(obs_max IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM (
+            SELECT g.user_id, g.hour, o.n_events, o.obs_max
+            FROM (
+                SELECT user_id,
+                       unnest(generate_series(h_min, h_max,
+                                              INTERVAL 1 HOUR)) AS hour
+                FROM (
+                    SELECT user_id,
+                           min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h_min,
+                           max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h_max
+                    FROM events GROUP BY user_id
+                )
+            ) g
+            LEFT JOIN (
+                SELECT user_id,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                       count(*) AS n_events,
+                       max(value) AS obs_max
+                FROM events GROUP BY 1, 2
+            ) o USING (user_id, hour)
+        )
+    """,
+    doc="TIME-SERIES GAP-FILL + LOCF (the resample/interpolate class — the "
+    "reference has no time-series surface at all; its step grid is dense by "
+    "construction, DSGT.py:98-115, so gaps cannot exist there — this is the "
+    "operator a sparse event stream needs before any per-step pipeline can "
+    "run): generate each user's dense hourly grid between their first and "
+    "last active hour (sequence + explode — grid size is the sum of active "
+    "SPANS, bounded by time, never by event count, so a hot user cannot "
+    "blow it up), left-join the observed per-hour aggregates, and fill "
+    "silent hours by last-observation-carried-forward (last(ignorenulls) "
+    "over the per-user hour order). Every carried value is order-"
+    "independent (count, max, a copied double — no float summation), so "
+    "the result hash-matches the oracle exactly. Scale shape: one shuffle "
+    "collapses events to (user, hour) groups; the grid derives from a "
+    "user-sized min/max aggregate; the LOCF window partitions by user — "
+    "no global sort, no Python boundary, and the leading grid cell always "
+    "holds an observation (the grid starts at each user's first active "
+    "hour), so the fill is total by construction.",
+    bench=True,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    obs = events.groupBy("user_id", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("obs_max"),
+    )
+    grid = (
+        events.groupBy("user_id")
+        .agg(F.min(hour).alias("h_min"), F.max(hour).alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(h_min, h_max, INTERVAL 1 HOUR)")
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(obs, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.last("obs_max", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "scd2_history_build",
+    oracle="""
+        SELECT o_custkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+               ) AS BIGINT) AS version,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+               ) AS valid_to,
+               CAST(sum(delta_cents) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS balance_cents
+        FROM (
+            SELECT o_custkey, o_orderdate,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
+            FROM orders GROUP BY 1, 2
+        )
+    """,
+    doc="SCD2 HISTORY BUILD (the MERGE/upsert class — slowly-changing-"
+    "dimension type-2 intervals from a change log; absent in the reference, "
+    "whose sink is append-only, DSGT.py:118): each customer's orders are a "
+    "balance change stream; the history row for change-point d is valid "
+    "[d, next change point) with the then-current cumulative balance, the "
+    "open row carrying valid_to NULL. Deltas are quantized to exact BIGINT "
+    "cents BEFORE any summation, so the running balance is an integer sum "
+    "— order-free and bit-identical across engines (the float-sum drift "
+    "trap every SCD2 on money avoids the same way). Scale shape: one "
+    "combiner-friendly shuffle collapses orders to (cust, date) deltas; "
+    "version/lead/running-sum share ONE per-customer window partitioning; "
+    "no global sort — the classic CDC-to-warehouse compaction, expressed "
+    "as two window functions instead of an iterative MERGE loop.",
+    bench=True,
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    deltas = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "delta_cents"
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return deltas.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.sum("delta_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("balance_cents"),
+    )

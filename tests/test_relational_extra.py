@@ -4,7 +4,7 @@ oracle-checked: approx_count_distinct accuracy and theta-join plan shape."""
 from __future__ import annotations
 
 from seisdb_spark.queries.registry import REGISTRY
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
 
 
 def test_approx_distinct_accuracy(spark, duck):
@@ -150,3 +150,111 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_timeseries_gapfill_planted_locf(spark, tmp_path):
+    """Planted series: user 1 observes hours 0 and 3 -> a 4-row grid with
+    hours 1-2 as gaps carrying hour-0's value forward; user 2 observes one
+    hour -> a 1-row grid with no gaps.  Two same-hour events collapse to
+    one grid row with n_events=2 and obs max."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:10:00",
+            "2024-01-01 00:40:00",
+            "2024-01-01 03:05:00",
+            "2024-01-02 12:30:00",
+        ]
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": ts,
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["click"] * 4,
+            "value": [5.0, 4.0, 7.0, 9.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    src = tmp_path / "sf_planted"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    got = (
+        REGISTRY["timeseries_gapfill"]
+        .spark(spark, str(src))
+        .toPandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5  # user 1: hours 0..3; user 2: one hour
+    u1 = got[got.user_id == 1]
+    assert list(u1.n_events) == [2, 0, 0, 1]
+    assert list(u1.is_gap) == [0, 1, 1, 0]
+    # LOCF: the two gap hours carry hour-0's MAX (5.0), hour 3 its own
+    assert list(u1.filled_value) == [5.0, 5.0, 5.0, 7.0]
+    u2 = got[got.user_id == 2]
+    assert list(u2.n_events) == [1] and list(u2.filled_value) == [9.0]
+
+
+def test_timeseries_gapfill_grid_invariants(spark):
+    """On real data: per-user grids are dense and contiguous (row count ==
+    span hours), the fill is total (no nulls — the grid starts at each
+    user's first active hour), and non-gap rows recompute from events."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+    from seisdb_spark.sources.tables import load_table
+
+    got = REGISTRY["timeseries_gapfill"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert got.filled_value.notna().all()
+    ev = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    ev["hour"] = ev.ts.dt.floor("h")
+    for uid, g in got.groupby("user_id"):
+        span = int((g.hour.max() - g.hour.min()).total_seconds() // 3600) + 1
+        assert len(g) == span, uid
+        assert g.hour.is_unique
+    obs = ev.groupby(["user_id", "hour"]).agg(
+        n=("value", "size"), mx=("value", "max")
+    )
+    nz = got[got.is_gap == 0].set_index(["user_id", "hour"])
+    assert (nz.n_events == obs.n).all() and (nz.filled_value == obs.mx).all()
+    assert (got[got.is_gap == 1].n_events == 0).all()
+
+
+def test_scd2_history_invariants(spark):
+    """SCD2 contract on real data: per customer the versions are 1..n,
+    valid_from strictly increases, intervals tile exactly (valid_to ==
+    next valid_from, one open row), and the running balance recomputes
+    from the orders change log in exact integer cents."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+    from seisdb_spark.sources.tables import load_table
+
+    got = (
+        REGISTRY["scd2_history_build"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .sort_values(["o_custkey", "version"])
+    )
+    orders = load_table(spark, SMOKE_SF_DIR, "orders").toPandas()
+    orders["cents"] = (orders.o_totalprice * 100).round().astype("int64")
+    want = (
+        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .cents.sum()
+        .sort_values(["o_custkey", "o_orderdate"])
+    )
+    want["bal"] = want.groupby("o_custkey").cents.cumsum()
+    assert len(got) == len(want)
+    for cust, g in got.groupby("o_custkey"):
+        assert list(g.version) == list(range(1, len(g) + 1))
+        assert g.valid_from.is_monotonic_increasing and g.valid_from.is_unique
+        # intervals tile: valid_to is the NEXT valid_from; last row open
+        assert g.valid_to.iloc[:-1].tolist() == g.valid_from.iloc[1:].tolist()
+        assert pd.isna(g.valid_to.iloc[-1])
+    w = want.set_index(["o_custkey", "o_orderdate"])
+    gi = got.set_index(["o_custkey", "valid_from"])
+    assert (gi.balance_cents == w.bal).all()

@@ -310,6 +310,19 @@ STRESS_QUERIES = {
         and not has_node(p, "HashJoin")
         and not has_node(p, "Window")
     ),
+    # Z-order layout gate: binning is row-local against broadcast 1-row
+    # bounds (BroadcastNestedLoopJoin with a single-row side — never a
+    # cartesian of real extents); the only corpus-keyed exchange is the
+    # (layout, bucket) zone-map combiner aggregate (<= 128 groups), the
+    # probe joins carry 3-row broadcast sides, and nothing may flip to a
+    # global sort or a Python boundary at any scale
+    "zorder_layout_gate": lambda p: (
+        has_node(p, "BroadcastNestedLoopJoin")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "SortMergeJoin")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
