@@ -371,8 +371,27 @@ DRIVER_WINDOW: list[str] = [
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
     "repeated_passage_spans",
-    "semantic_dedup",
-    "sessionize_events",
+    # round-11 rotation (eighteenth swap): streaming_scd2_build — the
+    # MERGE/upsert class's scan-once-at-ingest form (20th oracle-bearing
+    # streaming entry: per-microbatch (cust, date) BIGINT-cents delta
+    # partials from the SAME scd2_deltas stage, addition-merged — split-
+    # invariant; the log is the state, the interval build a deterministic
+    # compaction; shares the batch build's oracle) — in for semantic_dedup
+    # (green r6-r10, rotation-eligible; the dedup family keeps
+    # d1_first_occurrence_dedup, editdist_neardup_join,
+    # streaming_incremental_dedup and curation_keep_set — whose oracle
+    # composes the same clustering closure — in-window)
+    "streaming_scd2_build",
+    # round-11 rotation (nineteenth swap): pointintime_balance_lookup —
+    # the temporal/point-in-time join class (dimension-as-of-event-time
+    # enrichment: the oracle is the literal LEFT interval join, the
+    # engine the window-merge union form — one custkey shuffle, row
+    # count changes+probes, never their product) — in for
+    # sessionize_events (green r1-r3+r6-r10; the events/window family
+    # keeps asof_last_click_before_purchase and timeseries_gapfill
+    # in-window, and sessionization stays covered by the streaming
+    # sessionize batch-equivalence pytest every round)
+    "pointintime_balance_lookup",
     # --- round-6 additions: first driver rows for the retrieval/model-
     # --- inference surface (BM25 search, quality-classifier inference,
     # --- vocabulary induction, corpus data card), in place of

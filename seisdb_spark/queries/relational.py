@@ -1386,11 +1386,24 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    deltas = orders.groupBy("o_custkey", "o_orderdate").agg(
+    return scd2_intervals(scd2_deltas(orders))
+
+
+def scd2_deltas(orders: DataFrame) -> DataFrame:
+    """Change-log compaction: exact BIGINT-cents deltas per (customer,
+    change date).  Shared by the batch build and the streaming twin —
+    integer addition is split-invariant, so per-microbatch partials
+    produced by this same function merge to the identical table."""
+    return orders.groupBy("o_custkey", "o_orderdate").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
             "delta_cents"
         )
     )
+
+
+def scd2_intervals(deltas: DataFrame) -> DataFrame:
+    """The SCD2 compaction: version / validity interval / running balance
+    in ONE window over one per-customer sort."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     return deltas.select(
         "o_custkey",
@@ -1401,4 +1414,107 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint")
         .alias("balance_cents"),
+    )
+
+
+@query(
+    "pointintime_balance_lookup",
+    oracle="""
+        WITH deltas AS (
+            SELECT o_custkey, o_orderdate,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
+            FROM orders GROUP BY 1, 2
+        ), dim AS (
+            SELECT o_custkey, o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                   ) AS valid_to,
+                   CAST(sum(delta_cents) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS balance_cents
+            FROM deltas
+        ), probes AS (
+            SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+                   l.l_shipdate AS ship_ts
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT p.l_orderkey, p.l_linenumber, p.o_custkey, p.ship_ts,
+               d.balance_cents
+        FROM probes p LEFT JOIN dim d
+          ON p.o_custkey = d.o_custkey
+         AND d.valid_from <= p.ship_ts
+         AND (d.valid_to IS NULL OR p.ship_ts < d.valid_to)
+    """,
+    doc="POINT-IN-TIME TEMPORAL JOIN (the dimension-as-of-event-time "
+    "enrichment every SCD2 dim exists to serve): each lineitem shipment "
+    "looks up its customer's balance valid AT ship time.  The oracle is "
+    "the literal interval join (valid_from <= ts < valid_to) — the Spark "
+    "plan deliberately is NOT: an interval join shuffles no better than a "
+    "range join and explodes on hot customers, so the engine uses the "
+    "WINDOW-MERGE formulation (the asof_last_click pattern): union the "
+    "change rows and the probe rows into one stream keyed by customer, "
+    "sort (ts, is_probe) — changes at a timestamp apply before probes at "
+    "the same timestamp, giving the inclusive valid_from semantics — and "
+    "carry the last seen balance forward; probes then filter out with "
+    "their balance attached.  ONE shuffle on custkey + a partition-local "
+    "sort replaces the pairwise interval match; row count is changes + "
+    "probes, never their product.  A probe shipping before its "
+    "customer's first change point carries NULL (the driver testdata "
+    "does not enforce ship-after-order), so both forms preserve every "
+    "probe: the oracle is a LEFT interval join, the window form a "
+    "total fill.  The probe-side orderkey equi-join is the one "
+    "unavoidable fact-fact join; at 100 TB both sides bucket on "
+    "orderkey (sources/tables.py write_bucketed) to make it "
+    "exchange-free.",
+    bench=True,
+)
+def pointintime_balance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    deltas = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "delta_cents"
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changes = deltas.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.sum("delta_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("bal"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("bigint").alias("l_linenumber"),
+    )
+    probes = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            F.col("l_shipdate").alias("ts"),
+            F.lit(1).alias("is_probe"),
+            F.lit(None).cast("bigint").alias("bal"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wm = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = changes.unionByName(probes).withColumn(
+        "balance_cents", F.last("bal", ignorenulls=True).over(wm)
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("ts").alias("ship_ts"),
+        "balance_cents",
     )

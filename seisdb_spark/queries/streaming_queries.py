@@ -1547,3 +1547,83 @@ def _share_zm_oracle() -> None:
 
 
 _share_zm_oracle()
+
+
+@query(
+    "streaming_scd2_build",
+    oracle=None,  # set below: shares the batch build's SQL
+    doc="STREAMING SCD2 BUILD (20th oracle-bearing streaming entry — the "
+    "MERGE/upsert class's scan-once-at-ingest form): each arriving "
+    "orders microbatch is compacted to its (customer, change date) "
+    "BIGINT-cents delta partials by the SAME scd2_deltas stage the batch "
+    "build uses and appended to a persisted change-log table "
+    "(batch_id-derived overwrite paths — idempotent under checkpoint "
+    "replays); the SCD2 intervals are then compacted from the MERGED "
+    "partials.  Integer addition is associative and exact, so microbatch "
+    "boundaries provably cannot change a single interval or balance and "
+    "the oracle is the batch build's SQL verbatim.  This is the honest "
+    "production shape for CDC-to-warehouse: the LOG is the streaming "
+    "state (kilobyte delta partials per batch, never the raw fact "
+    "stream), and the interval build is a deterministic compaction any "
+    "consumer can re-run from the merged log.",
+)
+def streaming_scd2_build(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.relational import scd2_deltas, scd2_intervals
+    from seisdb_spark.streaming import read_orders_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_scd2_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    log_dir = os.path.join(out_dir, "changelog")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        (
+            scd2_deltas(bdf)
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(log_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.sum("delta_cents").alias("delta_cents"))
+    )
+    return scd2_intervals(partials)
+
+
+# stream==batch equivalence: integer delta partials addition-merge to the
+# batch change log exactly (QuerySpec is frozen; replace the registry entry).
+def _share_scd2_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_scd2_build"] = replace(
+        REGISTRY["streaming_scd2_build"],
+        oracle=REGISTRY["scd2_history_build"].oracle,
+    )
+
+
+_share_scd2_oracle()

@@ -500,3 +500,22 @@ def novelty_probe(
     return spark.read.schema(
         "doc_id long, n_shingles long, n_novel long, novelty double"
     ).parquet(os.path.join(scores_dir, "batch-*"))
+
+
+def read_orders_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the orders table — the arriving change-log
+    side of the streaming SCD2 build.  The stream schema is the BATCH-
+    resolved schema of the same files (one footer probe), never a
+    hard-coded one: a user-supplied schema on a file stream is not
+    validated against the footers, so a drifted physical layout (the
+    events.ts lesson) would be a silent-wrong-answer bug here too."""
+    path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )

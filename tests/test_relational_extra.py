@@ -258,3 +258,55 @@ def test_scd2_history_invariants(spark):
     w = want.set_index(["o_custkey", "o_orderdate"])
     gi = got.set_index(["o_custkey", "valid_from"])
     assert (gi.balance_cents == w.bal).all()
+
+
+def test_pointintime_lookup_matches_pandas_asof(spark):
+    """The window-merge temporal join recomputes via a pandas merge_asof
+    per customer: each probe's balance is the change log's cumulative sum
+    at the last change date <= ship date (NULL before the first change)."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+    from seisdb_spark.sources.tables import load_table
+
+    got = (
+        REGISTRY["pointintime_balance_lookup"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+    )
+    orders = load_table(spark, SMOKE_SF_DIR, "orders").toPandas()
+    line = load_table(spark, SMOKE_SF_DIR, "lineitem").toPandas()
+    orders["cents"] = (orders.o_totalprice * 100).round().astype("int64")
+    log = (
+        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .cents.sum()
+        .sort_values(["o_orderdate", "o_custkey"])
+    )
+    log["bal"] = log.groupby("o_custkey").cents.cumsum()
+    probes = line.merge(
+        orders[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    ).sort_values(["l_shipdate", "o_custkey"])
+    want = pd.merge_asof(
+        probes,
+        log.rename(columns={"o_orderdate": "l_shipdate"}),
+        on="l_shipdate",
+        by="o_custkey",
+        direction="backward",
+    )
+    assert len(got) == len(want)
+    # duplicate (orderkey, linenumber) pairs exist in the synthetic data;
+    # duplicates carry identical balances, so positional compare after a
+    # full sort is exact
+    keys = ["l_orderkey", "l_linenumber", "balance_cents"]
+    g = got[keys].sort_values(keys).reset_index(drop=True)
+    w = (
+        want.rename(columns={"bal": "balance_cents"})[keys]
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    # the NULL band is real on this data (ship-before-first-order rows)
+    assert got.balance_cents.isna().any()
+    assert got.balance_cents.notna().any()

@@ -787,3 +787,39 @@ def test_zone_maps_stream_split_matches_batch_gate(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "zonemaps"))) == 3
     assert len(os.listdir(os.path.join(out, "matched"))) == 3
+
+
+def test_scd2_stream_split_matches_batch_build(spark, tmp_path):
+    """The streamed SCD2 build over orders split into 3 files (3 genuine
+    microbatches) must produce the SAME interval table as the batch build
+    over the unsplit table: per-batch (customer, date) delta partials are
+    exact integers, addition is associative, so the merged change log —
+    and every version/interval/balance compacted from it — is split-
+    invariant.  A customer whose orders land in different microbatches is
+    the case that matters; o_orderkey % 3 splitting guarantees many."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_scd2_build
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "orders").toPandas()
+    pdf["o_orderdate"] = pdf.o_orderdate.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.o_orderkey % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/orders.parquet", index=False)
+    # the split must actually scatter some customer across batches
+    assert (pdf.groupby("o_custkey").o_orderkey.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    out = str(tmp_path / "scd2_stream")
+    got = _sorted(
+        streaming_scd2_build(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["scd2_history_build"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "changelog"))) == 3
