@@ -221,11 +221,18 @@ DRIVER_WINDOW: list[str] = [
     # replaced dedup_cluster_components, whose recursive-CTE oracle is
     # composed verbatim inside keep_best's.)
     "zorder_layout_gate",
-    # round-7 late rotation: editdist_neardup_join (record-linkage verify:
-    # LSH blocking + prefix-Levenshtein gate) in for dedup_incremental_probe
-    # (green r4+r5+r6; the incremental-probe machinery stays in-window via
-    # streaming_incremental_dedup, which carries the batch twin's oracle)
-    "editdist_neardup_join",
+    # round-11 rotation (twentieth swap): streaming_gapfill — the
+    # time-series class's scan-once-at-ingest form (21st oracle-bearing
+    # streaming entry: per-microbatch (user, hour) count/max partials
+    # from the SAME gapfill_obs stage, addition/max-merged — split-
+    # invariant; LOCF is NOT split-computable, which is exactly why the
+    # streamed state is the observation log and the fill a deterministic
+    # compaction; shares the batch query's oracle) — in for
+    # editdist_neardup_join (green r7+r8+r9+r10; the dedup family keeps
+    # d1_first_occurrence_dedup, streaming_incremental_dedup and
+    # curation_keep_set in-window, and the LSH-blocked Levenshtein
+    # verify stays pytest-oracle-checked every round)
+    "streaming_gapfill",
     "doc_winnowing_fingerprints",
     # round-11 rotation (r10 verdict item #1): bpe_apply_tokenize — the
     # BPE train->apply tokenize step (now routed through the merge-count

@@ -1319,14 +1319,29 @@ def except_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return gapfill_from_obs(gapfill_obs(events))
+
+
+def gapfill_obs(events: DataFrame) -> DataFrame:
+    """Observed-hour compaction: per-(user, hour) count and max.  Shared
+    by the batch query and the streaming twin — count merges by addition
+    and max by max, both split-invariant, so per-microbatch partials
+    produced by this same function merge to the identical table."""
     hour = F.date_trunc("hour", F.col("ts"))
-    obs = events.groupBy("user_id", hour.alias("hour")).agg(
+    return events.groupBy("user_id", hour.alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("value").alias("obs_max"),
     )
+
+
+def gapfill_from_obs(obs: DataFrame) -> DataFrame:
+    """Grid + LOCF compaction from the observed-hour table: a
+    deterministic function of the (merged) obs rows — the grid bounds
+    are per-user min/max OF THE OBS TABLE, so batch and streaming forms
+    cannot disagree."""
     grid = (
-        events.groupBy("user_id")
-        .agg(F.min(hour).alias("h_min"), F.max(hour).alias("h_max"))
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("h_min"), F.max("hour").alias("h_max"))
         .select(
             "user_id",
             F.explode(

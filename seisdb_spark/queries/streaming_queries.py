@@ -1627,3 +1627,89 @@ def _share_scd2_oracle() -> None:
 
 
 _share_scd2_oracle()
+
+
+@query(
+    "streaming_gapfill",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING GAP-FILL MAINTENANCE (21st oracle-bearing streaming "
+    "entry — the time-series class's scan-once-at-ingest form): each "
+    "arriving events microbatch is compacted to its per-(user, hour) "
+    "count/max partials by the SAME gapfill_obs stage the batch query "
+    "uses and appended to a persisted observation table (batch_id-"
+    "derived overwrite paths — idempotent under checkpoint replays); "
+    "the dense grid and LOCF fill are then compacted from the MERGED "
+    "partials.  Counts merge by addition and maxima by max — both "
+    "associative and exact — and the grid bounds derive from the merged "
+    "obs table itself, so microbatch boundaries provably cannot change "
+    "a single filled row and the oracle is the batch query's SQL "
+    "verbatim.  LOCF itself is NOT split-computable (it needs ordered "
+    "history), which is exactly why the streamed state is the "
+    "OBSERVATION log (kilobyte partials per batch), never the filled "
+    "series: the fill is a deterministic compaction any consumer "
+    "re-runs from the log — the scd2/zone-map pattern.",
+)
+def streaming_gapfill(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.relational import gapfill_from_obs, gapfill_obs
+    from seisdb_spark.streaming import read_events_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_gf_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    obs_dir = os.path.join(out_dir, "obs")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        (
+            gapfill_obs(bdf)
+            .write.mode("overwrite")
+            .parquet(os.path.join(obs_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(obs_dir)
+        .groupBy("user_id", "hour")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("obs_max").alias("obs_max"),
+        )
+    )
+    return gapfill_from_obs(merged)
+
+
+# stream==batch equivalence: count/max partials merge exactly, the fill is
+# a deterministic compaction of the merged obs table (QuerySpec frozen;
+# replace the registry entry).
+def _share_gapfill_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_gapfill"] = replace(
+        REGISTRY["streaming_gapfill"],
+        oracle=REGISTRY["timeseries_gapfill"].oracle,
+    )
+
+
+_share_gapfill_oracle()

@@ -823,3 +823,39 @@ def test_scd2_stream_split_matches_batch_build(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "changelog"))) == 3
+
+
+def test_gapfill_stream_split_matches_batch(spark, tmp_path):
+    """The streamed gap-fill over events split into 3 files (3 genuine
+    microbatches) must produce the SAME filled series as the batch query
+    over the unsplit table: per-batch (user, hour) count/max partials
+    merge exactly (addition / max), and the grid + LOCF compaction is a
+    deterministic function of the merged observation table.  A user whose
+    observed hours land in different microbatches — changing which batch
+    sees their min/max hour — is the case that matters; event_id % 3
+    splitting guarantees many."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_gapfill
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.event_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/events.parquet", index=False)
+    assert (pdf.groupby("user_id").event_id.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    out = str(tmp_path / "gf_stream")
+    got = _sorted(
+        streaming_gapfill(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["timeseries_gapfill"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "obs"))) == 3

@@ -310,6 +310,37 @@ STRESS_QUERIES = {
         and not has_node(p, "HashJoin")
         and not has_node(p, "Window")
     ),
+    # time-series gap-fill: the grid explode is bounded by per-user
+    # active spans; the obs/grid join and LOCF window share the user
+    # key family — never a cartesian, never a global range sort, never
+    # a Python boundary
+    "timeseries_gapfill": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # SCD2 build: one combiner-friendly (cust, date) exchange + one
+    # cust exchange feeding a SINGLE Window node (partition-local sort
+    # only — a rangepartitioning here would mean the per-customer sort
+    # degenerated to a global one)
+    "scd2_history_build": lambda p: (
+        has_node(p, "Window")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # point-in-time lookup: the window-merge union must never become a
+    # pairwise interval match (no cartesian, no nested-loop of real
+    # extents); the orderkey probe join is the one fact-fact equi-join
+    # (SMJ/SHJ both acceptable — AQE decides); the as-of fill is a
+    # partition-local sort under ONE custkey window
+    "pointintime_balance_lookup": lambda p: (
+        has_node(p, "Window")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "NestedLoopJoin")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
@@ -446,6 +477,54 @@ def _gen_events(ev: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def _gen_orders(orders: DataFrame, factor: int) -> DataFrame:
+    """Replica r offsets order and customer ids by r*ID_OFFSET and keeps
+    every date: the customer POPULATION scales while each customer's
+    change-log size stays constant — the regime the SCD2/point-in-time
+    window claims are about (per-partition state must not grow with
+    corpus size)."""
+    parts = [orders]
+    for r in range(1, factor):
+        parts.append(
+            orders.select(
+                (F.col("o_orderkey") + r * ID_OFFSET).alias("o_orderkey"),
+                (F.col("o_custkey") + r * ID_OFFSET).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    out = parts[0].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _gen_lineitem(line: DataFrame, factor: int) -> DataFrame:
+    """Replica r re-keys l_orderkey in lockstep with _gen_orders, so every
+    scaled lineitem still joins its (scaled) order."""
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_shipdate", "l_linestatus",
+    ]
+    parts = [line]
+    for r in range(1, factor):
+        parts.append(
+            line.select(
+                (F.col("l_orderkey") + r * ID_OFFSET).alias("l_orderkey"),
+                *cols[1:],
+            )
+        )
+    out = parts[0].select(*cols)
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _gen_documents_richvocab(docs: DataFrame, factor: int) -> DataFrame:
     """The scaled corpus with every word suffixed _d{doc_id % 4096}: a
     per-doc-class bijection on tokens, so distinct-word count multiplies by
@@ -477,6 +556,8 @@ def generate(
         "documents": _gen_documents,
         "embeddings": _gen_embeddings,
         "events": _gen_events,
+        "orders": _gen_orders,
+        "lineitem": _gen_lineitem,
     }
     if tables is not None:
         gens = {n: g for n, g in gens.items() if n in tables}
