@@ -337,7 +337,15 @@ DRIVER_WINDOW: list[str] = [
     # twins in-window, and the quantile gate stays pytest-oracle-
     # checked every round)
     "streaming_cm_rollup",
-    "vocab_coverage_32k",
+    # round-11 rotation (twenty-first swap): funnel_conversion_steps —
+    # the ordered-sequence funnel class (oracle = the textbook 3-stage
+    # CTE chain; engine = ONE user-keyed exchange with a greedy
+    # (depth, ts)-state aggregate() fold, strict-inequality tie
+    # semantics pinned by a planted test) — in for vocab_coverage_32k
+    # (green r7+r8+r9+r10; the vocabulary machinery stays pytest-
+    # oracle-checked via vocab_coverage and the tokenizer family keeps
+    # bpe_apply_tokenize in-window)
+    "funnel_conversion_steps",
     "curation_keep_set",
     # round-10 rotation: streaming_hll_rollup — per-microbatch HLL sketch
     # maintenance (the 11th oracle-bearing streaming entry: raw text

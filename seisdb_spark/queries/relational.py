@@ -1533,3 +1533,83 @@ def pointintime_balance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ship_ts"),
         "balance_cents",
     )
+
+
+@query(
+    "funnel_conversion_steps",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ), t1 AS (
+            SELECT user_id, min(ts) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM ev e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY e.user_id
+        ), t3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM ev e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST((SELECT count(*) FROM t1) AS BIGINT) AS users_reached
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+    """,
+    doc="FUNNEL ANALYSIS (ordered-sequence conversion — the product-"
+    "analytics class windows/sessionize don't cover): how many users "
+    "progressed view -> click -> purchase IN TIMESTAMP ORDER.  The oracle "
+    "is the textbook 3-stage CTE chain (earliest view, earliest LATER "
+    "click, earliest later purchase — each stage a join + re-aggregate); "
+    "the engine computes the identical counts in ONE exchange: per-user "
+    "events are collected once (sort_array over (ts, event_id, type) "
+    "structs), and a single aggregate() fold walks them carrying (depth, "
+    "ts-at-depth) state, advancing on the first qualifying STRICTLY-LATER "
+    "event.  Greedy earliest-match is optimal for subsequence matching, "
+    "so the fold's depth equals the CTE chain's reach exactly — including "
+    "timestamp ties, because the fold compares e.ts > state.ts with the "
+    "same strict inequality instead of trusting sort order.  Scale shape: "
+    "one user-keyed shuffle + a 1-row final aggregate; the per-user array "
+    "is session-sized (the hot-user caveat is documented: a user with "
+    "millions of events needs the sessionized variant, not a bigger "
+    "buffer).  3-row output.",
+    bench=True,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fold = """
+        aggregate(
+            sort_array(collect_list(struct(ts, event_id, event_type))),
+            named_struct('depth', 0, 'last', CAST(NULL AS TIMESTAMP)),
+            (s, e) -> CASE
+                WHEN s.depth = 0 AND e.event_type = 'view'
+                    THEN named_struct('depth', 1, 'last', e.ts)
+                WHEN s.depth = 1 AND e.event_type = 'click' AND e.ts > s.last
+                    THEN named_struct('depth', 2, 'last', e.ts)
+                WHEN s.depth = 2 AND e.event_type = 'purchase' AND e.ts > s.last
+                    THEN named_struct('depth', 3, 'last', e.ts)
+                ELSE s END,
+            s -> s.depth)
+    """
+    depths = events.groupBy("user_id").agg(F.expr(fold).alias("depth"))
+    counts = depths.agg(
+        *[
+            F.sum((F.col("depth") >= k).cast("bigint")).alias(f"s{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    return counts.select(
+        F.expr(
+            "explode(array("
+            "named_struct('step', 1, 'step_name', 'view', 'users_reached', s1),"
+            "named_struct('step', 2, 'step_name', 'click', 'users_reached', s2),"
+            "named_struct('step', 3, 'step_name', 'purchase', 'users_reached', s3)"
+            "))"
+        ).alias("r")
+    ).select("r.step", "r.step_name", "r.users_reached")

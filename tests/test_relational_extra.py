@@ -310,3 +310,45 @@ def test_pointintime_lookup_matches_pandas_asof(spark):
     # the NULL band is real on this data (ship-before-first-order rows)
     assert got.balance_cents.isna().any()
     assert got.balance_cents.notna().any()
+
+
+def test_funnel_planted_order_sensitivity(spark, tmp_path):
+    """Planted funnel cases: user 1 completes in order; user 2 has all
+    three types but the purchase PRECEDES the click (depth stops at 2);
+    user 3 has a click/view timestamp TIE — the strict ts > comparison
+    must not let the same-instant click count; user 4 never views."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    rows = [
+        (1, "view", "2024-01-01 00:00"), (2, "click", "2024-01-01 01:00"),
+        (3, "purchase", "2024-01-01 02:00"),
+        (4, "purchase", "2024-01-02 00:00"), (5, "view", "2024-01-02 01:00"),
+        (6, "click", "2024-01-02 02:00"),
+        (7, "view", "2024-01-03 00:00"), (8, "click", "2024-01-03 00:00"),
+        (9, "click", "2024-01-04 00:00"), (10, "purchase", "2024-01-04 01:00"),
+    ]
+    users = [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+            "user_id": users,
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    src = tmp_path / "sf_funnel"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    got = {
+        r.step_name: r.users_reached
+        for r in REGISTRY["funnel_conversion_steps"]
+        .spark(spark, str(src))
+        .collect()
+    }
+    # views: users 1, 2, 3; later clicks: 1 and 2 (user 3's click ties the
+    # view's timestamp and must NOT count); purchases after that: only 1
+    assert got == {"view": 3, "click": 2, "purchase": 1}

@@ -356,6 +356,15 @@ STRESS_QUERIES = {
     ),
 }
 
+#: Queries whose RESULT row count scales with the corpus (everything else
+#: returns gates/top-ks/group summaries): timed via the noop sink, never
+#: collected to the driver (see time_query).
+OUTPUT_UNBOUNDED = {
+    "timeseries_gapfill",
+    "scd2_history_build",
+    "pointintime_balance_lookup",
+}
+
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
 #: vocab_coverage_32k needs a vocabulary LARGER than V=32768 for the top-V
 #: and broadcast-back claims to be non-vacuous; the driver corpus has only
@@ -509,7 +518,8 @@ def _gen_lineitem(line: DataFrame, factor: int) -> DataFrame:
     scaled lineitem still joins its (scaled) order."""
     cols = [
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_shipdate", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
     ]
     parts = [line]
     for r in range(1, factor):
@@ -603,12 +613,26 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
         spark.__dict__.get("_seisdb_plan_cache", {}).pop((name, sf_dir), None)
         return spec.spark(spark, sf_dir)
 
-    fresh().collect()  # warm-up: codegen + file listing
+    def run(df: "DataFrame") -> None:
+        # gate-style queries return bounded frames — collect() is the
+        # honest full-pipeline action.  Queries whose OUTPUT scales with
+        # the corpus (the gap-fill grid, per-lineitem enrichment rows)
+        # must NOT ship the result to the driver — a 100M-row collect is
+        # a harness OOM, not an operator cost; the noop sink executes
+        # every stage (nothing is pruned: the sink consumes all columns)
+        # and discards rows executor-side, which is also what a real
+        # 100 TB consumer does (writes to storage, never to the driver).
+        if name in OUTPUT_UNBOUNDED:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
+    run(fresh())  # warm-up: codegen + file listing
     times, df = [], None
     for _ in range(n):
         df = fresh()
         t0 = time.time()
-        df.collect()
+        run(df)
         times.append(time.time() - t0)
     return statistics.median(times), final_plan(df)
 
