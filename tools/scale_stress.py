@@ -467,23 +467,30 @@ def _gen_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def _replicas(df: DataFrame, factor: int) -> DataFrame:
+    """One broadcast range cross-join producing a replica-index column r
+    in [0, factor): identical rows to a factor-branch union, but the plan
+    is CONSTANT in factor (a 1000-branch union takes Catalyst minutes to
+    analyze and serializes the write into 1000 tiny jobs — the
+    _gen_documents factor>100 lesson, applied to every table)."""
+    reps = F.broadcast(
+        df.sparkSession.range(factor).select(F.col("id").alias("r"))
+    )
+    return df.crossJoin(reps)
+
+
 def _gen_events(ev: DataFrame, factor: int) -> DataFrame:
-    parts = [ev]
-    for r in range(1, factor):
-        parts.append(
-            ev.select(
-                (F.col("event_id") + r * ID_OFFSET).alias("event_id"),
-                (F.col("ts") + F.expr(f"INTERVAL {r} HOURS")).alias("ts"),
-                (F.col("user_id") + r * ID_OFFSET).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    out = parts[0].select("event_id", "ts", "user_id", "event_type", "value", "props")
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _replicas(ev, factor).select(
+        (F.col("event_id") + F.col("r") * ID_OFFSET).alias("event_id"),
+        (
+            F.col("ts")
+            + F.expr("make_interval(0, 0, 0, 0, r, 0, 0)")
+        ).alias("ts"),
+        (F.col("user_id") + F.col("r") * ID_OFFSET).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def _gen_orders(orders: DataFrame, factor: int) -> DataFrame:
@@ -492,25 +499,14 @@ def _gen_orders(orders: DataFrame, factor: int) -> DataFrame:
     change-log size stays constant — the regime the SCD2/point-in-time
     window claims are about (per-partition state must not grow with
     corpus size)."""
-    parts = [orders]
-    for r in range(1, factor):
-        parts.append(
-            orders.select(
-                (F.col("o_orderkey") + r * ID_OFFSET).alias("o_orderkey"),
-                (F.col("o_custkey") + r * ID_OFFSET).alias("o_custkey"),
-                "o_orderstatus",
-                "o_totalprice",
-                "o_orderdate",
-                "o_orderpriority",
-            )
-        )
-    out = parts[0].select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
+    return _replicas(orders, factor).select(
+        (F.col("o_orderkey") + F.col("r") * ID_OFFSET).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("r") * ID_OFFSET).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
     )
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def _gen_lineitem(line: DataFrame, factor: int) -> DataFrame:
@@ -521,18 +517,10 @@ def _gen_lineitem(line: DataFrame, factor: int) -> DataFrame:
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate",
     ]
-    parts = [line]
-    for r in range(1, factor):
-        parts.append(
-            line.select(
-                (F.col("l_orderkey") + r * ID_OFFSET).alias("l_orderkey"),
-                *cols[1:],
-            )
-        )
-    out = parts[0].select(*cols)
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _replicas(line, factor).select(
+        (F.col("l_orderkey") + F.col("r") * ID_OFFSET).alias("l_orderkey"),
+        *cols[1:],
+    )
 
 
 def _gen_documents_richvocab(docs: DataFrame, factor: int) -> DataFrame:
