@@ -380,7 +380,15 @@ DRIVER_WINDOW: list[str] = [
     # vocab_coverage_32k and the new heavy-hitters row in-window, and
     # the rarity scoring stays pytest-oracle-checked every round)
     "heavy_hitters_gate",
-    "source_mix_weights",
+    # round-11 rotation (twenty-second swap): cohort_retention — the
+    # cohort/retention product-analytics class (signup-month cohorts,
+    # exact integer month-offset arithmetic — months_between() returns a
+    # double and is avoided — all-count outputs; negative pre-signup
+    # offsets excluded, pinned by a planted test) — in for
+    # source_mix_weights (green r6-r10; corpus-summary coverage stays
+    # in-window via the sketch rollups and hist_quantile_rollup, and
+    # the mixture-reweighting machinery stays pytest-oracle-checked)
+    "cohort_retention",
     "multimodal_decode_features",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)

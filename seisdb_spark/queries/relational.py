@@ -1613,3 +1613,79 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "))"
         ).alias("r")
     ).select("r.step", "r.step_name", "r.users_reached")
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   date_trunc('month', CAST(ts AS TIMESTAMP)) AS m
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, min(m) AS cohort_month FROM ev
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, m FROM ev
+        ), offsets AS (
+            SELECT c.cohort_month,
+                   (year(a.m) * 12 + month(a.m))
+                   - (year(c.cohort_month) * 12 + month(c.cohort_month))
+                       AS month_offset,
+                   a.user_id
+            FROM activity a JOIN cohorts c USING (user_id)
+        )
+        SELECT o.cohort_month, o.month_offset,
+               count(DISTINCT o.user_id) AS n_active,
+               max(s.n_cohort) AS n_cohort
+        FROM offsets o
+        JOIN (
+            SELECT cohort_month, count(*) AS n_cohort
+            FROM cohorts GROUP BY cohort_month
+        ) s USING (cohort_month)
+        WHERE o.month_offset >= 0
+        GROUP BY o.cohort_month, o.month_offset
+    """,
+    doc="COHORT RETENTION (the second classic product-analytics class "
+    "next to the funnel): users are cohorted by the month of their first "
+    "'signup' event; a cohort member counts as retained at offset k if "
+    "they have ANY event k calendar months later.  Month offsets are "
+    "exact integer arithmetic (year*12+month differences on truncated "
+    "months — months_between() returns a double and is avoided), and "
+    "every output is a count, so the result hashes identically across "
+    "engines.  Negative offsets (activity before the signup month — "
+    "present in this data) are excluded symmetrically in both forms.  "
+    "Scale shape: the corpus collapses to DISTINCT (user, month) pairs "
+    "in one exchange before any join; the cohort table is user-sized; "
+    "the final aggregate is cohort x offset (tiny).  No window, no "
+    "sort, no Python.",
+    bench=True,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.date_trunc("month", F.col("ts"))
+    ev = events.select("user_id", "event_type", m.alias("m"))
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("m").alias("cohort_month"))
+    )
+    activity = ev.select("user_id", "m").distinct()
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    offsets = activity.join(cohorts, "user_id").select(
+        "cohort_month",
+        (midx(F.col("m")) - midx(F.col("cohort_month"))).alias("month_offset"),
+        "user_id",
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        offsets.filter(F.col("month_offset") >= 0)
+        .join(sizes, "cohort_month")
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+        )
+    )

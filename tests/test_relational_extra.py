@@ -352,3 +352,44 @@ def test_funnel_planted_order_sensitivity(spark, tmp_path):
     # views: users 1, 2, 3; later clicks: 1 and 2 (user 3's click ties the
     # view's timestamp and must NOT count); purchases after that: only 1
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_planted(spark, tmp_path):
+    """Planted cohorts: user 1 signs up in Jan and is active Jan+Mar
+    (offsets 0 and 2, not 1); user 2 signs up in Feb, active Feb only;
+    user 3 never signs up (excluded); user 4 signs up in Feb and has
+    PRE-signup January activity (negative offset — must be excluded)."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    rows = [
+        (1, 1, "signup", "2024-01-05"), (2, 1, "click", "2024-01-20"),
+        (3, 1, "view", "2024-03-02"),
+        (4, 2, "signup", "2024-02-10"), (5, 2, "click", "2024-02-11"),
+        (6, 3, "click", "2024-01-15"),
+        (7, 4, "view", "2024-01-25"), (8, 4, "signup", "2024-02-03"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    src = tmp_path / "sf_cohort"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    got = {
+        (str(r.cohort_month)[:7], r.month_offset): (r.n_active, r.n_cohort)
+        for r in REGISTRY["cohort_retention"].spark(spark, str(src)).collect()
+    }
+    assert got == {
+        ("2024-01", 0): (1, 1),  # user 1 in Jan
+        ("2024-01", 2): (1, 1),  # user 1 returns in Mar; no offset-1 row
+        ("2024-02", 0): (2, 2),  # users 2 and 4 in Feb; user 4's Jan
+                                 # activity (offset -1) is excluded
+    }
