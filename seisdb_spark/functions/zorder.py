@@ -130,6 +130,11 @@ def grid_bounds(df: DataFrame, xcol: str, ycol: str) -> tuple:
     r = df.agg(
         F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
     ).collect()[0]
+    if any(v is None for v in r):
+        raise ValueError(
+            "grid_bounds: empty table (or all-null layout dims) — a grid "
+            "cannot be published from no data"
+        )
     return (int(r[0]), int(r[1]), int(r[2]), int(r[3]))
 
 
@@ -140,6 +145,11 @@ def grid_bins_fixed(
     ``_bin_sql`` formula, so rows bin the same whether bounds came from
     the same frame's aggregate or from the published grid."""
     xlo, xhi, ylo, yhi = (int(v) for v in bounds)
+    if xhi < xlo or yhi < ylo:
+        raise ValueError(
+            f"grid_bins_fixed: inverted bounds {bounds} — a negative grid "
+            "extent would bin silently wrong"
+        )
     return df.select(
         "*",
         F.expr(_bin_sql(xcol, str(xlo), str(xhi))).alias("bx"),

@@ -256,7 +256,18 @@ DRIVER_WINDOW: list[str] = [
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means
     # --- smoke, in place of knn_cosine_labeled / dedup_jaccard_pairs /
     # --- training_shard_manifest (each green r4+r5+r6, families covered) --
-    "bm25_multiquery",
+    # round-11 rotation (twenty-third swap): streaming_cohort_retention
+    # — the retention class's scan-once-at-ingest form (22nd oracle-
+    # bearing streaming entry: per-microbatch signup-month min-partials
+    # + distinct (user, month) activity pairs, min/set-union-merged —
+    # both associative; the retention table is a deterministic
+    # compaction of the merged partials; shares the batch query's
+    # oracle) — in for bm25_multiquery (green r7+r8+r9+r10, x1000-
+    # certified ratio 48.3 in BENCH_SCALE_x1000.json; the retrieval
+    # family keeps pq_recall_eval and mrl_pq_adc_topk in-window, and
+    # the BM25 CTE stack stays composed verbatim inside
+    # hybrid_rrf_topk's pytest-checked oracle)
+    "streaming_cohort_retention",
     # round-10 rotation: hll_sketch_rollup — mergeable DataSketches HLL
     # partials union-merged per lang with a hard +-5% gate vs exact (the
     # scan-once-merge-forever sketch-table shape; joins

@@ -1663,14 +1663,31 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    m = F.date_trunc("month", F.col("ts"))
-    ev = events.select("user_id", "event_type", m.alias("m"))
-    cohorts = (
-        ev.filter(F.col("event_type") == "signup")
+    return cohort_from_parts(cohort_signups(events), cohort_activity(events))
+
+
+def cohort_signups(events: DataFrame) -> DataFrame:
+    """Per-user earliest signup month.  Shared by the batch query and the
+    streaming twin — min merges by min, so per-microbatch partials
+    produced by this same function merge to the identical table."""
+    return (
+        events.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("m").alias("cohort_month"))
+        .agg(F.min(F.date_trunc("month", F.col("ts"))).alias("cohort_month"))
     )
-    activity = ev.select("user_id", "m").distinct()
+
+
+def cohort_activity(events: DataFrame) -> DataFrame:
+    """Distinct (user, active month) pairs — set union is associative, so
+    per-microbatch partials merge by distinct-of-union."""
+    return events.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("m")
+    ).distinct()
+
+
+def cohort_from_parts(cohorts: DataFrame, activity: DataFrame) -> DataFrame:
+    """The retention compaction: a deterministic function of the (merged)
+    signup and activity tables."""
     midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
     offsets = activity.join(cohorts, "user_id").select(
         "cohort_month",

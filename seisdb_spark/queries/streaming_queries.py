@@ -1713,3 +1713,95 @@ def _share_gapfill_oracle() -> None:
 
 
 _share_gapfill_oracle()
+
+
+@query(
+    "streaming_cohort_retention",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING COHORT MAINTENANCE (22nd oracle-bearing streaming "
+    "entry — the retention class's scan-once-at-ingest form): each "
+    "arriving events microbatch is compacted by the SAME stages the "
+    "batch query uses — per-user earliest-signup-month partials "
+    "(min-merges) and distinct (user, active month) pairs (set union — "
+    "both associative and exact) — and appended to persisted partial "
+    "tables (batch_id-derived overwrite paths, idempotent under "
+    "checkpoint replays); the retention table is then compacted from "
+    "the merged partials, so microbatch boundaries provably cannot "
+    "change a single count and the oracle is the batch query's SQL "
+    "verbatim.  The streamed state is user x months-active rows — "
+    "orders of magnitude below the raw event stream (a user's thousandth "
+    "event in a month adds nothing), which is the point of maintaining "
+    "cohorts at ingest instead of rescanning history.",
+)
+def streaming_cohort_retention(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.relational import (
+        cohort_activity,
+        cohort_from_parts,
+        cohort_signups,
+    )
+    from seisdb_spark.streaming import read_events_stream
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"seisdb_stream_cohort_{os.getpid()}_{key}"
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sign_dir = os.path.join(out_dir, "signups")
+    act_dir = os.path.join(out_dir, "activity")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        cohort_signups(bdf).write.mode("overwrite").parquet(
+            os.path.join(sign_dir, f"batch-{batch_id}")
+        )
+        cohort_activity(bdf).write.mode("overwrite").parquet(
+            os.path.join(act_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    signups = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sign_dir)
+        .groupBy("user_id")
+        .agg(F.min("cohort_month").alias("cohort_month"))
+    )
+    activity = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(act_dir)
+        .distinct()
+    )
+    return cohort_from_parts(signups, activity)
+
+
+# stream==batch equivalence: min/set-union partials merge exactly, the
+# retention table is a deterministic compaction of the merged partials
+# (QuerySpec is frozen; replace the registry entry).
+def _share_cohort_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_cohort_retention"] = replace(
+        REGISTRY["streaming_cohort_retention"],
+        oracle=REGISTRY["cohort_retention"].oracle,
+    )
+
+
+_share_cohort_oracle()

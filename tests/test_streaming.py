@@ -859,3 +859,42 @@ def test_gapfill_stream_split_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "obs"))) == 3
+
+
+def test_cohort_stream_split_matches_batch(spark, tmp_path):
+    """The streamed cohort maintenance over events split into 3 files (3
+    genuine microbatches) must produce the SAME retention table as the
+    batch query: per-batch signup-month partials min-merge and activity
+    pairs union-merge — both associative — and the retention compaction
+    is a deterministic function of the merged partials.  The split
+    scatters users' signups and activity across batches (a user whose
+    earliest signup lands in a LATER batch than some activity is the
+    case min-merge must get right)."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import (
+        streaming_cohort_retention,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.event_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/events.parquet", index=False)
+
+    out = str(tmp_path / "cohort_stream")
+    got = _sorted(
+        streaming_cohort_retention(
+            spark, src + "/arrival*", out_dir=out
+        ).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["cohort_retention"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "signups"))) == 3
+    assert len(os.listdir(os.path.join(out, "activity"))) == 3

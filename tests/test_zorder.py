@@ -204,3 +204,19 @@ def test_grid_bins_deterministic_under_repartition(spark):
         for r in grid_bins(d.repartition(7), "x", "y").collect()
     }
     assert a == b
+
+
+def test_grid_bounds_empty_and_inverted_guards(spark):
+    """Publishing a grid from an empty table and binning under inverted
+    bounds both fail loudly — either would otherwise bin silently wrong
+    (None -> TypeError deep in int(); negative extent -> garbage bins)."""
+    import pytest
+
+    from seisdb_spark.functions.zorder import grid_bins_fixed, grid_bounds
+
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="empty table"):
+        grid_bounds(empty, "x", "y")
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="inverted bounds"):
+        grid_bins_fixed(df, "x", "y", (10, 0, 0, 10))
