@@ -539,7 +539,16 @@ DRIVER_WINDOW: list[str] = [
     "sgt_pipeline_records",
     "dgf_pipeline_records",
     # --- SQL-surface representatives ----------------------------------------
-    "asof_last_click_before_purchase",
+    # round-11 rotation (twenty-fourth swap): event_transition_matrix —
+    # the Markov-chain journey view (lag over one per-user window,
+    # |types|^2-row exact-count output, deterministic (ts, event_id)
+    # tie-break pinned by a planted same-timestamp test) — in for
+    # asof_last_click_before_purchase (green r1-r10, the longest-green
+    # rotation-eligible entry; the as-of window-merge machinery is
+    # literally the engine inside pointintime_balance_lookup, which is
+    # in-window, and the events/window family keeps gapfill, funnel,
+    # cohort and their streaming twins in-window)
+    "event_transition_matrix",
     # round-7 late rotation: pii_redaction (the transform stage the r6
     # window's pii_scan gate feeds) in for approx_distinct_parts (green
     # r2 through r6 — five hard rows — and still pytest-oracle-checked;

@@ -1706,3 +1706,45 @@ def cohort_from_parts(cohorts: DataFrame, activity: DataFrame) -> DataFrame:
             F.max("n_cohort").alias("n_cohort"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="EVENT TRANSITION MATRIX (the Markov-chain journey view of the "
+    "event stream — which step follows which): consecutive same-user "
+    "event pairs in (ts, event_id) order, counted per (from, to) type "
+    "pair.  lag() over ONE per-user window + a type-pair aggregate whose "
+    "output is at most |event types|^2 rows; all outputs are exact "
+    "counts.  The deterministic (ts, event_id) tie-break matters: "
+    "same-timestamp events would otherwise order differently across "
+    "engines and flip transition counts.  Scale shape: one user-keyed "
+    "exchange with a partition-local sort, then a tiny map-side-combined "
+    "aggregate — no global sort, no join, no Python.",
+    bench=True,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

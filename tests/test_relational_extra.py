@@ -393,3 +393,37 @@ def test_cohort_retention_planted(spark, tmp_path):
         ("2024-02", 0): (2, 2),  # users 2 and 4 in Feb; user 4's Jan
                                  # activity (offset -1) is excluded
     }
+
+
+def test_transition_matrix_planted_tiebreak(spark, tmp_path):
+    """Planted journey: user 1 emits view->click->purchase with the first
+    TWO events at the SAME timestamp — the (ts, event_id) tie-break must
+    order them view-then-click deterministically; user 2 has a single
+    event (no transitions)."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:00",
+                 "2024-01-01 01:00", "2024-01-02 00:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["view", "click", "purchase", "view"],
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    src = tmp_path / "sf_trans"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in REGISTRY["event_transition_matrix"]
+        .spark(spark, str(src))
+        .collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}

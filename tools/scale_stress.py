@@ -341,6 +341,25 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
     ),
+    # funnel: ONE user-keyed exchange (collect_list groupBy) + a 1-row
+    # final aggregate; the greedy fold is whole-stage codegen — never a
+    # join of event streams, never a sort, never a Python boundary
+    "funnel_conversion_steps": lambda p: (
+        count_exchanges(p, key="user_id") == 1
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # cohort retention: the corpus collapses to DISTINCT (user, month)
+    # pairs before any join; the signup/activity joins are user-keyed
+    # equi-joins (AQE picks broadcast vs shuffle by cohort size); the
+    # final aggregate is cohort x offset — never a cartesian, never a
+    # global sort, never a Python boundary
+    "cohort_retention": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
