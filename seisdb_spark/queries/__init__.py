@@ -506,7 +506,15 @@ DRIVER_WINDOW: list[str] = [
     # weighted_sample_wor and source_mix_weights in-window, and the DSIR
     # bucket machinery stays pytest-oracle-checked every round)
     "scd2_history_build",
-    "streaming_incremental_dedup",
+    # round-11 rotation (twenty-fifth swap): cube_revenue — CUBE
+    # aggregation, completing the grouping-analytics family next to
+    # rollup_revenue and grouping_sets_orders (all four grouping
+    # combinations in ONE Expand+combiner pass; exact BIGINT-cents
+    # revenue) — in for streaming_incremental_dedup (green r3-r10, the
+    # second-longest-green entry; the streaming family keeps TEN other
+    # in-window members and the incremental LSH-probe machinery stays
+    # pytest-checked via its batch-twin oracle every round)
+    "cube_revenue",
     # round-11 rotation (twelfth swap): streaming_lm_train — the LM's
     # train-on-ingest twin (17th oracle-bearing streaming entry:
     # per-microbatch bigram-count partials, addition-merged — split-
@@ -537,7 +545,15 @@ DRIVER_WINDOW: list[str] = [
     "l2_element_reorder",
     "sgt_flagship_encode",
     "sgt_pipeline_records",
-    "dgf_pipeline_records",
+    # round-11 rotation (twenty-sixth swap): except_all_priorities —
+    # EXCEPT ALL, the bag-semantics set-difference twin of the DISTINCT
+    # set family (multiplicity max(0, n_O - n_F) per value; Spark plans
+    # it as a signed-count aggregate, not a join — same collapse DuckDB
+    # performs) — in for dgf_pipeline_records (rows-only with NINE clean
+    # driver executions r2-r10; the record-sink family keeps
+    # sgt_pipeline_records in-window and the DGF path stays golden-
+    # bit-exact pytest-checked every round)
+    "except_all_priorities",
     # --- SQL-surface representatives ----------------------------------------
     # round-11 rotation (twenty-fourth swap): event_transition_matrix —
     # the Markov-chain journey view (lag over one per-user window,

@@ -1748,3 +1748,61 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation (completes the grouping-analytics family next "
+    "to rollup_revenue and grouping_sets_orders — SURVEY §2.5 lists cube "
+    "as engine-exposed and this is its oracle-checked row): all four "
+    "grouping combinations of (status, priority) in ONE Expand+aggregate "
+    "pass — never four scans.  Revenue is summed in exact BIGINT cents "
+    "(the float-sum trap again); NULL grouping placeholders hash "
+    "identically in both engines.  Scale shape: Expand multiplies rows "
+    "4x BEFORE the combiner, but partial aggregation collapses each "
+    "grouping set map-side, so the exchange carries at most 4x the "
+    "group-count rows, not 4x the corpus.",
+    bench=True,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+@query(
+    "except_all_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL — bag-semantics set difference (the multiplicity-"
+    "preserving twin of the DISTINCT set family already in-window: "
+    "intersect/except/anti-join): each priority survives max(0, "
+    "n_open - n_finished) times.  Spark plans exceptAll as a "
+    "sum-of-signed-counts aggregate + generate (one exchange on the "
+    "value), NOT a join of the two extents — the same collapse DuckDB "
+    "performs, which is why the multiplicity semantics hash identically. "
+    "Duplicate-heavy inputs are the point: the result is thousands of "
+    "copies of 5 distinct values, so a bag/distinct confusion is "
+    "unmissable.",
+    bench=True,
+)
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return o.exceptAll(f)
