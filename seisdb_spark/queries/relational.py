@@ -1582,7 +1582,12 @@ def pointintime_balance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    # non-funnel types can never advance the fold — filter them BEFORE the
+    # collect (the predicate reaches the parquet scan), so per-user arrays
+    # carry only the 3 relevant types instead of the whole journey
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     fold = """
         aggregate(
             sort_array(collect_list(struct(ts, event_id, event_type))),
