@@ -404,7 +404,15 @@ DRIVER_WINDOW: list[str] = [
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
-    "repeated_passage_spans",
+    # round-11 rotation (twenty-seventh swap): funnel_sessionized — the
+    # scale-correct funnel variant the plain funnel's docstring promises
+    # (per-SESSION conversion: the fold's array is bounded by session
+    # length, never a user's lifetime; oracle composes the sessionize
+    # CTE with the per-session 3-stage min-chain) — in for
+    # repeated_passage_spans (green r6-r10; the passage-dedup
+    # gaps-and-islands machinery stays pytest-oracle-checked and the
+    # dedup family keeps d1 + curation_keep_set in-window)
+    "funnel_sessionized",
     # round-11 rotation (eighteenth swap): streaming_scd2_build — the
     # MERGE/upsert class's scan-once-at-ingest form (20th oracle-bearing
     # streaming entry: per-microbatch (cust, date) BIGINT-cents delta

@@ -1811,3 +1811,112 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return o.exceptAll(f)
+
+
+@query(
+    "funnel_sessionized",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT *,
+                       CASE WHEN lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                              OR ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ev
+            )
+        ), t1 AS (
+            SELECT user_id, session_id, min(ts) AS t1 FROM sess
+            WHERE event_type = 'view' GROUP BY 1, 2
+        ), t2 AS (
+            SELECT s.user_id, s.session_id, min(s.ts) AS t2
+            FROM sess s JOIN t1 USING (user_id, session_id)
+            WHERE s.event_type = 'click' AND s.ts > t1.t1
+            GROUP BY 1, 2
+        ), t3 AS (
+            SELECT s.user_id, s.session_id, min(s.ts) AS t3
+            FROM sess s JOIN t2 USING (user_id, session_id)
+            WHERE s.event_type = 'purchase' AND s.ts > t2.t2
+            GROUP BY 1, 2
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST((SELECT count(*) FROM t1) AS BIGINT) AS sessions_reached
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+    """,
+    doc="SESSIONIZED FUNNEL — the scale-correct funnel variant the plain "
+    "funnel's docstring promises for degenerate users: conversion is "
+    "counted per SESSION (30-min-gap sessionization over ALL events — "
+    "boundaries must see the whole journey, not just funnel types), so "
+    "the per-group array the fold walks is bounded by session length, "
+    "never by a user's lifetime event count.  Two window passes share "
+    "ONE user-keyed partitioning (gap flags + running session ids), then "
+    "the same greedy (depth, ts)-state fold runs per (user, session) on "
+    "the funnel-typed subset.  Oracle: the sessionize CTE composed with "
+    "the 3-stage min-chain per session — greedy-subsequence equivalence "
+    "again, strict-inequality ties included.  Output: sessions reaching "
+    "each step.",
+    bench=True,
+)
+def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 30 * 60),
+        1,
+    ).otherwise(0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    sess = events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w_run)
+    )
+    fold = """
+        aggregate(
+            sort_array(collect_list(struct(ts, event_id, event_type))),
+            named_struct('depth', 0, 'last', CAST(NULL AS TIMESTAMP)),
+            (s, e) -> CASE
+                WHEN s.depth = 0 AND e.event_type = 'view'
+                    THEN named_struct('depth', 1, 'last', e.ts)
+                WHEN s.depth = 1 AND e.event_type = 'click' AND e.ts > s.last
+                    THEN named_struct('depth', 2, 'last', e.ts)
+                WHEN s.depth = 2 AND e.event_type = 'purchase' AND e.ts > s.last
+                    THEN named_struct('depth', 3, 'last', e.ts)
+                ELSE s END,
+            s -> s.depth)
+    """
+    depths = (
+        sess.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id", "session_id")
+        .agg(F.expr(fold).alias("depth"))
+    )
+    counts = depths.agg(
+        *[
+            F.sum((F.col("depth") >= k).cast("bigint")).alias(f"s{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    return counts.select(
+        F.expr(
+            "explode(array("
+            "named_struct('step', 1, 'step_name', 'view', 'sessions_reached', s1),"
+            "named_struct('step', 2, 'step_name', 'click', 'sessions_reached', s2),"
+            "named_struct('step', 3, 'step_name', 'purchase', 'sessions_reached', s3)"
+            "))"
+        ).alias("r")
+    ).select("r.step", "r.step_name", "r.sessions_reached")

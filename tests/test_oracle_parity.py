@@ -110,11 +110,12 @@ def test_driver_window_leads_registry():
     # rows-only smoke row served its purpose; pq_refined_encode and
     # bpe_train_merges did the same in round 10 and are OUT this round;
     # bpe_apply_tokenize is the round-11 rows-only rotation getting its
-    # one clean driver execution, out again next round per the precedent)
+    # one clean driver execution, out again next round per the precedent;
+    # dgf_pipeline_records rotated OUT late in round 11 after NINE clean
+    # executions — sgt_pipeline_records stays as the record-sink rep)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
         "bpe_apply_tokenize",
         "multimodal_decode_features",
         "sgt_pipeline_records",
-        "dgf_pipeline_records",
     ]
