@@ -91,10 +91,15 @@ def interleave_py(bx: int, by: int, bits: int = ZO_BITS) -> int:
 def _bin_sql(vcol: str, lo: str, hi: str) -> str:
     """Fixed-grid bin of ``vcol`` given bounds (column names OR integer
     literals) — the ONE formula every caller shares, so a bounds-source
-    change can never fork the grid."""
+    change can never fork the grid.  Clamped on BOTH sides: when the
+    bounds come from the same frame's min/max the clamps are identity,
+    but under a PUBLISHED grid (grid_bins_fixed / the streaming twin) a
+    later row outside the static extremes must land in the edge bin —
+    an unclamped low side would emit negative bins, garbage zkeys, and
+    silently wrong zone maps."""
     return (
-        f"least((({vcol} - {lo}) * {ZO_SIDE}) div ({hi} - {lo} + 1), "
-        f"{ZO_SIDE - 1})"
+        f"least(greatest((({vcol} - {lo}) * {ZO_SIDE}) "
+        f"div ({hi} - {lo} + 1), 0), {ZO_SIDE - 1})"
     )
 
 

@@ -725,7 +725,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w_order)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 30 * 60),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
@@ -1487,11 +1490,9 @@ def scd2_intervals(deltas: DataFrame) -> DataFrame:
 def pointintime_balance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    deltas = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "delta_cents"
-        )
-    )
+    # the SAME compaction stage as the SCD2 build — a change to the cents
+    # quantization can never fork the looked-up balances from the dimension
+    deltas = scd2_deltas(orders)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     changes = deltas.select(
         "o_custkey",
@@ -1533,6 +1534,26 @@ def pointintime_balance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ship_ts"),
         "balance_cents",
     )
+
+
+#: The greedy funnel fold (shared by both funnel forms so their tie and
+#: ordering semantics can never diverge): walk the (ts, event_id)-sorted
+#: per-group events carrying (depth, ts-at-depth), advancing only on a
+#: STRICTLY-later qualifying event — exactly the oracle's min-chain.
+FUNNEL_FOLD = """
+    aggregate(
+        sort_array(collect_list(struct(ts, event_id, event_type))),
+        named_struct('depth', 0, 'last', CAST(NULL AS TIMESTAMP)),
+        (s, e) -> CASE
+            WHEN s.depth = 0 AND e.event_type = 'view'
+                THEN named_struct('depth', 1, 'last', e.ts)
+            WHEN s.depth = 1 AND e.event_type = 'click' AND e.ts > s.last
+                THEN named_struct('depth', 2, 'last', e.ts)
+            WHEN s.depth = 2 AND e.event_type = 'purchase' AND e.ts > s.last
+                THEN named_struct('depth', 3, 'last', e.ts)
+            ELSE s END,
+        s -> s.depth)
+"""
 
 
 @query(
@@ -1588,24 +1609,15 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
-    fold = """
-        aggregate(
-            sort_array(collect_list(struct(ts, event_id, event_type))),
-            named_struct('depth', 0, 'last', CAST(NULL AS TIMESTAMP)),
-            (s, e) -> CASE
-                WHEN s.depth = 0 AND e.event_type = 'view'
-                    THEN named_struct('depth', 1, 'last', e.ts)
-                WHEN s.depth = 1 AND e.event_type = 'click' AND e.ts > s.last
-                    THEN named_struct('depth', 2, 'last', e.ts)
-                WHEN s.depth = 2 AND e.event_type = 'purchase' AND e.ts > s.last
-                    THEN named_struct('depth', 3, 'last', e.ts)
-                ELSE s END,
-            s -> s.depth)
-    """
-    depths = events.groupBy("user_id").agg(F.expr(fold).alias("depth"))
+    depths = events.groupBy("user_id").agg(F.expr(FUNNEL_FOLD).alias("depth"))
     counts = depths.agg(
         *[
-            F.sum((F.col("depth") >= k).cast("bigint")).alias(f"s{k}")
+            # coalesce: a corpus with NO funnel-type events yields an empty
+            # depths frame whose global sums are NULL — the oracle's
+            # count(*) says 0, and so must we
+            F.coalesce(
+                F.sum((F.col("depth") >= k).cast("bigint")), F.lit(0)
+            ).alias(f"s{k}")
             for k in (1, 2, 3)
         ]
     )
@@ -1879,35 +1891,29 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w_order)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 30 * 60),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
     sess = events.withColumn("is_new", is_new).withColumn(
         "session_id", F.sum("is_new").over(w_run)
     )
-    fold = """
-        aggregate(
-            sort_array(collect_list(struct(ts, event_id, event_type))),
-            named_struct('depth', 0, 'last', CAST(NULL AS TIMESTAMP)),
-            (s, e) -> CASE
-                WHEN s.depth = 0 AND e.event_type = 'view'
-                    THEN named_struct('depth', 1, 'last', e.ts)
-                WHEN s.depth = 1 AND e.event_type = 'click' AND e.ts > s.last
-                    THEN named_struct('depth', 2, 'last', e.ts)
-                WHEN s.depth = 2 AND e.event_type = 'purchase' AND e.ts > s.last
-                    THEN named_struct('depth', 3, 'last', e.ts)
-                ELSE s END,
-            s -> s.depth)
-    """
     depths = (
         sess.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id", "session_id")
-        .agg(F.expr(fold).alias("depth"))
+        .agg(F.expr(FUNNEL_FOLD).alias("depth"))
     )
     counts = depths.agg(
         *[
-            F.sum((F.col("depth") >= k).cast("bigint")).alias(f"s{k}")
+            # coalesce: a corpus with NO funnel-type events yields an empty
+            # depths frame whose global sums are NULL — the oracle's
+            # count(*) says 0, and so must we
+            F.coalesce(
+                F.sum((F.col("depth") >= k).cast("bigint")), F.lit(0)
+            ).alias(f"s{k}")
             for k in (1, 2, 3)
         ]
     )

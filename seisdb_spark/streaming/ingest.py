@@ -511,8 +511,13 @@ def read_orders_stream(
     hard-coded one: a user-supplied schema on a file stream is not
     validated against the footers, so a drifted physical layout (the
     events.ts lesson) would be a silent-wrong-answer bug here too."""
+    from seisdb_spark.sources.tables import check_table_schema
+
     path = os.path.join(sf_dir, "orders.parquet")
     schema = spark.read.parquet(path).schema
+    # the same one-line drift tripwire every batch load applies — a
+    # drifted physical layout must fail HERE, not deep inside scd2_deltas
+    check_table_schema("orders", schema, path)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

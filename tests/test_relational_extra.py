@@ -427,3 +427,34 @@ def test_transition_matrix_planted_tiebreak(spark, tmp_path):
         .collect()
     }
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_funnels_zero_not_null_on_empty_input(spark, tmp_path):
+    """A corpus with NO funnel-type events must report 0 at every step —
+    the empty-frame global sum is NULL without the coalesce, while the
+    oracle's count(*) says 0 (review finding, pinned)."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 2],
+            "event_type": ["error", "signup"],  # no view/click/purchase
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    src = tmp_path / "sf_nofunnel"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    for name, col in (
+        ("funnel_conversion_steps", "users_reached"),
+        ("funnel_sessionized", "sessions_reached"),
+    ):
+        rows = REGISTRY[name].spark(spark, str(src)).collect()
+        assert [getattr(r, col) for r in rows] == [0, 0, 0], name

@@ -898,3 +898,24 @@ def test_cohort_stream_split_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "signups"))) == 3
     assert len(os.listdir(os.path.join(out, "activity"))) == 3
+
+
+def test_read_orders_stream_schema_tripwire(spark, tmp_path):
+    """A drifted orders layout must fail at the stream reader's one-line
+    tripwire (same contract as batch load_table), not deep inside the
+    SCD2 stages."""
+    import pandas as pd
+    import pytest
+
+    from seisdb_spark.streaming import read_orders_stream
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pd.DataFrame(
+        {"o_orderkey": [1], "o_custkey": [1], "o_orderstatus": ["O"],
+         "o_totalprice": ["not-a-number"],  # drifted: string, not double
+         "o_orderdate": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+         "o_orderpriority": ["1-URGENT"]}
+    ).to_parquet(bad / "orders.parquet", index=False)
+    with pytest.raises(TypeError, match="testdata schema changed"):
+        read_orders_stream(spark, str(bad))

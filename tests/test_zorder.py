@@ -220,3 +220,23 @@ def test_grid_bounds_empty_and_inverted_guards(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError, match="inverted bounds"):
         grid_bins_fixed(df, "x", "y", (10, 0, 0, 10))
+
+
+def test_grid_bins_fixed_clamps_out_of_grid_rows(spark):
+    """Rows outside a PUBLISHED grid (the streaming case: new extremes
+    arriving after the grid was fixed) must clamp into the edge bins on
+    BOTH sides — an unclamped low side would emit negative bins and
+    silently corrupt zone maps."""
+    from seisdb_spark.functions.zorder import ZO_SIDE, grid_bins_fixed
+
+    df = spark.createDataFrame(
+        [(-50, 5), (5, -50), (2000, 5), (5, 2000), (0, 999)],
+        "x long, y long",
+    )
+    rows = grid_bins_fixed(df, "x", "y", (0, 999, 0, 999)).collect()
+    for r in rows:
+        assert 0 <= r.bx < ZO_SIDE and 0 <= r.by < ZO_SIDE, r
+        assert 0 <= r.zkey < ZO_SIDE * ZO_SIDE, r
+    byx = {(r.x, r.y): (r.bx, r.by) for r in rows}
+    assert byx[(-50, 5)][0] == 0 and byx[(5, -50)][1] == 0
+    assert byx[(2000, 5)][0] == ZO_SIDE - 1 and byx[(5, 2000)][1] == ZO_SIDE - 1

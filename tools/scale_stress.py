@@ -625,12 +625,16 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
         # honest full-pipeline action.  Queries whose OUTPUT scales with
         # the corpus (the gap-fill grid, per-lineitem enrichment rows)
         # must NOT ship the result to the driver — a 100M-row collect is
-        # a harness OOM, not an operator cost; the noop sink executes
-        # every stage (nothing is pruned: the sink consumes all columns)
-        # and discards rows executor-side, which is also what a real
-        # 100 TB consumer does (writes to storage, never to the driver).
+        # a harness OOM, not an operator cost.  Executing the frame's OWN
+        # physical plan as a JVM-side RDD count runs every stage (physical
+        # RDD count prunes nothing) and discards rows executor-side —
+        # crucially through df's queryExecution, so the AQE plan
+        # final_plan() inspects afterwards is the plan that actually ran
+        # (a noop-sink write creates a SEPARATE QueryExecution and would
+        # leave df's plan un-finalized: assertions would silently run
+        # against the pre-AQE initial plan).
         if name in OUTPUT_UNBOUNDED:
-            df.write.format("noop").mode("overwrite").save()
+            df._jdf.queryExecution().executedPlan().execute().count()
         else:
             df.collect()
 
