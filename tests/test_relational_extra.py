@@ -458,3 +458,58 @@ def test_funnels_zero_not_null_on_empty_input(spark, tmp_path):
     ):
         rows = REGISTRY[name].spark(spark, str(src)).collect()
         assert [getattr(r, col) for r in rows] == [0, 0, 0], name
+
+
+def test_funnel_sessionized_boundary_semantics(spark, tmp_path):
+    """The distinguishing case between the two funnels: user 1 completes
+    view->click->purchase across a >30-min gap — the PLAIN funnel counts
+    the conversion (lifetime subsequence), the SESSIONIZED one must not
+    (the purchase opens a new session).  User 2 converts twice in two
+    separate sessions: one lifetime conversion, TWO session conversions."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    rows = [
+        # user 1: view+click tightly, purchase 2h later (new session)
+        (1, 1, "view", "2024-01-01 00:00"),
+        (2, 1, "click", "2024-01-01 00:05"),
+        (3, 1, "purchase", "2024-01-01 02:00"),
+        # user 2: two complete funnels in two sessions
+        (4, 2, "view", "2024-01-02 00:00"),
+        (5, 2, "click", "2024-01-02 00:01"),
+        (6, 2, "purchase", "2024-01-02 00:02"),
+        (7, 2, "view", "2024-01-02 08:00"),
+        (8, 2, "click", "2024-01-02 08:01"),
+        (9, 2, "purchase", "2024-01-02 08:02"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    src = tmp_path / "sf_fsess"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+
+    plain = {
+        r.step_name: r.users_reached
+        for r in REGISTRY["funnel_conversion_steps"]
+        .spark(spark, str(src))
+        .collect()
+    }
+    sess = {
+        r.step_name: r.sessions_reached
+        for r in REGISTRY["funnel_sessionized"].spark(spark, str(src)).collect()
+    }
+    # lifetime: both USERS view+click+purchase in order
+    assert plain == {"view": 2, "click": 2, "purchase": 2}
+    # sessions: u1 {view,click} / {purchase}; u2 two full funnels
+    # -> view-reaching sessions: u1 s1, u2 s1, u2 s2 = 3
+    # -> click: same 3; purchase: only u2's two sessions
+    assert sess == {"view": 3, "click": 3, "purchase": 2}
