@@ -360,6 +360,14 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
     ),
+    # transition matrix: ONE user-keyed window (partition-local sort) +
+    # a |types|^2 aggregate — never a global sort, join, or Python
+    "event_transition_matrix": lambda p: (
+        count_exchanges(p, key="user_id") == 1
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and not has_node(p, "CartesianProduct")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
