@@ -102,7 +102,7 @@ def build_bloom(
     ).withColumn("bloom_k", F.lit(k).cast("int"))
 
 
-def bloom_hit(words, key, k: int = BLOOM_K, built_k=None):
+def bloom_hit(words, key, *, k: int = BLOOM_K, built_k=None):
     """Boolean Column: every one of the key's K bits is set in ``words``
     (an ``array<bigint>`` column from build_bloom, typically supplied via
     ``crossJoin(F.broadcast(words_row))``).  O(1) element_at lookups, all
@@ -121,7 +121,12 @@ def bloom_hit(words, key, k: int = BLOOM_K, built_k=None):
       a Python int (it unrolls into K element_at expressions), so the
       build row carries its k (``bloom_k``); pass that column as
       ``built_k`` and a mismatch RAISES at runtime (``raise_error``)
-      instead of returning false."""
+      instead of returning false.
+
+    ``k`` is KEYWORD-ONLY: an earlier revision accepted (and ignored) a
+    positional ``m_bits`` third argument — an old-style positional call
+    would now silently rebind it to ``k`` and turn true members into
+    false negatives, so positional passing is a TypeError instead."""
     m = F.size(words).cast("long") * 64
     if built_k is not None:
         cond = F.when(built_k == F.lit(k), F.lit(True)).otherwise(

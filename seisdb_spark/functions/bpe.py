@@ -225,6 +225,10 @@ def apply_merges_py(word: str, pairs: list[tuple[str, str, str]]) -> list[str]:
     return syms
 
 
+#: (SparkContext id, merge tuple) -> Broadcast — see segment_words_kernel.
+_KERNEL_BROADCASTS: dict = {}
+
+
 def segment_words_kernel(
     words: DataFrame, merges: list[dict], col: str = "word"
 ) -> DataFrame:
@@ -248,8 +252,20 @@ def segment_words_kernel(
 
     if col not in words.columns:
         raise ValueError(f"segment_words_kernel: no column {col!r}")
-    pairs = [(m["left_sym"], m["right_sym"], m["merged"]) for m in merges]
-    bc = words.sparkSession.sparkContext.broadcast(pairs)
+    pairs = tuple(
+        (m["left_sym"], m["right_sym"], m["merged"]) for m in merges
+    )
+    # one broadcast per DISTINCT merge list per SparkContext, memoized:
+    # broadcasts cannot be unpersisted here (the returned lazy frame may
+    # execute later), so without the memo every call would leak a fresh
+    # up-to-~1 MB broadcast for the session lifetime (bench loops and
+    # per-microbatch use call this repeatedly with the same vocabulary)
+    sc = words.sparkSession.sparkContext
+    key = (id(sc), pairs)
+    bc = _KERNEL_BROADCASTS.get(key)
+    if bc is None:
+        bc = sc.broadcast(list(pairs))
+        _KERNEL_BROADCASTS[key] = bc
     out_schema = StructType(
         list(words.schema.fields)
         + [

@@ -119,15 +119,45 @@ def cm_probe(
     0..eps*N).  The merged table is broadcast — <= depth*width rows by
     construction.  ``width``/``depth`` must match the build's (same
     hash family); a mismatch shows up loudly as est=0 on hot keys in
-    any gate that checks ``est >= exact``."""
-    pos = probes.select(
-        "*", F.explode(_pos_pairs(F.col(col), width, depth)).alias("p")
-    ).select("*", F.col("p.d").alias("d"), F.col("p.col").alias("col"))
-    hit = pos.join(F.broadcast(merged), ["d", "col"], "left").withColumn(
-        "_c", F.coalesce(F.col("n"), F.lit(0).cast("long"))
+    any gate that checks ``est >= exact``.
+
+    Robust to probe frames that carry columns named d/col/n (the
+    sketch's internal names are underscore-prefixed and renamed per-side
+    before the join) and to DUPLICATE probe rows (the per-row min is
+    keyed by a temporary row id, not by value-grouping, so two identical
+    input rows yield two output rows — "all input columns preserved"
+    means row-for-row)."""
+    rid = "_cm_rid"
+    pos = (
+        probes.withColumn(rid, F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.explode(_pos_pairs(F.col(col), width, depth)).alias("_cm_p"),
+        )
+        .select(
+            "*",
+            F.col("_cm_p.d").alias("_cm_d"),
+            F.col("_cm_p.col").alias("_cm_col"),
+        )
+        .drop("_cm_p")
+    )
+    m = merged.select(
+        F.col("d").alias("_cm_d"),
+        F.col("col").alias("_cm_col"),
+        F.col("n").alias("_cm_n"),
+    )
+    hit = pos.join(F.broadcast(m), ["_cm_d", "_cm_col"], "left").withColumn(
+        "_cm_c", F.coalesce(F.col("_cm_n"), F.lit(0).cast("long"))
     )
     others = [c for c in probes.columns if c != col]
-    return hit.groupBy(col, *others).agg(F.min("_c").alias("est"))
+    return (
+        hit.groupBy(rid)
+        .agg(
+            F.min("_cm_c").alias("est"),
+            *[F.first(c).alias(c) for c in [col, *others]],
+        )
+        .select(col, *others, "est")
+    )
 
 
 def cm_error_bound(total: int, width: int = CMS_WIDTH) -> int:

@@ -308,10 +308,13 @@ DRIVER_WINDOW: list[str] = [
     # round-11 rotation: cm_sketch_gate — the count-min point-frequency
     # gate (functions/cms.py: relational counter tables, element-wise-
     # addition merge, min-of-counters probe; the fourth sketch class) —
-    # in for pq_encode_codes (green r8+r9+r10, rotation-eligible; the
-    # PQ family keeps pq_adc_topk, ivfpq_adc_topk, pq_recall_eval and
-    # mrl_pq_adc_topk in-window, and the encode CTE stack stays
-    # composed verbatim inside their oracles)
+    # in for pq_encode_codes (green r8+r9+r10, rotation-eligible; at
+    # this swap the PQ family still held four in-window members, but the
+    # later fifth and ninth swaps rotated pq_adc_topk and ivfpq_adc_topk
+    # out too — the family's CURRENT in-window reps are pq_recall_eval
+    # and mrl_pq_adc_topk, with every encode/ADC CTE stack composed
+    # verbatim inside their oracles; stated here so rotation decisions
+    # reading these comments count coverage correctly)
     "cm_sketch_gate",
     # round-11 rotation: kmv_jaccard_gate — the KMV bottom-k set-
     # operation sketch (functions/kmv.py: pairwise source Jaccard /

@@ -1321,6 +1321,45 @@ def hh_tracked_capacity(est_nd: int) -> int:
     return min(tracked, HH_TRACKED_MAX)
 
 
+def hh_exact_topk(wc: DataFrame) -> DataFrame:
+    """The exact top-K referee (ranked, count ties broken by word) from a
+    materialized vocab-count table — shared by the batch gate and the
+    streaming rollup so the ranking convention can never fork."""
+    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
+    rank_w = Window.orderBy(F.col("n").desc(), "w")
+    return sel.select(
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+        F.col("w").alias("word"),
+        F.col("n").alias("exact_n"),
+    )
+
+
+def hh_gate_report(exact: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Membership + +-5% estimate gate of a sketch's FULL tracked list
+    against the exact top-K — shared by both twins (they share one
+    oracle).  The tracked list is semi-joined down to the K exact words
+    BEFORE broadcasting (the r10 ADVICE item: the broadcast side is k
+    rows, never the capacity-sized list)."""
+    sketch_k = sketch.join(F.broadcast(exact.select("word")), "word", "semi")
+    gated = exact.join(F.broadcast(sketch_k), "word", "left")
+    return gated.select(
+        "rank",
+        "word",
+        "exact_n",
+        F.col("est").isNotNull().cast("int").alias("in_sketch"),
+        (
+            F.abs(
+                F.coalesce(F.col("est"), F.lit(0)).cast("double")
+                - F.col("exact_n")
+            )
+            <= F.col("exact_n") * 0.05
+        )
+        .cast("int")
+        .alias("est_within"),
+    )
+
+
+
 @query(
     "heavy_hitters_gate",
     oracle=f"""
@@ -1389,13 +1428,7 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).collect()[0]["nd"]
     tracked = hh_tracked_capacity(int(est_nd))
-    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
-    rank_w = Window.orderBy(F.col("n").desc(), "w")
-    exact = sel.select(
-        F.row_number().over(rank_w).cast("int").alias("rank"),
-        F.col("w").alias("word"),
-        F.col("n").alias("exact_n"),
-    )
+    exact = hh_exact_topk(wc)
     # probe the sketch's FULL tracked list, not just its top-K: the exact
     # top-K breaks count ties by word, the sketch arbitrarily, so a
     # boundary tie could drop an exact heavy hitter from the sketch's own
@@ -1408,28 +1441,7 @@ def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
     )
-    # the tracked list is CAPACITY-sized (up to 1M rows) — semi-join it
-    # down to the K exact heavy-hitter words before broadcasting, so the
-    # gate join's broadcast side really is k rows (r10 ADVICE item)
-    sketch_k = sketch.join(
-        F.broadcast(exact.select("word")), "word", "semi"
-    )
-    gated = exact.join(F.broadcast(sketch_k), "word", "left")
-    return gated.select(
-        "rank",
-        "word",
-        "exact_n",
-        F.col("est").isNotNull().cast("int").alias("in_sketch"),
-        (
-            F.abs(
-                F.coalesce(F.col("est"), F.lit(0)).cast("double")
-                - F.col("exact_n")
-            )
-            <= F.col("exact_n") * 0.05
-        )
-        .cast("int")
-        .alias("est_within"),
-    )
+    return hh_gate_report(exact, sketch)
 
 
 # --- count-min sketch gate (point-frequency estimation) --------------------
@@ -1447,6 +1459,55 @@ CMS_PROBE_WORDS = (
     "filter", "small", "merge", "zzz_never_seen",
 )
 _CMS_PROBE_VALUES = ", ".join(f"('{w}')" for w in CMS_PROBE_WORDS)
+
+
+def cm_gate_report(
+    tok: DataFrame, merged: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Probe + exact referee + two-sided gate over a MERGED counter
+    table — shared by the batch gate and the streaming rollup (they
+    share one oracle), so a bound or tolerance edit can never fork the
+    twins.  ``ge_exact`` is deterministic (count-min never undercounts,
+    by construction).  ``within_bound`` gates at THREE times the classic
+    eps*N overcount bound: the 1x bound holds per probe only with
+    probability ~1 - e^-depth (~0.7% failure — a future corpus
+    regeneration could flip a flag with no code bug, and the oracle pins
+    1), while the min of depth counters exceeds 3x the bound with
+    probability <= (1/(3e))^depth ~ 4e-5 — the hll_sketch_rollup
+    wide-margin philosophy.  Bug sensitivity is unaffected: merge
+    defects are caught cell-for-cell by the merge==direct pytest and the
+    never-seen probe key (whose est must stay within 0..3eps*N of 0);
+    the 1x library property itself stays empirically tested in
+    tests/test_cms.py via cm_error_bound."""
+    import math
+
+    from seisdb_spark.functions import cms
+
+    est = cms.cm_probe(probes, merged, "word")
+    exact = (
+        tok.join(
+            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumnRenamed("w", "word")
+    )
+    gated = (
+        est.join(F.broadcast(exact), "word", "left")
+        .withColumn("exact_n", F.coalesce("exact_n", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(cms.cm_total(merged)))
+    )
+    bound = F.ceil(
+        F.lit(3.0 * math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
+    ).cast("long")
+    return gated.select(
+        "word",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
+        (F.col("est") <= F.col("exact_n") + bound)
+        .cast("int")
+        .alias("within_bound"),
+    )
 
 
 @query(
@@ -1503,34 +1564,9 @@ def cm_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         [(w,) for w in CMS_PROBE_WORDS], "word string"
     )
-    est = cms.cm_probe(probes, merged, "word")
-    # corpus scan 2 of 2: the exact referee over the probe list only
-    exact = (
-        tok.join(
-            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .withColumnRenamed("w", "word")
-    )
-    gated = (
-        est.join(F.broadcast(exact), "word", "left")
-        .withColumn(
-            "exact_n", F.coalesce("exact_n", F.lit(0).cast("long"))
-        )
-        .crossJoin(F.broadcast(cms.cm_total(merged)))
-    )
-    bound = F.ceil(
-        F.lit(math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
-    ).cast("long")
-    return gated.select(
-        "word",
-        "exact_n",
-        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
-        (F.col("est") <= F.col("exact_n") + bound)
-        .cast("int")
-        .alias("within_bound"),
-    )
+    # corpus scan 2 of 2 (inside the shared tail): the exact referee
+    # over the probe list only
+    return cm_gate_report(tok, merged, probes)
 
 
 # --- KMV set-operation sketch gate -----------------------------------------
@@ -5346,6 +5382,44 @@ from seisdb_spark.functions.histq import (  # noqa: E402
 _HQ_PM_LIST = ", ".join(str(p) for p in HQ_PROBE_PM)
 
 
+def hq_gate_report(qb: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact-quantile referee + within-bin gate over the estimated
+    quantile bins — shared by the batch rollup and the streaming twin
+    (they share one oracle), so the referee's rank convention and the
+    clamped-last-bin clause can never fork.  The exact quantile comes
+    from a value-frequency table (never a global row sort)."""
+    from seisdb_spark.functions import histq
+
+    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
+    exact = (
+        qb.select("q_pm", "r")
+        .join(vcum, F.col("cum") >= F.col("r"))
+        .groupBy("q_pm")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    return qb.join(exact, "q_pm").select(
+        F.col("q_pm").cast("int").alias("q_pm"),
+        "est_lo",
+        "est_hi",
+        "exact_v",
+        (
+            (F.col("exact_v") >= F.col("est_lo"))
+            & (
+                (F.col("exact_v") < F.col("est_hi"))
+                | (F.col("est_bin") == F.lit(histq.HQ_NBINS - 1))
+            )
+        )
+        .cast("int")
+        .alias("within_bin"),
+    )
+
+
 @query(
     "hist_quantile_rollup",
     oracle=f"""
@@ -5418,35 +5492,7 @@ def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = histq.hist_partials(docs, "n_chars", ["source"])
     merged = histq.hist_merge(partials)
     qb = histq.hist_quantile_bins(merged)
-
-    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wv = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
-    exact = (
-        qb.select("q_pm", "r")
-        .join(vcum, F.col("cum") >= F.col("r"))
-        .groupBy("q_pm")
-        .agg(F.min("v").alias("exact_v"))
-    )
-    return qb.join(exact, "q_pm").select(
-        F.col("q_pm").cast("int").alias("q_pm"),
-        "est_lo",
-        "est_hi",
-        "exact_v",
-        (
-            (F.col("exact_v") >= F.col("est_lo"))
-            & (
-                (F.col("exact_v") < F.col("est_hi"))
-                | (F.col("est_bin") == F.lit(HQ_NBINS - 1))
-            )
-        )
-        .cast("int")
-        .alias("within_bin"),
-    )
+    return hq_gate_report(qb, docs)
 
 
 # --- Deterministic weighted sampling without replacement --------------------

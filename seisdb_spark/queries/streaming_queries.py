@@ -45,6 +45,30 @@ def _register_probe_cleanup(root: str) -> None:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
+def _probe_root(prefix: str, sf_dir: str, out_dir: str | None) -> str:
+    """Staging root shared by every streaming twin: DETERMINISTIC per
+    (process, sf_dir) — never a fresh mkdtemp per call — with the
+    previous run's tree wiped up front so repeat invocations cannot
+    accumulate temp trees, and session-end cleanup registered for
+    auto-derived roots.  Callers wanting the artifacts visible pass
+    out_dir.  One helper instead of a per-query copy: a fix to the
+    keying or cleanup scheme lands once."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if out_dir is None:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"seisdb_stream_{prefix}_{os.getpid()}_{key}",
+        )
+        _register_probe_cleanup(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out_dir
+
+
 @query(
     "streaming_tumbling_counts",
     oracle=REGISTRY["tumbling_window_counts"].oracle,
@@ -133,9 +157,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -166,21 +188,12 @@ def streaming_incremental_dedup(
     corpus_sh = shingle_tokens(corpus).persist()
     corpus_bands = bands_of(corpus_sh).persist()
 
-    import shutil
 
     # Staging root is DETERMINISTIC per (process, sf_dir) — not a fresh
     # mkdtemp per call — and the previous run's tree is removed up front, so
     # repeat invocations never accumulate temp trees for the process
     # lifetime.  Callers wanting the artifacts visible pass out_dir.
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        root = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_probe_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(root)
-    else:
-        root = out_dir
-    shutil.rmtree(root, ignore_errors=True)
+    root = _probe_root("probe", sf_dir, out_dir)
     pairs_dir = os.path.join(root, "pairs")
     ckpt = os.path.join(root, "ckpt")
 
@@ -361,10 +374,7 @@ _share_quality_oracle()
 def streaming_decontamination(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -383,15 +393,7 @@ def streaming_decontamination(
         .persist()
     )
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        root = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_decon_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(root)
-    else:
-        root = out_dir
-    shutil.rmtree(root, ignore_errors=True)
+    root = _probe_root("decon", sf_dir, out_dir)
     hits_dir = os.path.join(root, "hits")
     ckpt = os.path.join(root, "ckpt")
 
@@ -469,6 +471,8 @@ def streaming_novelty_probe(
 
     from seisdb_spark.streaming.ingest import novelty_probe
 
+    # deliberately NOT _probe_root: novelty_probe manages (and wipes) its
+    # own staging tree, so only the keying + cleanup registration happen here
     if out_dir is None:
         key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         out_dir = os.path.join(
@@ -526,21 +530,12 @@ _set_novelty_probe_oracle()
 def streaming_int4_quantize(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from seisdb_spark.queries.extensions import int4_block_quantize_df
     from seisdb_spark.streaming import read_embeddings_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_int4_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("int4", sf_dir, out_dir)
     codes_dir = os.path.join(out_dir, "codes")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -599,10 +594,7 @@ _share_int4_oracle()
 def streaming_hll_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -610,13 +602,7 @@ def streaming_hll_rollup(
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_hll_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("hll", sf_dir, out_dir)
     sk_dir = os.path.join(out_dir, "sketches")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -708,29 +694,21 @@ _share_hll_oracle()
 def streaming_topk_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from seisdb_spark.queries.extensions import (
-        HH_TOPK,
         HLL_LGK,
+        hh_exact_topk,
+        hh_gate_report,
         hh_tracked_capacity,
     )
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_topk_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("topk", sf_dir, out_dir)
     sk_dir = os.path.join(out_dir, "sketches")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -794,32 +772,9 @@ def streaming_topk_rollup(
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
     )
-    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
-    rank_w = Window.orderBy(F.col("n").desc(), "w")
-    exact = sel.select(
-        F.row_number().over(rank_w).cast("int").alias("rank"),
-        F.col("w").alias("word"),
-        F.col("n").alias("exact_n"),
-    )
-    sketch_k = sketch_full.join(
-        F.broadcast(exact.select("word")), "word", "semi"
-    )
-    gated = exact.join(F.broadcast(sketch_k), "word", "left")
-    return gated.select(
-        "rank",
-        "word",
-        "exact_n",
-        F.col("est").isNotNull().cast("int").alias("in_sketch"),
-        (
-            F.abs(
-                F.coalesce(F.col("est"), F.lit(0)).cast("double")
-                - F.col("exact_n")
-            )
-            <= F.col("exact_n") * 0.05
-        )
-        .cast("int")
-        .alias("est_within"),
-    )
+    # the SAME referee + gate tail as the batch gate (shared oracle)
+    exact = hh_exact_topk(wc)
+    return hh_gate_report(exact, sketch_full)
 
 
 # stream==batch equivalence: the streaming top-k sketch table's oracle IS
@@ -858,26 +813,20 @@ _share_topk_oracle()
 def streaming_cm_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import math
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from seisdb_spark.functions import cms
-    from seisdb_spark.queries.extensions import CMS_PROBE_WORDS
+    from seisdb_spark.queries.extensions import (
+        CMS_PROBE_WORDS,
+        cm_gate_report,
+    )
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_cm_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("cm", sf_dir, out_dir)
     sk_dir = os.path.join(out_dir, "sketches")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -909,35 +858,14 @@ def streaming_cm_rollup(
     probes = spark.createDataFrame(
         [(w,) for w in CMS_PROBE_WORDS], "word string"
     )
-    est = cms.cm_probe(probes, merged, "word")
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
-    exact = (
-        tok.join(
-            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .withColumnRenamed("w", "word")
-    )
-    gated = (
-        est.join(F.broadcast(exact), "word", "left")
-        .withColumn("exact_n", F.coalesce("exact_n", F.lit(0).cast("long")))
-        .crossJoin(F.broadcast(cms.cm_total(merged)))
-    )
-    bound = F.ceil(
-        F.lit(math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
-    ).cast("long")
-    return gated.select(
-        "word",
-        "exact_n",
-        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
-        (F.col("est") <= F.col("exact_n") + bound)
-        .cast("int")
-        .alias("within_bound"),
-    )
+    # the SAME probe/referee/gate tail as the batch gate (shared oracle
+    # — a bound edit applied to one twin but not the other would break
+    # stream==batch parity)
+    return cm_gate_report(tok, merged, probes)
 
 
 # stream==batch equivalence: the streaming counter table's oracle IS the
@@ -976,10 +904,7 @@ _share_cm_oracle()
 def streaming_kmv_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -992,13 +917,7 @@ def streaming_kmv_rollup(
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_kmv_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("kmv", sf_dir, out_dir)
     sk_dir = os.path.join(out_dir, "signatures")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1077,10 +996,7 @@ _share_kmv_oracle()
 def streaming_lm_score(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from seisdb_spark.queries.extensions import (
         lm_score_df,
@@ -1088,13 +1004,7 @@ def streaming_lm_score(
     )
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_lm_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("lm", sf_dir, out_dir)
     scores_dir = os.path.join(out_dir, "scores")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1160,10 +1070,7 @@ _share_lm_oracle()
 def streaming_quantile_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1172,13 +1079,7 @@ def streaming_quantile_rollup(
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_hq_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("hq", sf_dir, out_dir)
     sk_dir = os.path.join(out_dir, "hist")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1205,36 +1106,11 @@ def streaming_quantile_rollup(
     )
     merged = histq.hist_merge(partials)
     qb = histq.hist_quantile_bins(merged)
-
     docs = load_table(spark, sf_dir, "documents")
-    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wv = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
-    exact = (
-        qb.select("q_pm", "r")
-        .join(vcum, F.col("cum") >= F.col("r"))
-        .groupBy("q_pm")
-        .agg(F.min("v").alias("exact_v"))
-    )
-    return qb.join(exact, "q_pm").select(
-        F.col("q_pm").cast("int").alias("q_pm"),
-        "est_lo",
-        "est_hi",
-        "exact_v",
-        (
-            (F.col("exact_v") >= F.col("est_lo"))
-            & (
-                (F.col("exact_v") < F.col("est_hi"))
-                | (F.col("est_bin") == F.lit(histq.HQ_NBINS - 1))
-            )
-        )
-        .cast("int")
-        .alias("within_bin"),
-    )
+    # the SAME referee + gate tail as the batch rollup (shared oracle)
+    from seisdb_spark.queries.extensions import hq_gate_report
+
+    return hq_gate_report(qb, docs)
 
 
 # stream==batch equivalence: the streamed histogram table's oracle IS the
@@ -1272,10 +1148,7 @@ _share_hq_oracle()
 def streaming_lm_train(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1284,13 +1157,7 @@ def streaming_lm_train(
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_lmt_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("lmt", sf_dir, out_dir)
     model_dir = os.path.join(out_dir, "model")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1371,21 +1238,12 @@ _share_lmt_oracle()
 def streaming_weighted_sample(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from seisdb_spark.queries.extensions import es_priorities, es_take_topk
     from seisdb_spark.streaming import read_documents_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_es_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("es", sf_dir, out_dir)
     cand_dir = os.path.join(out_dir, "candidates")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1453,10 +1311,7 @@ _share_es_oracle()
 def streaming_zone_maps(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1474,13 +1329,7 @@ def streaming_zone_maps(
     from seisdb_spark.sources.tables import load_table
     from seisdb_spark.streaming import read_events_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_zm_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("zm", sf_dir, out_dir)
     zm_dir = os.path.join(out_dir, "zonemaps")
     m_dir = os.path.join(out_dir, "matched")
     ckpt = os.path.join(out_dir, "ckpt")
@@ -1570,23 +1419,14 @@ _share_zm_oracle()
 def streaming_scd2_build(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from seisdb_spark.queries.relational import scd2_deltas, scd2_intervals
     from seisdb_spark.streaming import read_orders_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_scd2_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("scd2", sf_dir, out_dir)
     log_dir = os.path.join(out_dir, "changelog")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1652,23 +1492,14 @@ _share_scd2_oracle()
 def streaming_gapfill(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from seisdb_spark.queries.relational import gapfill_from_obs, gapfill_obs
     from seisdb_spark.streaming import read_events_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_gf_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("gf", sf_dir, out_dir)
     obs_dir = os.path.join(out_dir, "obs")
     ckpt = os.path.join(out_dir, "ckpt")
 
@@ -1736,10 +1567,7 @@ _share_gapfill_oracle()
 def streaming_cohort_retention(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1750,13 +1578,7 @@ def streaming_cohort_retention(
     )
     from seisdb_spark.streaming import read_events_stream
 
-    if out_dir is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"seisdb_stream_cohort_{os.getpid()}_{key}"
-        )
-        _register_probe_cleanup(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _probe_root("cohort", sf_dir, out_dir)
     sign_dir = os.path.join(out_dir, "signups")
     act_dir = os.path.join(out_dir, "activity")
     ckpt = os.path.join(out_dir, "ckpt")

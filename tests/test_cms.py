@@ -138,3 +138,21 @@ def test_cm_gate_plan_shape(spark):
     assert has_node(plan, "Broadcast")
     assert not has_node(plan, "rangepartitioning")
     assert not has_node(plan, "BatchEvalPython")
+
+
+def test_probe_survives_colliding_columns_and_duplicates(spark, zipfish):
+    """Review finding: a probes frame carrying columns named n/d/col (a
+    prior count attached, say) must not break or mis-bind the join, and
+    duplicate probe rows must survive row-for-row instead of collapsing."""
+    merged = cms.cm_merge(cms.cm_partials(zipfish, "w", []))
+    probes = spark.createDataFrame(
+        [("k1", 7, 1, 2), ("k1", 7, 1, 2), ("k9", 3, 0, 5)],
+        "word string, n int, d int, col int",
+    )
+    out = cms.cm_probe(probes, merged, "word").toPandas()
+    assert len(out) == 3  # duplicates preserved
+    assert sorted(out.columns) == ["col", "d", "est", "n", "word"]
+    # caller columns pass through untouched
+    assert sorted(out.n) == [3, 7, 7] and (out.est >= 0).all()
+    k1 = out[out.word == "k1"]
+    assert len(k1) == 2 and k1.est.nunique() == 1
