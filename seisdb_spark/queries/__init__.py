@@ -234,17 +234,32 @@ DRIVER_WINDOW: list[str] = [
     # verify stays pytest-oracle-checked every round)
     "streaming_gapfill",
     "doc_winnowing_fingerprints",
-    # round-11 rotation (r10 verdict item #1): bpe_apply_tokenize — the
-    # BPE train->apply tokenize step (now routed through the merge-count
-    # dispatcher: expression form at demo K, Arrow kernel past its
-    # bound), the only registry entry never driver-executed — gets its
-    # rows-only driver row in for pq_refined_encode (rows-only; its one
-    # clean driver execution landed in r10, so it rotates out per the
-    # kmeans_refine_assign precedent: one in-window rows-only round,
-    # then out; the Lloyd-refinement machinery stays pinned by the
-    # recall-improvement pytest and the refined-codebook goldens).
-    "bpe_apply_tokenize",
-    "ann_signbucket_topk",
+    # round-12 rotation (r11 verdict item #1): sequence_packing_learned —
+    # the learned-token-count packing form (rows-only: greedy FFD packing
+    # is iterative; invariants pytest-pinned, planted ~2.25x divergence
+    # test proves the learned counts move real assignments), the only
+    # registry entry never driver-executed — gets its rows-only driver
+    # row in for bpe_apply_tokenize (rows-only; its one clean driver
+    # execution landed in r11, out per the kmeans_refine_assign
+    # precedent: one in-window rows-only round, then out; the tokenize
+    # kernel stays pinned by the trained-golden + 1,000-merge pure-Python
+    # parity pytest, and its learned_token_counts stage feeds THIS
+    # in-window entry, so the BPE machinery stays driver-executed in
+    # composed form).
+    "sequence_packing_learned",
+    # round-12 rotation (r11 verdict item #5): streaming_funnel_steps —
+    # the ordered-sequence class's scan-once-at-ingest form (23rd
+    # oracle-bearing streaming entry: the fold is NOT split-computable,
+    # so the streamed state is the observation log — per-microbatch
+    # funnel-typed rows from the SAME funnel_typed stage, compacted by
+    # the SAME funnel_steps_from_log; row-set union is split-invariant
+    # by construction; shares the batch funnel's oracle) — in for
+    # ann_signbucket_topk (green r7-r11, NINE hard rows, rotation-
+    # eligible; the ANN family keeps pq_recall_eval and mrl_pq_adc_topk
+    # in-window — pq_recall_eval's oracle recomputes the exact top-k
+    # baseline the sign-bucket probe is gated against — and the banded
+    # sign-LSH machinery stays pytest-oracle-checked every round).
+    "streaming_funnel_steps",
     # round-11 rotation (tenth swap): streaming_quantile_rollup — the
     # histogram sketch's ingest twin (16th oracle-bearing streaming
     # entry; per-microbatch bin-count partials, addition-merged —
@@ -370,7 +385,17 @@ DRIVER_WINDOW: list[str] = [
     # keeps streaming_decontamination, bloom_decontamination, and
     # curation_keep_set's decon stage in-window)
     "streaming_hll_rollup",
-    "salted_skew_agg",
+    # round-12 rotation (r11 verdict item #4): window_range_trailing_day
+    # — the time-interval RANGE window frame class (trailing-24h per-user
+    # count/cents over irregular event timestamps: value-based peer-
+    # inclusive frames, the moving-aggregate semantics a ROWS frame
+    # cannot express; planted same-instant pytest pins the divergence) —
+    # in for salted_skew_agg (green r4-r11, EIGHT hard rows, rotation-
+    # eligible; the salting/skew machinery is a plan-shape technique
+    # pinned by its pytest plan assertions and the AQE skew-join test
+    # every round, and the aggregation family keeps cube_revenue,
+    # hist_quantile_rollup and the sketch rollups in-window).
+    "window_range_trailing_day",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built
     # filter, broadcast 1-row dense word array, exact verify of bloom
@@ -478,7 +503,17 @@ DRIVER_WINDOW: list[str] = [
     # pytest-oracle-checked, and corpus-summary coverage stays in-window
     # via source_mix_weights + the sketch rollups)
     "streaming_weighted_sample",
-    "packing_efficiency",
+    # round-12 rotation (r11 verdict item #3): intersect_all_priorities —
+    # INTERSECT ALL, completing the six-member set-op family (bag-
+    # semantics intersection next to r11's except_all_priorities: per-
+    # value least(n_a, n_b) multiplicity via ONE signed-count exchange,
+    # same duplicate-heavy input so a bag/distinct confusion is
+    # unmissable) — in for packing_efficiency (green r6-r11, SIX hard
+    # rows, rotation-eligible; the packing family keeps the NEW
+    # sequence_packing_learned in-window — the strictly stronger learned-
+    # count form whose stats compose the same bin-packing machinery —
+    # and the efficiency audit stays pytest-oracle-checked every round).
+    "intersect_all_priorities",
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------

@@ -1603,13 +1603,29 @@ FUNNEL_FOLD = """
     bench=True,
 )
 def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-funnel types can never advance the fold — filter them BEFORE the
-    # collect (the predicate reaches the parquet scan), so per-user arrays
-    # carry only the 3 relevant types instead of the whole journey
-    events = load_table(spark, sf_dir, "events").filter(
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps_from_log(funnel_typed(events))
+
+
+def funnel_typed(events: DataFrame) -> DataFrame:
+    """The funnel's observation log: funnel-typed events only, projected to
+    the columns the fold reads.  Shared by the batch query and the
+    streaming twin — non-funnel types can never advance the fold, so the
+    filter goes BEFORE the collect (the predicate reaches the parquet
+    scan) and, streamed, before the per-microbatch append; the log is a
+    plain row set, so union of per-microbatch logs is split-invariant by
+    construction."""
+    return events.filter(
         F.col("event_type").isin("view", "click", "purchase")
-    )
-    depths = events.groupBy("user_id").agg(F.expr(FUNNEL_FOLD).alias("depth"))
+    ).select("user_id", "ts", "event_id", "event_type")
+
+
+def funnel_steps_from_log(typed: DataFrame) -> DataFrame:
+    """Deterministic compaction of the observation log to the 3-row step
+    table: per-user greedy (depth, ts)-state fold, then global step
+    counts.  Shared verbatim by the batch query and the streaming twin so
+    their tie/ordering semantics can never diverge."""
+    depths = typed.groupBy("user_id").agg(F.expr(FUNNEL_FOLD).alias("depth"))
     counts = depths.agg(
         *[
             # coalesce: a corpus with NO funnel-type events yields an empty
@@ -1823,6 +1839,80 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return o.exceptAll(f)
+
+
+@query(
+    "intersect_all_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL — bag-semantics set intersection, completing the "
+    "six-member set-op family (union/union-all/intersect/intersect-all/"
+    "except/except-all): each priority survives least(n_open, n_finished) "
+    "times.  Spark plans intersectAll like exceptAll — per-value signed "
+    "counts collapsed in ONE exchange on the value, then generate "
+    "replicates min(n_a, n_b) rows; never a join of the two extents.  "
+    "Same duplicate-heavy input discipline as except_all_priorities "
+    "(thousands of copies of 5 distinct values), so a bag/distinct "
+    "confusion shifts the row count by three orders of magnitude and is "
+    "unmissable in the hash.",
+    bench=True,
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return o.intersectAll(f)
+
+
+@query(
+    "window_range_trailing_day",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               count(*) OVER w AS n_trailing_24h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS cents_trailing_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' DAY PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE window frame — the moving-aggregate class an "
+    "irregular event stream actually needs (window_frame_moving_sum's "
+    "ROWS frame counts a fixed number of rows; real trailing-window "
+    "metrics are defined by TIME: 'events in the last 24h').  Engine: "
+    "ORDER BY unix_micros(ts) with rangeBetween(-86_400_000_000, 0) — "
+    "value-based and inclusive at both bounds, exactly SQL's RANGE "
+    "BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW, evaluated as "
+    "one sliding frame per user partition (one shuffle, no self-join "
+    "blowup).  RANGE frames are peer-inclusive: rows tied on ts share "
+    "one frame regardless of event_id, so every output is a frame-"
+    "order-independent exact integer (count + quantized-cents sum) and "
+    "hashes identically — the planted pytest pins the case where a ROWS "
+    "frame and this RANGE frame disagree (two events at the same "
+    "instant).  24h (not 1h) because at test SFs the per-user stream is "
+    "~4 events/day — hour-frames are degenerate singletons that would "
+    "never catch a ROWS-vs-RANGE regression.",
+    bench=True,
+)
+def window_range_trailing_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .over(w)
+        .alias("cents_trailing_24h"),
+    )
 
 
 @query(

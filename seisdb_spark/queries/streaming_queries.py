@@ -1627,3 +1627,73 @@ def _share_cohort_oracle() -> None:
 
 
 _share_cohort_oracle()
+
+
+@query(
+    "streaming_funnel_steps",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING FUNNEL MAINTENANCE (23rd oracle-bearing streaming "
+    "entry — the ordered-sequence class's scan-once-at-ingest form): "
+    "the funnel fold is NOT split-computable (a user's depth depends on "
+    "their ordered event history, and a view in batch 1 must unlock a "
+    "click in batch 3), which is exactly the gap-fill/SCD2 situation — "
+    "so the streamed state is the OBSERVATION LOG, never the fold "
+    "state: each arriving microbatch is scan-filtered to the 3 funnel "
+    "types by the SAME funnel_typed stage the batch query uses and "
+    "appended as plain (user, ts, event_id, type) rows (batch_id-"
+    "derived overwrite paths — idempotent under checkpoint replays); "
+    "the step table is then compacted from the merged log by the SAME "
+    "funnel_steps_from_log stage.  The log is a row SET, so union of "
+    "per-microbatch logs is split-invariant by construction — "
+    "microbatch boundaries provably cannot change a count, and the "
+    "oracle is the batch query's SQL verbatim.  The log is the state: "
+    "funnel-typed rows are a small fraction of the raw stream (the "
+    "filter runs at ingest), and any consumer re-derives the fold from "
+    "the log with different step definitions without re-ingesting.",
+)
+def streaming_funnel_steps(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import os
+
+    from seisdb_spark.queries.relational import (
+        funnel_steps_from_log,
+        funnel_typed,
+    )
+    from seisdb_spark.streaming import read_events_stream
+
+    out_dir = _probe_root("funnel", sf_dir, out_dir)
+    log_dir = os.path.join(out_dir, "log")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        funnel_typed(bdf).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
+    return funnel_steps_from_log(merged)
+
+
+# stream==batch equivalence: the persisted log is the union of per-batch
+# funnel-typed row sets (order-free), and the fold is a deterministic
+# compaction of that log (QuerySpec is frozen; replace the registry entry).
+def _share_funnel_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_funnel_steps"] = replace(
+        REGISTRY["streaming_funnel_steps"],
+        oracle=REGISTRY["funnel_conversion_steps"].oracle,
+    )
+
+
+_share_funnel_oracle()

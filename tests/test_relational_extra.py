@@ -513,3 +513,56 @@ def test_funnel_sessionized_boundary_semantics(spark, tmp_path):
     # -> view-reaching sessions: u1 s1, u2 s1, u2 s2 = 3
     # -> click: same 3; purchase: only u2's two sessions
     assert sess == {"view": 3, "click": 3, "purchase": 2}
+
+
+def test_range_frame_peer_inclusion_diverges_from_rows(spark, tmp_path):
+    """Planted RANGE-vs-ROWS divergence: user 1 has two events at the SAME
+    instant plus one 25h later.  A RANGE frame is value-based and
+    peer-inclusive — both same-instant events see each other (frame
+    count 2) however the tiebreak orders them — while any ROWS frame with
+    a total order gives the first of the pair a frame of 1.  The 25h-later
+    event's frame must exclude the stale pair (value-based bound), which a
+    '3 preceding rows' frame would wrongly include.  Also pins the
+    inclusive 24h boundary: user 2's second event is EXACTLY 24h after
+    the first and must include it."""
+    import pandas as pd
+
+    from seisdb_spark.queries import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 10, 11],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:00",  # same instant as event 1
+                    "2024-01-02 01:00:00",  # 25h later: pair aged out
+                    "2024-03-01 00:00:00",
+                    "2024-03-02 00:00:00",  # exactly 24h: inclusive bound
+                ]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view"] * 5,
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    src = tmp_path / "sf_range"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    got = (
+        REGISTRY["window_range_trailing_day"]
+        .spark(spark, str(src))
+        .toPandas()
+        .set_index("event_id")
+    )
+    # same-instant peers: BOTH rows carry the 2-row frame (cents 100+200)
+    assert got.loc[1, "n_trailing_24h"] == 2 and got.loc[2, "n_trailing_24h"] == 2
+    assert got.loc[1, "cents_trailing_24h"] == 300
+    assert got.loc[2, "cents_trailing_24h"] == 300
+    # 25h later: value-based bound evicts the pair (a ROWS frame keeps it)
+    assert got.loc[3, "n_trailing_24h"] == 1
+    assert got.loc[3, "cents_trailing_24h"] == 400
+    # exactly-24h-earlier row is IN (RANGE PRECEDING bound is inclusive)
+    assert got.loc[11, "n_trailing_24h"] == 2
+    assert got.loc[11, "cents_trailing_24h"] == 2400

@@ -900,6 +900,47 @@ def test_cohort_stream_split_matches_batch(spark, tmp_path):
     assert len(os.listdir(os.path.join(out, "activity"))) == 3
 
 
+def test_funnel_stream_split_matches_batch(spark, tmp_path):
+    """The streamed funnel over events split into 3 files (3 genuine
+    microbatches) must produce the SAME step table as the batch query:
+    the observation log is the union of per-batch funnel-typed row sets
+    (split-invariant by construction), and the fold is a deterministic
+    compaction of the merged log.  The fold itself is NOT split-
+    computable — a user whose view/click/purchase land in DIFFERENT
+    microbatches (guaranteed by event_id % 3 splitting: consecutive
+    event_ids go to different batches, and funnel steps are ordered by
+    ts which correlates with event_id) is exactly the case a naive
+    per-batch fold + merge would get wrong."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_funnel_steps
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.event_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/events.parquet", index=False)
+    # the case that matters exists: some user's funnel-typed events span
+    # at least two different microbatches
+    fun = pdf[pdf.event_type.isin(["view", "click", "purchase"])]
+    assert (fun.groupby("user_id").event_id.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    out = str(tmp_path / "funnel_stream")
+    got = _sorted(
+        streaming_funnel_steps(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["funnel_conversion_steps"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "log"))) == 3
+
+
 def test_read_orders_stream_schema_tripwire(spark, tmp_path):
     """A drifted orders layout must fail at the stream reader's one-line
     tripwire (same contract as batch load_table), not deep inside the
