@@ -29,5751 +29,45 @@ Scale notes (the round-1 verdict's fix list, addressed):
     single-partition global Window.
 """
 
+
+# Round-12 split: the operator families formerly defined inline here (the
+# file had grown to ~5,800 lines across ~15 unrelated families) now live in
+# per-family modules; this module re-exports EVERY public and private name
+# from each so the long-standing import surface
+# (``from seisdb_spark.queries.extensions import X``) — used by the
+# streaming twins, the curation composition, vector_store, tools, and the
+# test suite — is unchanged.  Importing this module still registers every
+# family's queries (each submodule registers at import).
+
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from seisdb_spark.functions.multimodal import (
-    decode_payload_features,
-    documents_as_binary,
-)
-from seisdb_spark.functions.text import (
-    LANG_PROFILES,
-    MINHASH_A,
-    MINHASH_B,
-    MINHASH_PRIME,
-    N_BANDS,
-    N_MINHASH,
-    ROWS_PER_BAND,
-    SHINGLE_K,
-    band_key_exprs,
-    lang_argmax,
-    lang_scores,
-    minhash_agg_exprs,
-    shingle_tokens,
-    simhash_agg,
-    simhash_oracle_sql,
-    with_token_hash,
-    word_tokens,
-)
-from seisdb_spark.functions.graph import cc_exact_lazy
-from seisdb_spark.functions.vectors import (
-    EMBEDDING_DIM,
-    MAX_SIGN_BITS,
-    adaptive_bits_col,
-    adaptive_bits_sql,
-    dot_chain_col,
-    dot_chain_sql,
-    sign_string_expr,
-    sign_string_sql,
-)
-from seisdb_spark.queries.registry import REGISTRY, query
-from seisdb_spark.sources.tables import load_table, spread
-
-STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
-JACCARD_THRESHOLD = 0.7
-NEARDUP_COSINE = 0.95
-
-# Sign-bucket key widths are derived from the input row count at execution
-# (see functions/vectors.py::adaptive_bits_col): width = the smallest bits
-# with expected bucket occupancy <= target, clamped to [min, MAX_SIGN_BITS].
-# ANN targets larger buckets (the probed set must still contain a top-10);
-# near-dup blocking targets small buckets (within-bucket work is quadratic).
-ANN_TARGET_BUCKET_ROWS = 64
-ANN_MIN_BITS = 2
-NEARDUP_TARGET_BUCKET_ROWS = 8
-NEARDUP_MIN_BITS = 4
-NEARDUP_BANDS = 4
-NEARDUP_BAND_STRIDE = 16  # band b slices sign-string chars [b*16+1, b*16+R]
-
-
-# ---------------------------------------------------------------------------
-# shared oracle CTE fragments (kept in lockstep with functions/text.py)
-# ---------------------------------------------------------------------------
-_TOK_CTE = """
-    tok AS (
-        SELECT DISTINCT doc_id, lang, source, word FROM (
-            SELECT doc_id, lang, source,
-                   unnest(string_split(text, ' ')) AS word
-            FROM documents
-        )
-    )
-"""
-
-def _shingle_cte(src: str = "documents") -> str:
-    """The word-k-shingle CTE over any source relation carrying
-    (doc_id, text) — lockstep with functions/text.py::shingle_tokens."""
-    return f"""
-    starts AS (
-        SELECT doc_id, w,
-               unnest(generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 0))) AS i
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
-    ),
-    shingle AS (
-        SELECT DISTINCT doc_id,
-               {" || ' ' || ".join(f"w[i + {j}]" for j in range(SHINGLE_K))} AS sh
-        FROM starts
-    )
-"""
-
-
-_SHINGLE_CTE = _shingle_cte()
-
-# One md5 per shingle, parsed to a 32-bit int by summing per-hex-digit
-# strpos lookups (DuckDB's equivalent of Spark's conv(hex,16,10)); the 12
-# signature lanes are (A*h+B) mod P transforms of it — in lockstep with
-# functions/text.py::with_token_hash / minhash_agg_exprs.
-_HEXPARSE = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(sh), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-    for j in range(8)
-)
-
-_SIG_CTE = f"""
-    sigsrc AS (
-        SELECT doc_id, {_HEXPARSE} AS h FROM shingle
-    ),
-    sig AS (
-        SELECT doc_id,
-               {", ".join(f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
-        FROM sigsrc
-        GROUP BY doc_id
-    )
-"""
-
-def _band_concat(b: int) -> str:
-    lanes = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-    return "concat(" + ", ',', ".join(lanes) + ")"
-
-
-_BANDS_CTE = (
-    "bands AS (\n"
-    + "\n        UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_band_concat(b)} AS bk FROM sig"
-        for b in range(N_BANDS)
-    )
-    + "\n    )"
-)
-
-_CAND_CTE = """
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-    )
-"""
-
-
-def _jaccard_on_candidates(docs: DataFrame) -> DataFrame:
-    """Exact shingle-Jaccard scored ONLY on LSH candidate pairs, built so the
-    shingle explode runs ONCE: signatures, band join, set sizes, and the
-    intersection count all consume the same distinct-shingle DataFrame, and
-    every branch's plan bottoms out at the same distinct Exchange, which
-    Spark de-duplicates (ReusedExchange).  (``min()`` is duplicate-
-    insensitive, so signatures over the distinct table equal
-    :func:`_lsh_candidates`'s.)
-
-    The verify stage never touches non-candidate shingles: the shingle table
-    is semi-filtered through the broadcast candidate-doc set before the
-    intersection join, so verify cost scales with the (tiny, when LSH prunes
-    well) candidate set rather than the corpus — at sf0.1 that is 486 of
-    5000 docs; at 100 TB it is the difference between a corpus-sized
-    shuffle and a candidate-sized one.  Returns (doc_a, doc_b, jaccard)
-    unrounded.
-    """
-    sh = shingle_tokens(docs)
-    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
-    )
-    ba, bb = bands.alias("a"), bands.alias("b")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return _verify_jaccard(sh, cand)
-
-
-def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact shingle Jaccard for GIVEN (doc_a, doc_b) candidate pairs over a
-    distinct shingle table — the verify tail shared by the self-join dedup
-    and the incremental batch-vs-corpus probe.  Cost scales with the
-    candidate set, never the corpus."""
-    cand_docs = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
-    cnt = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta, tb = sh_c.alias("ta"), sh_c.alias("tb")
-    shared = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.sh") == F.col("tb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_shared")
-    )
-    return (
-        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
-
-
-def _lsh_candidates(docs: DataFrame) -> DataFrame:
-    """shingle -> minhash -> band -> ONE bucket self-join.
-
-    The self-join's two sides share one computation of the signature table:
-    both sides' plans end at identical Exchanges, which Spark de-duplicates
-    (ReusedExchange) — round 1 recomputed the signature lineage 4x."""
-    sh = shingle_tokens(spread(docs), distinct=False)  # min() absorbs dups
-    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-@query(
-    "text_stats",
-    oracle="""
-        SELECT doc_id, lang,
-               length(text) AS n_chars_calc,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
-               round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-                     (length(text) - length(replace(text, ' ', '')) + 1), 4)
-                   AS avg_word_len
-        FROM documents
-    """,
-    doc="Per-document text statistics (char count, whitespace token count, "
-    "mean word length) — all JVM-side expressions, no Python boundary.",
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    nosp = F.length(F.translate(F.col("text"), " ", ""))
-    n_words = F.length("text") - nosp + 1
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars_calc"),
-        n_words.alias("n_words"),
-        F.round(nosp.cast("double") / n_words, 4).alias("avg_word_len"),
-    )
-
-
-@query(
-    "token_count_by_lang",
-    oracle="""
-        SELECT lang,
-               count(*) AS n_docs,
-               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
-                   AS total_tokens,
-               round(avg(length(text) - length(replace(text, ' ', '')) + 1), 4)
-                   AS avg_tokens
-        FROM documents
-        GROUP BY lang
-    """,
-    doc="Corpus-level token accounting per language — the budget query of a "
-    "training-data pipeline. Single shuffle, partial aggregation map-side.",
-    bench=True,
-)
-def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    return (
-        docs.select("lang", n_words.alias("nw"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nw").alias("total_tokens"),
-            F.round(F.avg("nw"), 4).alias("avg_tokens"),
-        )
-    )
-
-
-@query(
-    "text_quality_score",
-    oracle=f"""
-        SELECT doc_id,
-               round(CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
-                     / (length(text) - length(replace(text, ' ', '')) + 1), 4)
-                   AS stopword_ratio,
-               CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
-                         BETWEEN 20 AND 1000
-                    THEN 1 ELSE 0 END AS length_ok
-        FROM documents
-    """,
-    doc="Quality scoring: stopword-hit ratio (an n-gram language/quality "
-    "heuristic) + length gate. regexp_extract_all counts non-overlapping "
-    "matches identically in Java regex and RE2.",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0))
-    return docs.select(
-        "doc_id",
-        F.round(hits.cast("double") / n_words, 4).alias("stopword_ratio"),
-        F.when(n_words.between(20, 1000), 1).otherwise(0).alias("length_ok"),
-    )
-
-
-@query(
-    "doc_repetition_stats",
-    oracle="""
-        WITH grams AS (
-            SELECT doc_id,
-                   w[i] || ' ' || w[i + 1] AS g
-            FROM (
-                SELECT doc_id, string_split(text, ' ') AS w,
-                       unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0))) AS i
-                FROM documents
-            )
-        ),
-        per_gram AS (
-            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
-        ),
-        per_doc AS (
-            SELECT doc_id,
-                   CAST(sum(c) AS BIGINT) AS n_bigrams,
-                   max(c) AS top_c
-            FROM per_gram GROUP BY doc_id
-        ),
-        words AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_words,
-                   len(list_distinct(string_split(text, ' '))) AS n_distinct
-            FROM documents
-        )
-        SELECT p.doc_id,
-               n_bigrams,
-               round(CAST(top_c AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
-               round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac
-        FROM per_doc p JOIN words USING (doc_id)
-    """,
-    doc="Repetition filters (the Gopher-rule family): per doc, the fraction "
-    "covered by the single most frequent word bigram and the duplicate-word "
-    "fraction — the cheap structural signals that catch boilerplate and "
-    "degenerate generations before any model-based scoring. One explode + "
-    "per-doc aggregation, shuffle keyed on doc_id; at 100 TB the gram "
-    "counts never leave the doc's partition group.",
-)
-def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = shingle_tokens(docs, k=2, distinct=False)
-    per_doc = grams.groupBy("doc_id", F.col("sh").alias("g")).agg(
-        F.count(F.lit(1)).alias("c")
-    ).groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c")
-    )
-    w = F.split(F.col("text"), " ")
-    words = docs.select(
-        "doc_id",
-        F.size(w).alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
-    )
-    return per_doc.join(words, "doc_id").select(
-        "doc_id",
-        "n_bigrams",
-        F.round(F.col("top_c").cast("double") / F.col("n_bigrams"), 4).alias(
-            "top_bigram_frac"
-        ),
-        F.round(
-            1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 4
-        ).alias("dup_word_frac"),
-    )
-
-
-_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
-_PII_DIGITS = r"\d{6,}"
-_PII_URL = r"https?://[^ ]+"
-
-
-@query(
-    "pii_scan_counts",
-    oracle=f"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
-               len(regexp_extract_all(text, '{_PII_DIGITS}')) AS n_digit_runs,
-               len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
-               CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}')) = 0
-                         AND len(regexp_extract_all(text, '{_PII_DIGITS}')) = 0
-                    THEN 1 ELSE 0 END AS pii_clean
-        FROM documents
-    """,
-    doc="PII pre-redaction scan: emails, long digit runs (phone/ID-shaped), "
-    "and URLs counted per doc with pure JVM regex (non-overlapping match "
-    "counts agree between Java regex and DuckDB's RE2 for these patterns), "
-    "plus a clean flag — the gate a redaction/quarantine stage keys on. "
-    "Zero shuffles; the regexes run inside whole-stage codegen next to the "
-    "scan.",
-)
-def pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n = lambda pat: F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))  # noqa: E731
-    return docs.select(
-        "doc_id",
-        n(_PII_EMAIL).alias("n_emails"),
-        n(_PII_DIGITS).alias("n_digit_runs"),
-        n(_PII_URL).alias("n_urls"),
-        F.when((n(_PII_EMAIL) == 0) & (n(_PII_DIGITS) == 0), 1)
-        .otherwise(0)
-        .alias("pii_clean"),
-    )
-
-
-@query(
-    "bpe_token_estimate",
-    oracle="""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_regex_tokens,
-               CAST(greatest(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')),
-                             ceil(octet_length(encode(text)) / 4.0)) AS BIGINT)
-                   AS bpe_token_estimate
-        FROM documents
-    """,
-    doc="Token counting for budget planning: a BPE-ish regex tokenizer "
-    "(word runs + single punctuation, the GPT-2 pre-tokenizer shape) plus "
-    "the bytes/4 subword lower bound; the estimate is the max of the two. "
-    "Pure JVM regex — no tokenizer library on the hot path.",
-)
-def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
-    sub = F.ceil(F.octet_length("text") / 4.0)
-    return docs.select(
-        "doc_id",
-        toks.alias("n_regex_tokens"),
-        F.greatest(toks.cast("long"), sub.cast("long")).alias("bpe_token_estimate"),
-    )
-
-
-@query(
-    "lang_id_ngram",
-    oracle=f"""
-        SELECT doc_id, lang AS labeled_lang,
-               {", ".join(
-                   "("
-                   + " + ".join(
-                       f"CASE WHEN position(' {w} ' IN ' ' || text || ' ') > 0 "
-                       f"THEN 1 ELSE 0 END"
-                       for w in words
-                   )
-                   + f") AS score_{lang}"
-                   for lang, words in LANG_PROFILES.items()
-               )},
-               CASE
-                   {" ".join(
-                       "WHEN "
-                       + " AND ".join(
-                           f"score_{lang} >= score_{other}"
-                           for other in list(LANG_PROFILES)[i + 1:]
-                       )
-                       + f" THEN '{lang}'"
-                       for i, lang in enumerate(list(LANG_PROFILES)[:-1])
-                   )}
-                   ELSE '{list(LANG_PROFILES)[-1]}'
-               END AS predicted_lang
-        FROM documents
-    """,
-    doc="Language-ID heuristic: per-language marker-word profile scores + "
-    "deterministic first-match argmax (the n-gram/stopword LID shape; on "
-    "this synthetic shared-vocabulary corpus the labels are arbitrary, so "
-    "the oracle checks the operator, not LID accuracy). Narrow projection, "
-    "zero shuffles.",
-)
-def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores("text")
-    scored = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
-    )
-    named = {lang: F.col(f"score_{lang}") for lang in scores}
-    return scored.withColumn("predicted_lang", lang_argmax(named))
-
-
-@query(
-    "simhash_fingerprint",
-    oracle=f"""
-        WITH {_TOK_CTE},
-        {simhash_oracle_sql("tok")}
-        SELECT doc_id, simhash FROM simhashed
-    """,
-    doc="SimHash document fingerprinting: 16-bit sign-of-sums over token "
-    "md5 bits — near-dup docs land at small Hamming distance. One explode + "
-    "one groupBy(doc_id) with 16 sum aggregates, all codegen'd column math.",
-    bench=True,
-)
-def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = word_tokens(spread(load_table(spark, sf_dir, "documents"))).select(
-        "doc_id", "word"
-    )
-    return simhash_agg(tok)
-
-
-@query(
-    "doc_fingerprint",
-    oracle="""
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               sha256(text) AS digest,
-               substr(md5(text), 1, 8) AS short_fp
-        FROM documents
-    """,
-    doc="Document fingerprinting over the binary (multimodal) representation "
-    "of the payload: utf-8 byte length + sha256 content digest + md5 short "
-    "fingerprint. The BinaryType + digest pattern is the multimodal-column "
-    "backbone (opaque bytes, typed metadata).",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    as_bytes = F.col("text").cast("binary")
-    return docs.select(
-        "doc_id",
-        F.octet_length("text").alias("n_bytes"),
-        F.sha2(as_bytes, 256).alias("digest"),
-        F.substring(F.md5(as_bytes), 1, 8).alias("short_fp"),
-    )
-
-
-WINNOW_K = 8  # rolling k-gram length (chars)
-WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
-
-
-def _duck_hexparse8(expr: str) -> str:
-    """DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
-        f" * {16 ** (7 - j)}"
-        for j in range(8)
-    )
-
-
-@query(
-    "doc_winnowing_fingerprints",
-    oracle=f"""
-        WITH grams AS (
-            SELECT doc_id, i, {_duck_hexparse8(f"substr(text, i, {WINNOW_K})")} AS h
-            FROM documents,
-                 unnest(generate_series(1, greatest(len(text) - {WINNOW_K - 1}, 0)))
-                     AS t(i)
-        ),
-        wmins AS (
-            SELECT doc_id, i,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                ROWS BETWEEN {WINNOW_W - 1} PRECEDING
-                                         AND CURRENT ROW) AS wmin
-            FROM grams
-        )
-        SELECT DISTINCT doc_id, wmin AS fp
-        FROM wmins WHERE i >= {WINNOW_W}
-    """,
-    doc=f"Winnowing (rolling-hash) document fingerprints: every char "
-    f"{WINNOW_K}-gram is hashed (one md5-derived 32-bit int per position) "
-    f"and the minimum over each window of {WINNOW_W} consecutive positions "
-    "is kept — the classic local-fingerprint scheme whose guarantee is that "
-    "any shared substring of length >= k+w-1 yields a shared fingerprint, "
-    "so plagiarism/overlap detection joins on fp. Per-doc window = one "
-    "shuffle on doc_id (never global); fingerprints are a bounded fraction "
-    "(~2/(w+1)) of positions.",
-)
-def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    from pyspark.sql import Window
-
-    k, w = WINNOW_K, WINNOW_W
-    positions = F.when(
-        F.length("text") >= k, F.sequence(F.lit(1), F.length("text") - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id", F.explode(positions).alias("i"), F.col("text")
-    ).select(
-        "doc_id",
-        "i",
-        F.expr(
-            f"cast(conv(substring(md5(cast(substring(text, i, {k}) as binary))"
-            ", 1, 8), 16, 10) as bigint)"
-        ).alias("h"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    return (
-        grams.select("doc_id", "i", F.min("h").over(win).alias("wmin"))
-        .filter(F.col("i") >= w)
-        .select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
-    )
-
-
-# --- passage-level (substring) dedup ---------------------------------------
-PASSAGE_GRAM_WORDS = 10  # long grams: random collisions vanish, reuse stays
-PASSAGE_MIN_DOCS = 2  # a gram is "repeated" when >= this many docs carry it
-
-
-@query(
-    "repeated_passage_spans",
-    oracle=f"""
-        WITH starts AS (
-            SELECT doc_id, w,
-                   unnest(generate_series(
-                       1, greatest(len(w) - {PASSAGE_GRAM_WORDS - 1}, 0))) AS i
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        ),
-        grams AS (
-            SELECT doc_id, i,
-                   md5(array_to_string(
-                       list_slice(w, i, i + {PASSAGE_GRAM_WORDS - 1}), ' ')) AS g
-            FROM starts
-        ),
-        rep AS (
-            SELECT g FROM grams
-            GROUP BY g HAVING count(DISTINCT doc_id) >= {PASSAGE_MIN_DOCS}
-        ),
-        hits AS (
-            SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM rep)
-        ),
-        prev AS (
-            SELECT doc_id, i,
-                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
-            FROM hits
-        ),
-        isl AS (
-            SELECT doc_id, i,
-                   sum(CASE WHEN pi IS NULL
-                            OR i - pi > {PASSAGE_GRAM_WORDS} THEN 1
-                            ELSE 0 END)
-                       OVER (PARTITION BY doc_id ORDER BY i
-                             ROWS UNBOUNDED PRECEDING) AS island
-            FROM prev
-        )
-        SELECT doc_id,
-               CAST(min(i) AS BIGINT) AS span_start,
-               CAST(max(i) + {PASSAGE_GRAM_WORDS - 1} AS BIGINT) AS span_end,
-               CAST(count(*) AS BIGINT) AS n_grams
-        FROM isl
-        GROUP BY doc_id, island
-    """,
-    doc=f"PASSAGE-LEVEL (substring) dedup — the repeated-passage removal op "
-    "of LLM corpus curation (document-granular dedup misses boilerplate "
-    "and licence blocks recurring INSIDE otherwise-distinct docs). Every "
-    f"word {PASSAGE_GRAM_WORDS}-gram is md5-fingerprinted at every "
-    f"position; grams carried by >= {PASSAGE_MIN_DOCS} distinct docs are "
-    "flagged (one shuffle on the gram hash — map-side distinct first, so "
-    "the corpus never ships raw text); flagged positions rejoin via a "
-    "pinned SHUFFLE-hash join (the flagged set is corpus-fraction-sized "
-    "on boilerplate-heavy corpora — broadcasting it OOMs, as the 100x "
-    "stress run proved) and merge per-doc into "
-    "MAXIMAL spans via gaps-and-islands (adjacent grams closer than one "
-    "gram length coalesce; one shuffle on doc_id). Output is the (doc_id, "
-    "word-span) removal list a training pipeline subtracts before "
-    "packing. The suffix-array construction of 'Deduplicating Training "
-    "Data' finds arbitrary-length repeats; fixed long grams are its "
-    "shuffle-friendly approximation — any repeated passage of >= "
-    f"{PASSAGE_GRAM_WORDS} words is found exactly, shorter ones are "
-    "ignored by design.",
-    bench=True,
-)
-def repeated_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    k = PASSAGE_GRAM_WORDS
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.col("text"), " ")
-    # sequence(1, 0) counts DOWN in Spark — short docs need the empty array
-    positions = F.when(
-        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    starts = docs.select(
-        "doc_id",
-        w.alias("w"),
-        F.explode(positions).alias("i"),
-    )
-    grams = starts.select(
-        "doc_id",
-        "i",
-        F.md5(F.concat_ws(" ", F.expr(f"slice(w, i, {k})")).cast("binary")).alias(
-            "g"
-        ),
-    )
-    rep = (
-        grams.select("g", "doc_id")
-        .distinct()
-        .groupBy("g")
-        .count()
-        .filter(F.col("count") >= PASSAGE_MIN_DOCS)
-        .select("g")
-    )
-    # The flagged-gram set is corpus-fraction-sized on boilerplate-heavy
-    # corpora (the 10x->100x stress run OOMed the driver when AQE chose to
-    # broadcast it), so pin a SHUFFLE hash join on the gram hash — both
-    # sides partition by g, no driver-side build, skew absorbed by AQE.
-    hits = grams.join(rep.hint("shuffle_hash"), "g").select("doc_id", "i")
-    bypos = Window.partitionBy("doc_id").orderBy("i")
-    prev = hits.withColumn("pi", F.lag("i").over(bypos))
-    isl = prev.withColumn(
-        "island",
-        F.sum(
-            F.when(F.col("pi").isNull() | (F.col("i") - F.col("pi") > k), 1)
-            .otherwise(0)
-        ).over(bypos.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("i").cast("long").alias("span_start"),
-        (F.max("i") + (k - 1)).cast("long").alias("span_end"),
-        F.count(F.lit(1)).alias("n_grams"),
-    ).drop("island")
-
-
-# ---------------------------------------------------------------------------
-# Multimodal columns
-# ---------------------------------------------------------------------------
-@query(
-    "multimodal_payload_stats",
-    oracle="""
-        SELECT doc_id,
-               'text' AS kind,
-               octet_length(encode(text)) AS n_bytes,
-               upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
-               ascii(substr(text, 1, 1)) AS first_byte
-        FROM documents
-    """,
-    doc="Multimodal payload inspection via pure binary expressions: byte "
-    "length, 8-byte head as hex, first byte — the metadata/validation pass "
-    "that precedes a decode stage, entirely JVM-side.",
-)
-def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return mm.select(
-        "doc_id",
-        F.col("meta.kind").alias("kind"),
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.upper(F.substring(F.hex(F.col("payload")), 1, 16)).alias("head_hex"),
-        F.ascii(F.col("payload").cast("string")).alias("first_byte"),
-    )
-
-
-@query(
-    "multimodal_decode_features",
-    oracle=None,  # mapInPandas decode — the Python boundary, rows-only check
-    doc="Byte-level feature extraction over BinaryType payloads via Arrow-"
-    "batched mapInPandas (numpy per batch): byte histogram stats + head "
-    "bytes. The exact plumbing (schema, batch shape, partition-local "
-    "execution) a real image/audio decode stage drops into; the image "
-    "decode itself is stubbed behind NotImplementedError (no image libs in "
-    "this container) with a deterministic fake-header path tested in "
-    "tests/test_multimodal.py.",
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return decode_payload_features(mm)
-
-
-def _le_u32_spark(payload: str, offset: int) -> F.Column:
-    """Little-endian uint32 at byte ``offset`` (0-based) of a binary column,
-    as pure JVM expressions: hex() the payload, slice 2-char digit pairs,
-    conv(,16,10), weight by 256^i.  No Python touches the payload."""
-    h = F.hex(F.col(payload))
-    return sum(
-        F.conv(F.substring(h, 2 * (offset + i) + 1, 2), 16, 10).cast("long")
-        * (256**i)
-        for i in range(4)
-    ).cast("long")
-
-
-def _le_u32_sql(payload: str, offset: int) -> str:
-    """DuckDB twin of :func:`_le_u32_spark` (hex() is uppercase on both)."""
-    byte = lambda i: (  # noqa: E731
-        f"('0x' || substr(hex({payload}), {2 * (offset + i) + 1}, 2))::BIGINT"
-    )
-    return (
-        "CAST("
-        + " + ".join(f"{byte(i)} * {256 ** i}" for i in range(4))
-        + " AS BIGINT)"
-    )
-
-
-@query(
-    "multimodal_header_fields",
-    oracle=f"""
-        SELECT doc_id,
-               {_le_u32_sql("encode(text)", 0)} AS field0,
-               {_le_u32_sql("encode(text)", 4)} AS field1,
-               octet_length(encode(text)) AS n_bytes
-        FROM documents
-        WHERE octet_length(encode(text)) >= 8
-    """,
-    doc="Fixed-offset binary header decode WITHOUT Python: two little-endian "
-    "uint32 fields parsed from the payload's first 8 bytes via hex()+conv() "
-    "expressions — whole-stage-codegen'd, pushdown-friendly, the shape of a "
-    "100 TB metadata-extraction pass over image/audio blobs (magic numbers, "
-    "dimensions, sample rates live at fixed offsets in every real "
-    "container format). The driver corpus carries text payloads, so the "
-    "parsed values are synthetic — the capability under test is the "
-    "declarative byte-field extraction, hash-matched against DuckDB doing "
-    "the same parse; the real fake-image header path (struct-packed "
-    "width/height) exercises identical logic in tests/test_multimodal.py.",
-)
-def multimodal_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return mm.filter(F.col("meta.n_bytes") >= 8).select(
-        "doc_id",
-        _le_u32_spark("payload", 0).alias("field0"),
-        _le_u32_spark("payload", 4).alias("field1"),
-        F.col("meta.n_bytes").alias("n_bytes"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deduplication
-# ---------------------------------------------------------------------------
-@query(
-    "dedup_exact",
-    oracle="""
-        SELECT md5(text) AS content_hash,
-               min(doc_id) AS keeper_doc_id,
-               count(*) AS n_copies
-        FROM documents
-        GROUP BY md5(text)
-    """,
-    doc="Exact dedup: hash-groupBy on content digest, keep the minimum "
-    "doc_id per hash (SURVEY §2.11). One shuffle on a uniformly-distributed "
-    "key — the 100 TB-safe dedup plan.",
-    bench=True,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
-
-
-@query(
-    "minhash_signatures",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE}
-        SELECT doc_id, {", ".join(f"mh{i}" for i in range(N_MINHASH))} FROM sig
-    """,
-    doc=f"MinHash signatures over word {SHINGLE_K}-shingles: ONE md5 per "
-    f"shingle parsed to a 32-bit int, then {N_MINHASH} universal-hash lanes "
-    "min((A*h+B) mod P) — integer multiply-adds instead of per-lane digests "
-    "(the digests dominated the aggregate's cost). Shingle explode + "
-    "groupBy is one shuffle; lanes partial-aggregate map-side.",
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_tokens(spread(load_table(spark, sf_dir, "documents")), distinct=False)
-    return with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
-
-
-@query(
-    "minhash_lsh_candidates",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE}
-        SELECT doc_a, doc_b FROM cand
-    """,
-    doc=f"MinHash-LSH candidate pairs: {SHINGLE_K}-shingles -> {N_MINHASH} "
-    f"minhashes -> {N_BANDS} bands x {ROWS_PER_BAND} rows -> ONE band-bucket "
-    "self-join on the exploded, persisted band table. Band collision prob "
-    "1-(1-J^3)^4 tracks Jaccard (J=0.8 -> 0.94, J=0.1 -> 0.004), so "
-    "candidates are a vanishing fraction of all pairs — round 1's 2x2-over-"
-    "unigrams emitted 74% of all pairs and is the quadratic anti-pattern "
-    "this replaces.",
-    bench=True,
-)
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_candidates(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_jaccard_pairs",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT doc_a, doc_b,
-               round(CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared), 4)
-                   AS jaccard
-        FROM shared
-        JOIN cnt ca ON shared.doc_a = ca.doc_id
-        JOIN cnt cb ON shared.doc_b = cb.doc_id
-        WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-              >= {JACCARD_THRESHOLD}
-    """,
-    doc=f"Near-dup verification: exact {SHINGLE_K}-shingle Jaccard computed "
-    "ONLY on LSH candidate pairs (the round-1 version token-self-joined the "
-    "whole corpus — quadratic in frequent tokens; this one touches "
-    "candidates * shingles). Pairs sharing no shingle can't reach the "
-    f"{JACCARD_THRESHOLD} threshold, so the inner-join shared-count is exact.",
-)
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    scored = _jaccard_on_candidates(docs)
-    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
-    )
-
-
-@query(
-    "dedup_cluster_components",
-    oracle=f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        ),
-        ver AS (
-            SELECT doc_a, doc_b
-            FROM shared
-            JOIN cnt ca ON shared.doc_a = ca.doc_id
-            JOIN cnt cb ON shared.doc_b = cb.doc_id
-            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        und AS (
-            SELECT doc_a AS src, doc_b AS dst FROM ver
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM ver
-        ),
-        reach (v, l) AS (
-            SELECT src, src FROM und
-            UNION
-            SELECT u.src, r.l FROM und u JOIN reach r ON r.v = u.dst
-        )
-        SELECT v AS doc_id, min(l) AS canonical_id
-        FROM reach
-        GROUP BY v
-    """,
-    doc="Dedup CLUSTERING — the transitive closure the pairwise ops can't "
-    "express: if A~B and B~C, all three share one canonical doc (min doc_id "
-    "of the component) even though A~C was never scored. Spark side: exact "
-    "single-pass union-find over the verified near-dup pairs as ONE lazy "
-    "plan — the edge list is LSH-candidate-sized (a tiny fraction of the "
-    "corpus), so it fits one task at any corpus scale where the dup RATE is "
-    "sane; functions/graph.py also ships the distributed iterate-to-"
-    "convergence form (pointer-jumping label propagation, O(log diameter) "
-    "rounds) for edge lists that outgrow one task. The oracle is the same "
-    "closure as a DuckDB recursive CTE. Output: one row per doc appearing "
-    "in any near-dup pair.",
-    bench=True,
-)
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = _jaccard_on_candidates(docs).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
-    return cc_exact_lazy(pairs).select(
-        F.col("v").alias("doc_id"), F.col("component").alias("canonical_id")
-    )
-
-
-@query(
-    "dedup_incremental_probe",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bk = b.bk
-            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-        ),
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT doc_a AS batch_doc, doc_b AS corpus_doc,
-               round(CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared), 4)
-                   AS jaccard
-        FROM shared
-        JOIN cnt ca ON shared.doc_a = ca.doc_id
-        JOIN cnt cb ON shared.doc_b = cb.doc_id
-        WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-              >= {JACCARD_THRESHOLD}
-    """,
-    doc="Incremental-ingest dedup: probe an EXISTING corpus's LSH band index "
-    "with a new batch (here: docs with doc_id%10==0 stand in for the "
-    "batch) — candidates are batch-x-corpus band matches only, never "
-    "corpus-x-corpus. This is how dedup runs in production: the corpus "
-    "index is written once (bands are a parquet table bucketed by band "
-    "key), each arriving batch joins against it, and per-ingest cost "
-    "scales with the BATCH, not the corpus. Verification is the same "
-    "candidates-only exact Jaccard as the self-join path.",
-    bench=True,
-)
-def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingle_tokens(docs)
-    sig = with_token_hash(sh).groupBy("doc_id").agg(*minhash_agg_exprs())
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_key_exprs())).alias("band", "bk")
-    )
-    batch = bands.filter(F.col("doc_id") % 10 == 0).alias("a")
-    corpus = bands.filter(F.col("doc_id") % 10 != 0).alias("b")
-    cand = (
-        batch.join(
-            corpus,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bk") == F.col("b.bk")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return (
-        _verify_jaccard(sh, cand)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(
-            F.col("doc_a").alias("batch_doc"),
-            F.col("doc_b").alias("corpus_doc"),
-            F.round("jaccard", 4).alias("jaccard"),
-        )
-    )
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-        WITH tok AS (
-            SELECT DISTINCT doc_id, lang, word FROM (
-                SELECT doc_id, lang,
-                       unnest(string_split(text, ' ')) AS word
-                FROM documents
-            )
-        ),
-        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
-        dfreq AS (SELECT word, count(*) AS df FROM tok GROUP BY word),
-        tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word),
-        scored AS (
-            SELECT tf.lang, tf.word,
-                   tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
-            FROM tf JOIN dfreq USING (word) CROSS JOIN n
-        ),
-        ranked AS (
-            SELECT lang, word, score,
-                   row_number() OVER (
-                       PARTITION BY lang ORDER BY score DESC, word
-                   ) AS rank
-            FROM scored
-        )
-        SELECT lang, word, round(score, 4) AS score, rank
-        FROM ranked WHERE rank <= 5
-    """,
-    doc="TF-IDF top terms per language: document frequency over the corpus, "
-    "per-language term frequency (doc-level sets), idf as the smoothed "
-    "RATIO (N+1)/(df+1) rather than its log — monotone-identical ranking, "
-    "but pure IEEE division that both engines compute bit-identically "
-    "(ln() differs by ulps across libm implementations and could flip "
-    "near-tie rankings). Two shuffles (word, then lang) + a per-lang top-5 "
-    "window on the already-aggregated (lang, word) table — corpus-sized "
-    "text never reaches the window.",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = word_tokens(docs, "lang")
-    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    tf = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
-    scored = (
-        tf.join(dfreq, "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "lang",
-            "word",
-            (
-                F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "word")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("lang", "word", F.round("score", 4).alias("score"), "rank")
-    )
-
-
-@query(
-    "approx_quantile_gate",
-    oracle="""
-        WITH b AS (
-            SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
-                   quantile_cont(l_extendedprice, 0.50) AS q50,
-                   quantile_cont(l_extendedprice, 0.75) AS q75
-            FROM lineitem
-        )
-        SELECT round(q25, 2) AS exact_q25,
-               round(q50, 2) AS exact_q50,
-               round(q75, 2) AS exact_q75,
-               1 AS q25_within, 1 AS q50_within, 1 AS q75_within
-        FROM b
-    """,
-    doc="Quantile sketch with a HARD gate (same pattern as "
-    "approx_distinct_parts): percentile_approx (Greenwald-Khanna-style, "
-    "rank error <= 1/accuracy) must land between the exact quantiles at "
-    "rank +-5%; Spark returns the exact values plus 0/1 in-bound flags, "
-    "the oracle the exact values plus literal 1. At 100 TB the sketch "
-    "merges map-side in constant memory; the exact percentile is the "
-    "test-scale referee, not the production path.",
-)
-def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    c = F.col("l_extendedprice")
-    agg = li.agg(
-        F.percentile(c, F.lit(0.25)).alias("q25"),
-        F.percentile(c, F.lit(0.50)).alias("q50"),
-        F.percentile(c, F.lit(0.75)).alias("q75"),
-        F.percentile(c, F.lit(0.20)).alias("q25_lo"),
-        F.percentile(c, F.lit(0.30)).alias("q25_hi"),
-        F.percentile(c, F.lit(0.45)).alias("q50_lo"),
-        F.percentile(c, F.lit(0.55)).alias("q50_hi"),
-        F.percentile(c, F.lit(0.70)).alias("q75_lo"),
-        F.percentile(c, F.lit(0.80)).alias("q75_hi"),
-        F.percentile_approx(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(100)).alias("ap"),
-    )
-    within = [
-        F.col("ap")[i]
-        .between(F.col(f"q{q}_lo"), F.col(f"q{q}_hi"))
-        .cast("int")
-        .alias(f"q{q}_within")
-        for i, q in enumerate((25, 50, 75))
-    ]
-    return agg.select(
-        F.round("q25", 2).alias("exact_q25"),
-        F.round("q50", 2).alias("exact_q50"),
-        F.round("q75", 2).alias("exact_q75"),
-        *within,
-    )
-
-
-# --- mergeable HLL sketch rollup -------------------------------------------
-# The capability approx_count_distinct does NOT give you: STORED partial
-# sketches that merge later.  At 100 TB, corpus-wide distinct questions
-# ("how many distinct tokens per language?") are answered from a tiny
-# per-(shard/day/source) sketch TABLE — raw data is scanned once when the
-# shard lands, every later rollup is a merge of kilobyte sketches.  Spark
-# 3.5+ ships the Apache DataSketches HLL family as SQL aggregates
-# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), which is the
-# engine-native way to express it.
-HLL_LGK = 12  # DataSketches lgConfigK: ~0.8% relative standard error
-
-
-@query(
-    "hll_sketch_rollup",
-    oracle="""
-        SELECT lang,
-               CAST(count(DISTINCT source) AS INT) AS n_sources,
-               CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct,
-               1 AS merged_within
-        FROM (
-            SELECT lang, source, unnest(string_split(text, ' ')) AS w
-            FROM documents
-        )
-        WHERE w <> ''
-        GROUP BY lang
-    """,
-    doc=f"MERGEABLE SKETCH ROLLUP with a HARD gate (the "
-    "approx_quantile_gate pattern): per-(lang, source) DataSketches HLL "
-    f"sketches (lgK={HLL_LGK}) of distinct words — the stored-partials "
-    "stage a production pipeline persists per shard — are union-merged "
-    "per lang and the merged estimate must land within +-5% of the "
-    "exact distinct count (far outside HLL's ~0.8% RSE at this lgK; "
-    "DataSketches is exact below its sparse threshold, so driver-scale "
-    "corpora gate at equality). Spark emits the exact counts plus 0/1 "
-    "flags, the oracle the exact counts plus literal 1. At 100 TB the "
-    "raw scan happens ONCE per arriving shard; every rollup after that "
-    "merges kilobyte sketches — the scan-once-merge-forever shape "
-    "approx_count_distinct alone cannot express.",
-    bench=True,
-)
-def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "lang", "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    partials = tok.groupBy("lang", "source").agg(
-        F.expr(f"hll_sketch_agg(w, {HLL_LGK})").alias("sk")
-    )
-    merged = partials.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("int").alias("n_sources"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-    )
-    exact = tok.groupBy("lang").agg(
-        F.countDistinct("w").alias("exact_distinct")
-    )
-    within = (
-        (
-            F.abs(F.col("est") - F.col("exact_distinct"))
-            <= F.col("exact_distinct") * 0.05
-        )
-        .cast("int")
-        .alias("merged_within")
-    )
-    return exact.join(merged, "lang").select(
-        "lang", "n_sources", "exact_distinct", within
-    )
-
-
-# --- frequent-items (heavy hitters) sketch gate ----------------------------
-# The third sketch class next to quantiles (approx_quantile_gate) and
-# distinct counts (hll_sketch_rollup): WHICH items dominate, estimated in
-# one pass with bounded state.  Spark 4 ships approx_top_k (a
-# frequent-items sketch aggregate whose per-partition state is
-# maxItemsTracked entries, merged map-side); the exact top-K is the
-# test-scale referee, the sketch is the production path — at 100 TB the
-# exact word count is a full vocab shuffle, the sketch is one constant-
-# state pass.
-HH_TOPK = 10
-#: Hard capacity ceiling = Spark's own limit.  approx_top_k does NOT
-#: degrade gracefully past maxItemsTracked: moderately past capacity
-#: (~3x) counts INFLATE (eviction floors), and far past (~5x) it
-#: returns an EMPTY array (found by the x1000 scale harness: 31k words
-#: vs a fixed 8192 produced zero rows, which AQE propagated into null
-#: gate flags; both modes pinned in tests/test_extensions.py::
-#: test_spark_approx_top_k_overflow_modes).  Capacity is therefore
-#: sized at plan time from a cheap cardinality estimate and overflow
-#: past this ceiling raises loudly instead of silently zeroing the
-#: gate.  The ceiling equals Spark 4.1's internal
-#: MAX_ITEMS_TRACKED_LIMIT = 1,000,000 (ApproxTopK.scala) — a larger
-#: local ceiling would be unreachable: Spark itself rejects
-#: maxItemsTracked above it, so our informative ValueError must fire
-#: FIRST (r10 ADVICE item; the limit is not a power of two and Spark
-#: accepts any capacity <= it, so the doubling search clamps to it).
-#: The sketch path is for BOUNDED-cardinality columns (the classic
-#: heavy-hitters use case: categories, domains, langs, source tags,
-#: capped vocabs); an unbounded vocabulary keeps the exact vocab-key
-#: shuffle, which is already corpus-cheap.
-HH_TRACKED_MAX = 1_000_000
-
-
-def hh_tracked_capacity(est_nd: int) -> int:
-    """approx_top_k capacity for an estimated ``est_nd`` distinct items:
-    30% headroom + 16, power-of-two doubling from 1024, clamped to
-    Spark's hard maxItemsTracked limit (HH_TRACKED_MAX = 1,000,000 —
-    not itself a power of two; Spark accepts any capacity <= it).
-    Raises when even the clamped capacity cannot cover the estimate —
-    BEFORE Spark's opaque approxTopKMaxItemsTrackedExceedsLimit error
-    and before the sketch silently corrupts (inflated counts, then
-    empty).  This is also the validation point for CALLER-SUPPLIED
-    cardinalities: production pipelines feed ``est_nd`` from a
-    persisted stat (e.g. one KB-sized row of the HLL sketch table
-    ``hll_sketch_rollup`` maintains) instead of scanning the corpus."""
-    need = est_nd * 13 // 10 + 16
-    if need > HH_TRACKED_MAX:
-        raise ValueError(
-            f"hh_tracked_capacity: ~{est_nd} distinct items needs sketch "
-            f"capacity {need} > Spark's maxItemsTracked limit "
-            f"{HH_TRACKED_MAX} — approx_top_k rejects larger capacities "
-            "and silently corrupts past smaller ones; use the exact "
-            "vocab-key path for unbounded-cardinality columns"
-        )
-    tracked = 1024
-    while tracked < need:
-        tracked <<= 1
-    return min(tracked, HH_TRACKED_MAX)
-
-
-def hh_exact_topk(wc: DataFrame) -> DataFrame:
-    """The exact top-K referee (ranked, count ties broken by word) from a
-    materialized vocab-count table — shared by the batch gate and the
-    streaming rollup so the ranking convention can never fork."""
-    sel = wc.orderBy(F.col("n").desc(), "w").limit(HH_TOPK)
-    rank_w = Window.orderBy(F.col("n").desc(), "w")
-    return sel.select(
-        F.row_number().over(rank_w).cast("int").alias("rank"),
-        F.col("w").alias("word"),
-        F.col("n").alias("exact_n"),
-    )
-
-
-def hh_gate_report(exact: DataFrame, sketch: DataFrame) -> DataFrame:
-    """Membership + +-5% estimate gate of a sketch's FULL tracked list
-    against the exact top-K — shared by both twins (they share one
-    oracle).  The tracked list is semi-joined down to the K exact words
-    BEFORE broadcasting (the r10 ADVICE item: the broadcast side is k
-    rows, never the capacity-sized list)."""
-    sketch_k = sketch.join(F.broadcast(exact.select("word")), "word", "semi")
-    gated = exact.join(F.broadcast(sketch_k), "word", "left")
-    return gated.select(
-        "rank",
-        "word",
-        "exact_n",
-        F.col("est").isNotNull().cast("int").alias("in_sketch"),
-        (
-            F.abs(
-                F.coalesce(F.col("est"), F.lit(0)).cast("double")
-                - F.col("exact_n")
-            )
-            <= F.col("exact_n") * 0.05
-        )
-        .cast("int")
-        .alias("est_within"),
-    )
-
-
-
-@query(
-    "heavy_hitters_gate",
-    oracle=f"""
-        WITH wc AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS n
-            FROM (
-                SELECT unnest(string_split(text, ' ')) AS w FROM documents
-            )
-            WHERE w <> ''
-            GROUP BY w
-        ),
-        sel AS (
-            SELECT w, n FROM wc ORDER BY n DESC, w LIMIT {HH_TOPK}
-        )
-        SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rank,
-               w AS word, n AS exact_n,
-               1 AS in_sketch, 1 AS est_within
-        FROM sel
-    """,
-    doc=f"HEAVY HITTERS with a HARD gate (the approx_quantile_gate "
-    f"pattern): the exact top-{HH_TOPK} words (one vocab-key combiner "
-    "shuffle + TakeOrderedAndProject, ties broken by word) each checked "
-    "against Spark's approx_top_k sketch, whose capacity is sized at "
-    "plan time with 30% headroom from a KB-sized HLL sketch over the "
-    "materialized vocab (the persisted-stat shape: production reads "
-    "the cardinality from the sketch table hll_sketch_rollup "
-    "maintains, validated by hh_tracked_capacity) — NECESSARY, not an "
-    "optimization: past maxItemsTracked approx_top_k first inflates "
-    "counts (eviction floors) and then returns EMPTY (caught by the "
-    "x1000 harness at a fixed 8192 vs 31k words), so a fixed capacity "
-    "silently corrupts the gate at scale; past Spark's own 1,000,000 "
-    "limit the query raises loudly instead. The corpus is scanned "
-    "exactly TWICE (exact vocab pass + sketch pass; the r10 "
-    "approx_count_distinct third scan is gone — sizing reads the "
-    "localCheckpointed Zipf-small vocab). Every exact heavy hitter "
-    "must appear in the sketch with its estimate within +-5% of "
-    "truth. Spark emits the exact ranks/counts plus 0/1 flags, the "
-    "oracle the exact ranks/counts plus literal 1. The sketch path "
-    "targets BOUNDED-cardinality columns (categories/domains/tags/"
-    "capped vocabs — constant state per partition, map-side merge); "
-    "unbounded vocabs keep the exact vocab-key shuffle, already "
-    "corpus-cheap.",
-    bench=True,
-)
-def heavy_hitters_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
-        F.col("w") != ""
-    )
-    # corpus scan 1 of 2: the exact vocab counts (the gate's referee
-    # needs them regardless), materialized ONCE — localCheckpoint is
-    # vocab-bounded (Zipf-small), and both the capacity sizing and the
-    # exact top-K read it instead of re-scanning the corpus
-    wc = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    # sizing from a KB-sized HLL sketch over the materialized vocab —
-    # the same stat a production pipeline persists (hll_sketch_rollup's
-    # stored-partials row); hh_tracked_capacity validates it against
-    # Spark's hard maxItemsTracked limit
-    est_nd = wc.agg(
-        F.expr(f"hll_sketch_estimate(hll_sketch_agg(w, {HLL_LGK}))").alias(
-            "nd"
-        )
-    ).collect()[0]["nd"]
-    tracked = hh_tracked_capacity(int(est_nd))
-    exact = hh_exact_topk(wc)
-    # probe the sketch's FULL tracked list, not just its top-K: the exact
-    # top-K breaks count ties by word, the sketch arbitrarily, so a
-    # boundary tie could drop an exact heavy hitter from the sketch's own
-    # top-K slice while its (exact) estimate sits right below the cut.
-    # corpus scan 2 of 2.
-    sketch = (
-        tok.agg(
-            F.expr(f"approx_top_k(w, {tracked}, {tracked})").alias("tk")
-        )
-        .select(F.explode("tk").alias("e"))
-        .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
-    )
-    return hh_gate_report(exact, sketch)
-
-
-# --- count-min sketch gate (point-frequency estimation) --------------------
-# The fourth classic sketch next to quantiles (approx_quantile_gate),
-# distinct counts (hll_sketch_rollup), and top-k (heavy_hitters_gate):
-# "how often does THIS item occur", answered from bounded mergeable
-# state.  functions/cms.py keeps the sketch in relational form (Spark's
-# binary count_min_sketch aggregate has no SQL-side merge or estimate),
-# so per-shard partials persist as tiny (d, col, n) tables and every
-# rollup is a groupBy-sum.
-CMS_PROBE_WORDS = (
-    # the sf corpus's heavy hitters (collision-heavy cells), mid-tail
-    # words, and one never-seen key (est must stay within 0..eps*N)
-    "join", "hash", "row", "batch", "scan", "column", "customer",
-    "filter", "small", "merge", "zzz_never_seen",
-)
-_CMS_PROBE_VALUES = ", ".join(f"('{w}')" for w in CMS_PROBE_WORDS)
-
-
-def cm_gate_report(
-    tok: DataFrame, merged: DataFrame, probes: DataFrame
-) -> DataFrame:
-    """Probe + exact referee + two-sided gate over a MERGED counter
-    table — shared by the batch gate and the streaming rollup (they
-    share one oracle), so a bound or tolerance edit can never fork the
-    twins.  ``ge_exact`` is deterministic (count-min never undercounts,
-    by construction).  ``within_bound`` gates at THREE times the classic
-    eps*N overcount bound: the 1x bound holds per probe only with
-    probability ~1 - e^-depth (~0.7% failure — a future corpus
-    regeneration could flip a flag with no code bug, and the oracle pins
-    1), while the min of depth counters exceeds 3x the bound with
-    probability <= (1/(3e))^depth ~ 4e-5 — the hll_sketch_rollup
-    wide-margin philosophy.  Bug sensitivity is unaffected: merge
-    defects are caught cell-for-cell by the merge==direct pytest and the
-    never-seen probe key (whose est must stay within 0..3eps*N of 0);
-    the 1x library property itself stays empirically tested in
-    tests/test_cms.py via cm_error_bound."""
-    import math
-
-    from seisdb_spark.functions import cms
-
-    est = cms.cm_probe(probes, merged, "word")
-    exact = (
-        tok.join(
-            F.broadcast(probes.select(F.col("word").alias("w"))), "w", "semi"
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .withColumnRenamed("w", "word")
-    )
-    gated = (
-        est.join(F.broadcast(exact), "word", "left")
-        .withColumn("exact_n", F.coalesce("exact_n", F.lit(0).cast("long")))
-        .crossJoin(F.broadcast(cms.cm_total(merged)))
-    )
-    bound = F.ceil(
-        F.lit(3.0 * math.e) * F.col("total") / F.lit(cms.CMS_WIDTH)
-    ).cast("long")
-    return gated.select(
-        "word",
-        "exact_n",
-        (F.col("est") >= F.col("exact_n")).cast("int").alias("ge_exact"),
-        (F.col("est") <= F.col("exact_n") + bound)
-        .cast("int")
-        .alias("within_bound"),
-    )
-
-
-@query(
-    "cm_sketch_gate",
-    oracle=f"""
-        WITH wc AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS n
-            FROM (
-                SELECT unnest(string_split(text, ' ')) AS w FROM documents
-            )
-            WHERE w <> ''
-            GROUP BY w
-        ),
-        probes(word) AS (VALUES {_CMS_PROBE_VALUES})
-        SELECT p.word,
-               CAST(COALESCE(wc.n, 0) AS BIGINT) AS exact_n,
-               1 AS ge_exact, 1 AS within_bound
-        FROM probes p LEFT JOIN wc ON wc.w = p.word
-    """,
-    doc="COUNT-MIN SKETCH point-frequency gate (the approx_quantile_gate "
-    "pattern, completing the sketch family): per-source counter-table "
-    "partials (functions/cms.py — depth 5 hash rows x 4096 counters, "
-    "xxhash64-positioned, at most depth*width rows per source however "
-    "many tokens flowed in) are union-merged by one groupBy(d,col).sum "
-    "— count-min merge IS element-wise addition, exact and associative, "
-    "so shard boundaries cannot change the merged table — then a fixed "
-    "probe word list (heavy hitters + tail + one never-seen key) is "
-    "estimated by min-of-counters against the broadcast merged table "
-    "and hard-gated BOTH ways: est >= exact (CM never undercounts, by "
-    "construction) AND est <= exact + ceil(e*N/width) (the classic "
-    "eps*N overcount bound; N read from the sketch itself — every hash "
-    "row sums to N, no extra scan). Spark emits exact counts plus 0/1 "
-    "flags, the oracle exact counts plus literal 1. Two corpus scans "
-    "(build + exact referee); the merged sketch is localCheckpointed "
-    "KB-state, the table a production pipeline persists per shard and "
-    "merges forever.",
-    bench=True,
-)
-def cm_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    from seisdb_spark.functions import cms
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    # corpus scan 1 of 2: the per-source partial tables a production
-    # pipeline persists; merged + materialized ONCE (<= depth*width
-    # rows) so the probe and the in-sketch total both read KB-state
-    merged = cms.cm_merge(
-        cms.cm_partials(tok, "w", ["source"])
-    ).localCheckpoint(eager=True)
-    probes = spark.createDataFrame(
-        [(w,) for w in CMS_PROBE_WORDS], "word string"
-    )
-    # corpus scan 2 of 2 (inside the shared tail): the exact referee
-    # over the probe list only
-    return cm_gate_report(tok, merged, probes)
-
-
-# --- KMV set-operation sketch gate -----------------------------------------
-# The fifth sketch class, and the one HLL cannot cover: set
-# INTERSECTIONS.  "How many distinct tokens do two sources SHARE"
-# (cross-source vocabulary drift, decontamination overlap audits) has
-# no HLL answer — HLL merges by union only.  functions/kmv.py keeps a
-# per-group bottom-k hash signature: union = merge-sort bottom-k,
-# intersection/Jaccard = Broder match fraction, all expression-only.
-KMV_GATE_SOURCES = ("src0", "src1", "src2", "src3", "src4")
-_KMV_SRC_LIST = ", ".join(f"'{s}'" for s in KMV_GATE_SOURCES)
-
-
-def kmv_source_vocab(docs: DataFrame) -> DataFrame:
-    """The gate's shared input: per-source distinct (source, w) over the
-    gate sources, materialized once (bounded by len(sources) x vocab).
-    The exact referee and the KMV signature build both read it."""
-    return (
-        docs.filter(F.col("source").isin(*KMV_GATE_SOURCES))
-        .select("source", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-
-def kmv_pair_gate(sw: DataFrame, sk: DataFrame) -> DataFrame:
-    """Gate per-source KMV signatures ``sk`` (source, ks) against the
-    exact pairwise intersection/union derived from the distinct vocab
-    ``sw`` (source, w) — shared verbatim by the batch query and its
-    streaming persisted-signature twin (whose equality rests on bottom-k
-    merge being exact and associative)."""
-    from seisdb_spark.functions import kmv
-
-    cnt = sw.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    a, b = sw.alias("a"), sw.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    exact = (
-        inter.join(
-            cnt.select(
-                F.col("source").alias("src_a"), F.col("n").alias("n_a")
-            ),
-            "src_a",
-        )
-        .join(
-            cnt.select(
-                F.col("source").alias("src_b"), F.col("n").alias("n_b")
-            ),
-            "src_b",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            "n_inter",
-            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
-        )
-    )
-    x, y = sk.alias("x"), sk.alias("y")
-    est = (
-        x.crossJoin(F.broadcast(y))
-        .filter(F.col("x.source") < F.col("y.source"))
-        .select(
-            F.col("x.source").alias("src_a"),
-            F.col("y.source").alias("src_b"),
-            kmv.kmv_jaccard_est_expr(F.col("x.ks"), F.col("y.ks")).alias(
-                "est_j"
-            ),
-            kmv.kmv_distinct_est_expr(
-                kmv.kmv_merge_expr(F.col("x.ks"), F.col("y.ks"))
-            ).alias("est_u"),
-        )
-    )
-    gated = exact.join(F.broadcast(est), ["src_a", "src_b"])
-    exact_j = F.col("n_inter").cast("double") / F.col("n_union")
-    return gated.select(
-        "src_a",
-        "src_b",
-        "n_inter",
-        "n_union",
-        (F.abs(F.col("est_j") - exact_j) <= 0.1)
-        .cast("int")
-        .alias("jaccard_within"),
-        (
-            F.abs(F.col("est_u") - F.col("n_union"))
-            <= F.col("n_union") * 0.1
-        )
-        .cast("int")
-        .alias("union_within"),
-    )
-
-
-@query(
-    "kmv_jaccard_gate",
-    oracle=f"""
-        WITH sw AS (
-            SELECT DISTINCT source, w
-            FROM (
-                SELECT source, unnest(string_split(text, ' ')) AS w
-                FROM documents
-                WHERE source IN ({_KMV_SRC_LIST})
-            )
-            WHERE w <> ''
-        ),
-        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-                FROM sw GROUP BY source),
-        inter AS (
-            SELECT a.source AS src_a, b.source AS src_b,
-                   CAST(count(*) AS BIGINT) AS n_inter
-            FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
-            GROUP BY a.source, b.source
-        )
-        SELECT i.src_a, i.src_b, i.n_inter,
-               CAST(ca.n + cb.n - i.n_inter AS BIGINT) AS n_union,
-               1 AS jaccard_within, 1 AS union_within
-        FROM inter i
-        JOIN cnt ca ON ca.source = i.src_a
-        JOIN cnt cb ON cb.source = i.src_b
-    """,
-    doc="KMV SET-OPERATION sketch gate (the approx_quantile_gate "
-    "pattern, fifth sketch class): per-source bottom-k hash signatures "
-    "(functions/kmv.py, k=1024 — one distinct-key exchange + a "
-    "group-local vocab sort, k-bounded state) support the estimate HLL "
-    "cannot express at all: pairwise INTERSECTION/Jaccard between "
-    "sources. All 5x4/2 source pairs get a Broder match-fraction "
-    "Jaccard estimate and a merged-union distinct estimate, hard-gated "
-    "within +-0.1 absolute / +-10% of the exact values (one shared "
-    "vocab scan, localCheckpointed). Below k distinct keys a signature "
-    "IS the full hashed set and every estimate is EXACT — the driver-"
-    "scale regime, making the gate deterministic — while the x1000 "
-    "tier exercises the real estimating regime (31k-word vocab >> k). "
-    "Spark emits exact intersection/union counts plus 0/1 flags, the "
-    "oracle the exact counts plus literal 1. At 100 TB the signatures "
-    "are the persisted KB-sized stat: every cross-source overlap "
-    "question after ingest merges bottom-k arrays instead of "
-    "re-joining vocabularies.",
-    bench=True,
-)
-def kmv_jaccard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import kmv
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sw = kmv_source_vocab(docs)
-    sk = kmv.kmv_sketch(sw, "w", ["source"])
-    return kmv_pair_gate(sw, sk)
-
-
-# ---------------------------------------------------------------------------
-# Similarity search over embeddings
-# ---------------------------------------------------------------------------
-@query(
-    "similarity_topk_dot",
-    oracle=f"""
-        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        scored AS (
-            SELECT e.vec_id,
-                   {dot_chain_sql("e.embedding", "q.q_emb")} AS dot
-            FROM embeddings e CROSS JOIN q
-        )
-        SELECT vec_id, round(dot, 6) AS score
-        FROM scored
-        ORDER BY dot DESC, vec_id
-        LIMIT 10
-    """,
-    doc="Brute-force top-k similarity search: dot product of every vector "
-    "against the query (vec_id=0), explicit left-associated fp chain so both "
-    "engines accumulate identically. The query side is a broadcast of one "
-    "row; top-k is orderBy().limit() — Spark plans TakeOrderedAndProject "
-    "(per-partition heap, k-row driver merge), no single-partition window.",
-    bench=True,
-)
-def similarity_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "vec_id", dot_chain_col("embedding", "q_emb").alias("dot")
-    )
-    return (
-        scored.orderBy(F.col("dot").desc(), "vec_id")
-        .limit(10)
-        .select("vec_id", F.round("dot", 6).alias("score"))
-    )
-
-
-@query(
-    "embedding_norms_by_label",
-    oracle=f"""
-        SELECT label,
-               count(*) AS n_vectors,
-               round(avg(sqrt({dot_chain_sql("embedding", "embedding")})), 4)
-                   AS avg_l2_norm
-        FROM embeddings
-        GROUP BY label
-    """,
-    doc="Vector-column aggregate: mean L2 norm per label. Per-row norm is an "
-    "exact fp chain; the group avg is rounded (Spark's partial-agg order is "
-    "non-deterministic at the 1e-13 level).",
-)
-def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot_chain_col("embedding", "embedding"))
-    return (
-        emb.select("label", norm.alias("l2"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("l2"), 4).alias("avg_l2_norm"),
-        )
-    )
-
-
-@query(
-    "knn_cosine_labeled",
-    oracle=f"""
-        WITH norms AS (
-            SELECT vec_id, label, embedding,
-                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm
-            FROM embeddings
-        ),
-        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM norms WHERE vec_id = 1),
-        scored AS (
-            SELECT n.vec_id, n.label,
-                   ({dot_chain_sql("n.embedding", "q.q_emb")}) / (n.nrm * q.q_nrm)
-                       AS cosine
-            FROM norms n CROSS JOIN q
-            WHERE n.vec_id <> 1
-        )
-        SELECT vec_id, label, round(cosine, 6) AS cosine
-        FROM scored
-        ORDER BY cosine DESC, vec_id
-        LIMIT 5
-    """,
-    doc="k-NN by cosine similarity with the query's own row excluded — the "
-    "label column makes this the majority-vote classification primitive. "
-    "Broadcast query + streaming scan + TakeOrderedAndProject top-k.",
-)
-def knn_cosine_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    norms = emb.select(
-        "vec_id", "label", "embedding",
-        F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
-    )
-    q = (
-        norms.filter(F.col("vec_id") == 1)
-        .select(F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"))
-    )
-    scored = (
-        norms.filter(F.col("vec_id") != 1)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            (dot_chain_col("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    return (
-        scored.orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(5)
-        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
-    )
-
-
-@query(
-    "ann_signbucket_topk",
-    oracle=f"""
-        WITH nb AS (
-            SELECT {adaptive_bits_sql(ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS)} AS nbits
-            FROM embeddings
-        ),
-        sb AS (
-            SELECT vec_id, embedding,
-                   substr({sign_string_sql("embedding")}, 1, nbits) AS bucket
-            FROM embeddings CROSS JOIN nb
-        ),
-        q AS (SELECT embedding AS q_emb, bucket AS qb FROM sb WHERE vec_id = 0),
-        probes AS (
-            SELECT q_emb,
-                   CASE WHEN i = 0 THEN qb
-                        ELSE substr(qb, 1, i - 1)
-                             || (CASE WHEN substr(qb, i, 1) = '1'
-                                 THEN '0' ELSE '1' END)
-                             || substr(qb, i + 1, {MAX_SIGN_BITS})
-                   END AS pb
-            FROM q CROSS JOIN nb
-            CROSS JOIN (SELECT unnest(generate_series(0, {MAX_SIGN_BITS})) AS i)
-            WHERE i <= nbits
-        ),
-        cand AS (
-            SELECT s.vec_id,
-                   {dot_chain_sql("s.embedding", "p.q_emb")} AS dot
-            FROM sb s JOIN probes p ON s.bucket = p.pb
-        )
-        SELECT vec_id, round(dot, 6) AS score
-        FROM cand
-        ORDER BY dot DESC, vec_id
-        LIMIT 10
-    """,
-    doc="Approximate nearest neighbours via sign-bit LSH with a DATA-ADAPTIVE "
-    "key width: nbits = ceil(log2(n / target-bucket-rows)), with n read "
-    "from the parquet FOOTERS driver-side (catalog row stats at 100 TB) so "
-    "the width is a plan literal and the query launches no pre-count job "
-    "— the round-5 bench's 10x cold-start tax removed. Expected bucket "
-    f"occupancy stays ~{ANN_TARGET_BUCKET_ROWS} rows as data grows (each "
-    "extra bit halves the probed fraction — no recompile at 100x scale). "
-    "Multiprobe radius 1: the nbits+1 probe keys (exact bucket + each 1-bit "
-    "flip) broadcast to an EQUI-join on the bucket key — with bucket-"
-    "partitioned data this prunes partitions, unlike a scan-and-filter "
-    "Hamming predicate. Exact dot + TakeOrderedAndProject inside the probed "
-    "set; recall vs brute force asserted at two scales in "
-    "tests/test_extensions.py.",
-    bench=True,
-)
-def ann_signbucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from seisdb_spark.functions.vectors import adaptive_bits_py
-    from seisdb_spark.sources.tables import parquet_row_count
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    # cardinality from parquet footers (driver-side metadata, no pre-count
-    # job) -> nbits is a plan LITERAL; the oracle derives the same width
-    # from count(*) over the same table, so the two stay in lockstep
-    n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    nbits = adaptive_bits_py(n, ANN_TARGET_BUCKET_ROWS, ANN_MIN_BITS)
-    sb = emb.select(
-        "vec_id",
-        "embedding",
-        sign_string_expr("embedding").substr(1, nbits).alias("bucket"),
-    )
-    q = sb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("qb")
-    )
-    i = F.col("i").cast("int")
-    flipped = F.concat(
-        F.col("qb").substr(F.lit(1), i - 1),
-        F.when(F.col("qb").substr(i, F.lit(1)) == "1", "0").otherwise("1"),
-        F.col("qb").substr(i + 1, F.lit(MAX_SIGN_BITS)),
-    )
-    probes = (
-        q.crossJoin(spark.range(0, nbits + 1).select(F.col("id").alias("i")))
-        .select("q_emb", F.when(i == 0, F.col("qb")).otherwise(flipped).alias("pb"))
-    )
-    cand = sb.join(F.broadcast(probes), F.col("bucket") == F.col("pb")).select(
-        "vec_id", dot_chain_col("embedding", "q_emb").alias("dot")
-    )
-    return (
-        cand.orderBy(F.col("dot").desc(), "vec_id")
-        .limit(10)
-        .select("vec_id", F.round("dot", 6).alias("score"))
-    )
-
-
-def neardup_band_candidates(
-    spark: SparkSession, emb: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Banded sign-bit LSH candidate generation for embedding near-dup.
-
-    Returns ``(sb, cand)``: the per-vector sign-string/norm projection and the
-    DISTINCT candidate pairs agreeing in any band.  Shared by the production
-    query and the two-scale probe-shrinkage test so the test measures the
-    exact production blocking stage, not a re-derivation.
-    """
-    nbdf = emb.agg(
-        adaptive_bits_col(
-            F.count(F.lit(1)), NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS
-        ).alias("r")
-    )
-    sb = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
-        sign_string_expr("embedding").alias("fb"),
-    )
-    bands = (
-        sb.crossJoin(F.broadcast(nbdf))
-        .crossJoin(
-            spark.range(0, NEARDUP_BANDS).select(F.col("id").cast("int").alias("band"))
-        )
-        .select(
-            "vec_id",
-            "band",
-            F.col("fb")
-            .substr(F.col("band") * NEARDUP_BAND_STRIDE + 1, F.col("r"))
-            .alias("bk"),
-        )
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    return sb, cand
-
-
-@query(
-    "embedding_neardup_pairs",
-    oracle=f"""
-        WITH nb AS (
-            SELECT {adaptive_bits_sql(NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS)}
-                   AS r
-            FROM embeddings
-        ),
-        sb AS (
-            SELECT vec_id, embedding,
-                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
-                   {sign_string_sql("embedding")} AS fb
-            FROM embeddings
-        ),
-        bands AS (
-            SELECT vec_id, band,
-                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
-            FROM sb CROSS JOIN nb
-            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
-                        AS band)
-        ),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
-        )
-        SELECT vec_a, vec_b,
-               round(({dot_chain_sql("sa.embedding", "sb2.embedding")})
-                     / (sa.nrm * sb2.nrm), 6) AS cosine
-        FROM cand
-        JOIN sb sa ON sa.vec_id = vec_a
-        JOIN sb sb2 ON sb2.vec_id = vec_b
-        WHERE ({dot_chain_sql("sa.embedding", "sb2.embedding")})
-              / (sa.nrm * sb2.nrm) >= {NEARDUP_COSINE}
-    """,
-    doc=f"Embedding-cosine near-dup pairs via BANDED sign-bit LSH (the "
-    f"embedding analog of banded MinHash): {NEARDUP_BANDS} bands over "
-    f"disjoint dimension ranges, each a DATA-ADAPTIVE r-bit key "
-    f"(r = ceil(log2(n/{NEARDUP_TARGET_BUCKET_ROWS})), so within-bucket "
-    "pair work stays ~linear in n instead of quadratic), candidates = "
-    "DISTINCT pairs agreeing in ANY band (banding keeps recall as r grows "
-    "— a single all-bits key loses recall at scale), then exact cosine "
-    f">= {NEARDUP_COSINE} verification on the candidate set only. Planted "
-    "near-dup recall asserted at two scales in tests/test_extensions.py.",
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    sb, cand = neardup_band_candidates(spark, emb)
-    sa, sb2 = sb.alias("sa"), sb.alias("sb2")
-    cos = dot_chain_col("sa.embedding", "sb2.embedding") / (
-        F.col("sa.nrm") * F.col("sb2.nrm")
-    )
-    return (
-        cand.join(sa, F.col("vec_a") == F.col("sa.vec_id"))
-        .join(sb2, F.col("vec_b") == F.col("sb2.vec_id"))
-        .filter(cos >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline: chunking, sampling, filtering, skew handling
-# ---------------------------------------------------------------------------
-CHUNK_SIZE = 50
-CHUNK_STRIDE = 40  # 10-word overlap between consecutive chunks
-
-
-@query(
-    "doc_chunking",
-    oracle=f"""
-        WITH starts AS (
-            SELECT doc_id, w,
-                   unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS i
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        )
-        SELECT doc_id,
-               CAST((i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
-               len(list_slice(w, i, least(i + {CHUNK_SIZE} - 1, len(w))))
-                   AS chunk_words,
-               md5(array_to_string(
-                   list_slice(w, i, least(i + {CHUNK_SIZE} - 1, len(w))), ' '))
-                   AS chunk_hash
-        FROM starts
-    """,
-    doc=f"Document chunking for training windows: {CHUNK_SIZE}-word chunks "
-    f"every {CHUNK_STRIDE} words (overlapping), emitted by exploding a "
-    "start-position sequence and slicing the token array — one narrow "
-    "projection per doc, no shuffle, no Python. The md5 chunk hash is the "
-    "chunk-level dedup key downstream.",
-)
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.col("text"), " ")
-    exploded = docs.select(
-        "doc_id",
-        w.alias("w"),
-        F.explode(
-            F.sequence(F.lit(1), F.size(w), F.lit(CHUNK_STRIDE))
-        ).alias("i"),
-    )
-    chunk = F.slice(F.col("w"), F.col("i"), F.lit(CHUNK_SIZE))
-    return exploded.select(
-        "doc_id",
-        ((F.col("i") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
-        F.size(chunk).alias("chunk_words"),
-        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
-    )
-
-
-SAMPLE_RATES = {"en": 0.2, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
-_HEX_ALPHA = "0123456789abcdef"
-
-
-def _hash_bucket_sql(expr: str) -> str:
-    """First 4 hex digits of md5 -> integer in [0, 65536), DuckDB side."""
-    digits = [
-        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {k}, 1)) - 1)"
-        for k in (1, 2, 3, 4)
-    ]
-    return f"({digits[0]} * 4096 + {digits[1]} * 256 + {digits[2]} * 16 + {digits[3]})"
-
-
-@query(
-    "stratified_sample",
-    oracle=f"""
-        SELECT doc_id, lang
-        FROM documents
-        WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
-              < 65536 * (CASE lang
-                  {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
-                  ELSE 0.5 END)
-    """,
-    doc="Deterministic stratified sampling: per-language keep rates applied "
-    "via a content-stable hash bucket (md5(doc_id) -> [0, 65536)), so the "
-    "sample is reproducible across runs and engines — the rebalancing "
-    "primitive of corpus curation. Pure pushed-down predicate, no shuffle, "
-    "and at 100 TB the sample never materializes the rejected rows.",
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
-    rate = F.lit(0.5)
-    for lang, r in SAMPLE_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return docs.filter(bucket < 65536 * rate).select("doc_id", "lang")
-
-
-N_TRAINING_SHARDS = 16
-
-
-def _hash32_sql(expr: str) -> str:
-    """First 8 hex digits of md5 -> BIGINT in [0, 2^32), DuckDB side
-    (mirrors sources/tables.py::shard_assignment digit for digit)."""
-    digits = [
-        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {k}, 1)) - 1)"
-        for k in range(1, 9)
-    ]
-    return "(" + " + ".join(
-        f"{d} * {16 ** (8 - k)}" for k, d in enumerate(digits, start=1)
-    ) + ")"
-
-
-@query(
-    "training_shard_manifest",
-    oracle=f"""
-        SELECT shard,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(h) AS BIGINT) AS key_checksum
-        FROM (
-            SELECT CAST({_hash32_sql("CAST(doc_id AS VARCHAR)")}
-                        % {N_TRAINING_SHARDS} AS INT) AS shard,
-                   {_hash32_sql("CAST(doc_id AS VARCHAR)")} AS h
-            FROM documents
-        )
-        GROUP BY shard
-    """,
-    doc=f"Deterministic training-shard assignment + audit manifest: every "
-    f"doc lands in shard md5(doc_id)%{N_TRAINING_SHARDS} — a pure function "
-    "of row CONTENT, so the shard layout reproduces across runs, cluster "
-    "sizes, and input partitionings (repartition alone can't promise that: "
-    "its assignment depends on the input split layout). The manifest row "
-    "per shard (count + order-insensitive key-hash checksum) is what a "
-    "training-data lineage audit stores next to the shards. The writer "
-    "itself (one shuffle, per-shard sorted parquet, "
-    "sources/tables.py::write_training_shards) is pytest-verified for "
-    "byte-level determinism under different input layouts.",
-)
-def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.sources.tables import shard_assignment, shard_manifest
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    sharded = docs.withColumn(
-        "shard", shard_assignment("doc_id", N_TRAINING_SHARDS)
-    )
-    return shard_manifest(sharded, "doc_id")
-
-
-# --- split leakage audit ----------------------------------------------------
-# Hash-bucket train/val/test split (80/10/10 by content hash — reproducible
-# across runs and cluster layouts, like the shard writer) + the eval-
-# integrity question every training pipeline must answer before trusting a
-# held-out metric: how many NEAR-DUPLICATE pairs cross a split boundary?
-# Exact-duplicate leakage is caught by exact dedup; near-dup leakage (same
-# doc lightly edited, landing in train AND test) silently inflates eval and
-# is exactly what the banded-LSH + Jaccard machinery detects.
-SPLIT_MOD = 10  # buckets 0-7 train, 8 val, 9 test
-
-
-def _split_cls_sql(h: str) -> str:
-    return (
-        f"CASE WHEN ({h}) % {SPLIT_MOD} <= 7 THEN 0 "
-        f"WHEN ({h}) % {SPLIT_MOD} = 8 THEN 1 ELSE 2 END"
-    )
-
-
-def _split_name_sql(c: str) -> str:
-    return f"CASE WHEN {c} = 0 THEN 'train' WHEN {c} = 1 THEN 'val' ELSE 'test' END"
-
-
-@query(
-    "split_leakage_audit",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        ),
-        verified AS (
-            SELECT doc_a, doc_b
-            FROM shared
-            JOIN cnt ca ON shared.doc_a = ca.doc_id
-            JOIN cnt cb ON shared.doc_b = cb.doc_id
-            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        cls AS (
-            SELECT doc_id,
-                   {_split_cls_sql(_hash32_sql("CAST(doc_id AS VARCHAR)"))} AS c
-            FROM documents
-        ),
-        pairs AS (
-            SELECT least(a.c, b.c) AS ca, greatest(a.c, b.c) AS cb
-            FROM verified v
-            JOIN cls a ON a.doc_id = v.doc_a
-            JOIN cls b ON b.doc_id = v.doc_b
-        )
-        SELECT {_split_name_sql("ca")} AS split_a,
-               {_split_name_sql("cb")} AS split_b,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(CASE WHEN ca <> cb THEN 1 ELSE 0 END AS INT) AS cross_split
-        FROM pairs
-        GROUP BY ca, cb
-    """,
-    doc=f"SPLIT LEAKAGE AUDIT: assign train/val/test (80/10/10) by content "
-    f"hash (md5(doc_id) % {SPLIT_MOD} — reproducible across runs/cluster "
-    "layouts, the same discipline as the shard writer), then count "
-    f"verified near-duplicate pairs (banded MinHash-LSH candidates + exact "
-    f"Jaccard >= {JACCARD_THRESHOLD}) per ordered split pair. Rows with "
-    "cross_split=1 are EVAL LEAKAGE — near-dups straddling a split "
-    "boundary that exact dedup cannot catch and that silently inflate "
-    "held-out metrics. Scale shape: identical to the dedup path (one "
-    "shingle explode, candidates-only verify) plus two candidate-sized "
-    "joins against the split assignment and a split-pair-sized aggregate.",
-    bench=True,
-)
-def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.sources.tables import content_hash32
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    verified = (
-        _jaccard_on_candidates(docs)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    bucket = content_hash32("doc_id") % SPLIT_MOD
-    cls = docs.select(
-        "doc_id",
-        F.when(bucket <= 7, 0).when(bucket == 8, 1).otherwise(2).alias("c"),
-    )
-    ca, cb = cls.alias("ca"), cls.alias("cb")
-    paired = (
-        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .select(
-            F.least(F.col("ca.c"), F.col("cb.c")).alias("lo"),
-            F.greatest(F.col("ca.c"), F.col("cb.c")).alias("hi"),
-        )
-    )
-    name = lambda c: (  # noqa: E731
-        F.when(F.col(c) == 0, "train").when(F.col(c) == 1, "val").otherwise("test")
-    )
-    return paired.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n_pairs")).select(
-        name("lo").alias("split_a"),
-        name("hi").alias("split_b"),
-        "n_pairs",
-        (F.col("lo") != F.col("hi")).cast("int").alias("cross_split"),
-    )
-
-
-# --- train/test decontamination ------------------------------------------
-DECON_SHINGLE_K = 8  # long n-grams: random collisions vanish, true reuse stays
-DECON_BENCH_MOD = 10  # doc_id % 10 == 0: a 10% holdout stands in for the eval set
-
-# The train/bench shingle CTE pair, shared by the decontamination_overlap
-# oracle and the composed curation_keep_set oracle (which applies the same
-# drop as a gate stage) — one definition so the two can't drift.
-_DECON_SH_CTES = f"""
-        train_starts AS (
-            SELECT doc_id, w,
-                   unnest(generate_series(1, greatest(len(w) - {DECON_SHINGLE_K - 1}, 0))) AS i
-            FROM (SELECT doc_id, string_split(text, ' ') AS w
-                  FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0)
-        ),
-        train_sh AS (
-            SELECT DISTINCT doc_id,
-                   {" || ' ' || ".join(f"w[i + {j}]" for j in range(DECON_SHINGLE_K))} AS sh
-            FROM train_starts
-        ),
-        bench_starts AS (
-            SELECT doc_id, w,
-                   unnest(generate_series(1, greatest(len(w) - {DECON_SHINGLE_K - 1}, 0))) AS i
-            FROM (SELECT doc_id, string_split(text, ' ') AS w
-                  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0)
-        ),
-        bench_sh AS (
-            SELECT DISTINCT doc_id AS bench_id,
-                   {" || ' ' || ".join(f"w[i + {j}]" for j in range(DECON_SHINGLE_K))} AS sh
-            FROM bench_starts
-        )
-"""
-
-
-def decon_join(docs: DataFrame) -> DataFrame:
-    """The train-x-benchmark shingle hit set: (sh, doc_id, bench_id) rows,
-    one per train-doc 8-shingle colliding with a benchmark shingle.  The
-    benchmark side (doc_id % {mod} == 0 stands in for an eval suite) is
-    BROADCAST — eval suites are MBs against a 100 TB corpus — so the train
-    side streams through a map-side hash join.  Shared by the standalone
-    overlap report and curate()'s decontamination gate."""
-    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
-        F.col("doc_id").alias("bench_id"), "sh"
-    )
-    # distinct=False on the TRAIN side: deduping (doc_id, sh) would shuffle
-    # the full corpus shingle table before the broadcast join, and every
-    # consumer already dedups AFTER the (tiny) hit set exists — the overlap
-    # report via countDistinct, the curate() gate via doc_id distinct.  The
-    # bench side keeps distinct (it shrinks the broadcast and is eval-sized).
-    train_sh = shingle_tokens(
-        docs.filter(~is_bench), k=DECON_SHINGLE_K, distinct=False
-    )
-    return train_sh.join(F.broadcast(bench_sh), "sh")
-
-
-@query(
-    "decontamination_overlap",
-    oracle=f"""
-        WITH {_DECON_SH_CTES}
-        SELECT t.doc_id,
-               CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
-               CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
-        FROM train_sh t JOIN bench_sh b ON t.sh = b.sh
-        GROUP BY t.doc_id
-    """,
-    doc=f"Train/test DECONTAMINATION: training docs sharing any exact "
-    f"{DECON_SHINGLE_K}-word shingle with the benchmark set (doc_id % "
-    f"{DECON_BENCH_MOD} == 0 stands in for an eval suite). The benchmark "
-    "shingle set is tiny relative to the corpus (eval suites are MBs "
-    "against 100 TB), so it is BROADCAST: the training side streams "
-    "through a map-side hash semi-join with no corpus-wide shuffle; only "
-    "the (small) hit set shuffles for the per-doc aggregate. Long "
-    "shingles make random collisions vanish while verbatim reuse — the "
-    "thing decontamination hunts — survives.",
-    bench=True,
-)
-def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return decon_join(docs).groupBy("doc_id").agg(
-        F.countDistinct("sh").alias("n_shared_shingles"),
-        F.countDistinct("bench_id").alias("n_bench_docs"),
-    )
-
-
-@query(
-    "bloom_decontamination",
-    oracle=None,  # set right after definition: shares the exact twin's SQL
-    doc="BLOOM-PREFILTERED DECONTAMINATION: the same train-x-benchmark "
-    "shingle report as decontamination_overlap, with the corpus side "
-    "prefiltered by a declaratively-built Bloom filter over the bench "
-    "shingle set (functions/bloom.py: bit_or word aggregation -> 1-row "
-    "dense array<bigint>, Kirsch-Mitzenmacher double hashing, K=5, 10 "
-    "bits/key, O(1) element_at probes in whole-stage codegen). Bloom has "
-    "NO false negatives by construction, and every bloom survivor is "
-    "exact-verified against the broadcast bench set, so the result "
-    "EQUALS the exact twin's — the oracle IS its SQL. The scale trade: "
-    "where the exact twin broadcasts the full bench shingle STRINGS and "
-    "hash-joins every corpus shingle, this broadcasts a fixed-size bit "
-    "array (128 KB at 2^20 bits) and the verify join's input shrinks to "
-    "true hits + ~1% false positives — the pattern that keeps "
-    "decontamination affordable when the eval suite grows from MBs "
-    "toward GBs against a 100 TB corpus. The filter is sized at plan "
-    "time from one bench-side count (eval-sized, constant in the "
-    "corpus).",
-    bench=True,
-)
-def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions.bloom import (
-        bloom_bits_for,
-        bloom_hit,
-        build_bloom,
-    )
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench_sh = shingle_tokens(docs.filter(is_bench), k=DECON_SHINGLE_K).select(
-        F.col("doc_id").alias("bench_id"), "sh"
-    )
-    bench_keys = bench_sh.select("sh").distinct()
-    # one eval-sized count sizes the filter (the ann_signbucket adaptive-
-    # width pattern); the bench side is re-derived inside the final plan —
-    # it is MBs against the corpus, and production would persist it
-    m_bits = bloom_bits_for(max(bench_keys.count(), 1))
-    words = build_bloom(bench_keys, "sh", m_bits)
-    train_sh = shingle_tokens(
-        docs.filter(~is_bench), k=DECON_SHINGLE_K, distinct=False
-    )
-    cand = (
-        train_sh.crossJoin(F.broadcast(words))
-        .filter(
-            bloom_hit(F.col("words"), F.col("sh"), built_k=F.col("bloom_k"))
-        )
-        .drop("words", "bloom_k")
-    )
-    return (
-        cand.join(F.broadcast(bench_sh), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("sh").alias("n_shared_shingles"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
-    )
-
-
-def _share_bloom_decon_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["bloom_decontamination"] = replace(
-        REGISTRY["bloom_decontamination"],
-        oracle=REGISTRY["decontamination_overlap"].oracle,
-    )
-
-
-_share_bloom_decon_oracle()
-
-
-# --- sequence packing ----------------------------------------------------
-PACK_SEQ_TOKENS = 2048  # context-window budget per packed sequence
-PACK_N_SHARDS = N_TRAINING_SHARDS
-
-_BPE_TOKENS_SQL = (
-    "CAST(greatest(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')),"
-    " ceil(octet_length(encode(text)) / 4.0)) AS BIGINT)"
-)
-
-
-BUDGET_TOKENS_PER_LANG = 8192  # target tokens per language in the mixture
-BUDGET_N_SHARDS = 4  # budget split across content-hash shards (see doc)
-_BUDGET_PER_SHARD = BUDGET_TOKENS_PER_LANG // BUDGET_N_SHARDS
-
-
-def _bpe_tokens_col() -> F.Column:
-    """The Spark twin of ``_BPE_TOKENS_SQL``: BPE-ish token estimate =
-    max(regex word/punct count, utf-8 bytes / 4)."""
-    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
-    sub = F.ceil(F.octet_length("text") / 4.0)
-    return F.greatest(toks.cast("long"), sub.cast("long"))
-
-
-def learned_token_counts(docs: DataFrame, merges: list[dict]) -> DataFrame:
-    """Per-doc token counts from a TRAINED merge list — the real-
-    tokenizer replacement for the ``_bpe_tokens_col`` regex estimate,
-    shaped for scale: the DISTINCT word table is segmented ONCE
-    (``segment_words_auto``: expression form under its merge-count
-    bound, the Arrow kernel past it — Zipf makes the vocab orders of
-    magnitude smaller than the corpus), per-word counts join back to
-    the corpus word stream (AQE broadcasts the small vocab), and sum
-    per doc.  Returns ``(doc_id, n_tokens)`` — docs whose text splits
-    to no words are absent (callers coalesce to 0).  Feed the result
-    to ``packing_assignment`` / ``budgeted_selection`` as
-    ``token_counts``."""
-    from seisdb_spark.functions import bpe as bpe_lib
-
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") >= 1)
-    vocab_tok = bpe_lib.segment_words_auto(
-        tok.select("word").distinct(), merges
-    ).select("word", F.col("n_tokens").alias("_wtok"))
-    return (
-        tok.join(vocab_tok, "word")
-        .groupBy("doc_id")
-        .agg(F.sum("_wtok").cast("long").alias("n_tokens"))
-    )
-
-
-def _with_token_counts(docs: DataFrame, token_counts: DataFrame | None) -> DataFrame:
-    """Attach ``n_tokens``: the regex ESTIMATE when ``token_counts`` is
-    None (row-local, zero extra shuffle), else a learned per-doc count
-    table ``(doc_id, n_tokens)`` left-joined on doc_id (absent docs —
-    no words — count 0).  The join keys on doc_id so AQE broadcasts
-    whichever side is small; at training-set scale both sides are the
-    same corpus and it is one co-partitioned shuffle."""
-    if token_counts is None:
-        return docs.withColumn("n_tokens", _bpe_tokens_col())
-    tc = token_counts.select(
-        "doc_id", F.col("n_tokens").cast("long").alias("_n_tokens")
-    )
-    return (
-        docs.join(tc, "doc_id", "left")
-        .withColumn(
-            "n_tokens", F.coalesce(F.col("_n_tokens"), F.lit(0).cast("long"))
-        )
-        .drop("_n_tokens")
-    )
-
-
-def packing_assignment(
-    docs: DataFrame,
-    n_shards: int = PACK_N_SHARDS,
-    seq_tokens: int = PACK_SEQ_TOKENS,
-    token_counts: DataFrame | None = None,
-) -> DataFrame:
-    """Concat-then-chunk sequence-packing columns over any (doc_id, text)
-    relation: adds ``n_tokens``, ``shard`` (text-hash mod n_shards),
-    ``seq_in_shard``, ``offset_in_seq``; all input columns preserved.
-    One hash Exchange on ``shard``, per-shard running-sum window, no
-    global sort.  ``token_counts`` (doc_id, n_tokens) switches the
-    budgeting from the regex estimate to real learned-tokenizer counts
-    (``learned_token_counts``); the packing recurrence is identical.
-    Shared by the ``sequence_packing`` driver query and
-    ``build_training_set(pack=True)``."""
-    from pyspark.sql import Window
-
-    from seisdb_spark.sources.tables import content_hash32
-
-    h = content_hash32("text")
-    t = (
-        _with_token_counts(docs, token_counts)
-        .withColumn("shard", (h % n_shards).cast("int"))
-        .withColumn("_h", h)
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        t.withColumn("seq_in_shard", F.floor(start / seq_tokens))
-        .withColumn("offset_in_seq", start % seq_tokens)
-        .drop("_h")
-    )
-
-
-def budgeted_selection(
-    docs: DataFrame,
-    budget_per_shard: int = _BUDGET_PER_SHARD,
-    n_shards: int = BUDGET_N_SHARDS,
-    token_counts: DataFrame | None = None,
-) -> DataFrame:
-    """Greedy per-(lang, shard) token-budget prefix over any (doc_id, lang,
-    text) relation: adds ``n_tokens``, ``shard``, ``budget_used_before``
-    and keeps only rows whose prior running total is under the shard
-    budget; all input columns preserved.  Docs are ordered by md5 text
-    digest (id-reassignment invariant).  ``token_counts`` (doc_id,
-    n_tokens) switches budgeting from the regex estimate to learned-
-    tokenizer counts (``learned_token_counts``).  Shared by the
-    ``budgeted_sample_per_lang`` driver query and
-    ``build_training_set(sample='budgeted')``."""
-    from pyspark.sql import Window
-
-    from seisdb_spark.sources.tables import content_hash32
-
-    h = content_hash32("text")
-    t = (
-        _with_token_counts(docs, token_counts)
-        .withColumn("shard", (h % n_shards).cast("int"))
-        .withColumn("_h", h)
-    )
-    w = (
-        Window.partitionBy("lang", "shard")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    used = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        t.withColumn("budget_used_before", used)
-        .filter(F.col("budget_used_before") < budget_per_shard)
-        .drop("_h")
-    )
-
-
-@query(
-    "sequence_packing",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   {_BPE_TOKENS_SQL} AS n_tokens,
-                   {_hash32_sql("text")} % {PACK_N_SHARDS}
-                       AS shard,
-                   {_hash32_sql("text")} AS h
-            FROM documents
-        ),
-        packed AS (
-            SELECT doc_id, shard, n_tokens,
-                   sum(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY h, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ) AS start_tok
-            FROM toks
-        )
-        SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
-               CAST(COALESCE(start_tok, 0) // {PACK_SEQ_TOKENS} AS BIGINT)
-                   AS seq_in_shard,
-               CAST(COALESCE(start_tok, 0) % {PACK_SEQ_TOKENS} AS BIGINT)
-                   AS offset_in_seq
-        FROM packed
-    """,
-    doc=f"SEQUENCE PACKING for training: concat-then-chunk assignment of "
-    f"each doc to its {PACK_SEQ_TOKENS}-token context window. Docs are "
-    f"ordered deterministically (md5 TEXT digest) WITHIN {PACK_N_SHARDS} "
-    "text-hash shards, token counts cumulated by a window function, and "
-    "each doc's window id + offset derived from its running start. "
-    "Per-shard packing is the 100 TB shape: no global sort — one shuffle "
-    "partitioned by shard, each shard's running sum independent, shard "
-    "count scaled to the cluster. The assignment is a pure function of "
-    "CONTENT — hashing the text, not the doc id, so a re-crawled corpus "
-    "with reassigned ids packs identically (id ties broken by doc_id) — "
-    "and docs straddling a boundary split across windows exactly as a "
-    "training dataloader concatenating shard streams would split them.",
-    bench=True,
-)
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return packing_assignment(docs).select(
-        "doc_id", "shard", "n_tokens", "seq_in_shard", "offset_in_seq"
-    )
-
-
-# --- token-budgeted sampling ----------------------------------------------
-@query(
-    "budgeted_sample_per_lang",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, lang,
-                   {_BPE_TOKENS_SQL} AS n_tokens,
-                   {_hash32_sql("text")} % {BUDGET_N_SHARDS}
-                       AS shard,
-                   {_hash32_sql("text")} AS h
-            FROM documents
-        ),
-        running AS (
-            SELECT doc_id, lang, n_tokens, shard,
-                   COALESCE(sum(n_tokens) OVER (
-                       PARTITION BY lang, shard ORDER BY h, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS budget_used_before
-            FROM toks
-        )
-        SELECT doc_id, lang, n_tokens,
-               CAST(shard AS INT) AS shard,
-               CAST(budget_used_before AS BIGINT) AS budget_used_before
-        FROM running
-        WHERE budget_used_before < {_BUDGET_PER_SHARD}
-    """,
-    doc=f"TOKEN-BUDGETED mixture sampling: greedily keep docs per language "
-    f"until a {BUDGET_TOKENS_PER_LANG}-token budget is filled (the 'train "
-    "on N tokens of each language/source' curation op). The selection is a "
-    "pure function of CONTENT — docs ordered by md5 TEXT digest (not the "
-    "doc id, so a re-crawled corpus with reassigned ids selects the same "
-    "texts; ties broken by doc_id), running token "
-    f"sums per (lang, shard), keep while the shard's {_BUDGET_PER_SHARD}-"
-    f"token slice (budget/{BUDGET_N_SHARDS}) is unfilled. Sharding is the "
-    "100 TB shape — a single per-lang partition would put the dominant "
-    "language's entire corpus through one task; splitting the budget "
-    "across content-hash shards keeps the same deterministic outcome "
-    "while every shard runs independently (one shuffle, no skew pile-up, "
-    "shard count scaled to the cluster).",
-    bench=True,
-)
-def budgeted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return budgeted_selection(docs).select(
-        "doc_id", "lang", "n_tokens", "shard", "budget_used_before"
-    )
-
-
-@query(
-    "sequence_packing_learned",
-    oracle=None,  # trained merges are a data-dependent fixpoint — rows-only
-    doc=f"SEQUENCE PACKING ON LEARNED COUNTS: the same concat-then-chunk "
-    f"assignment as sequence_packing, but budgeted with REAL tokenizer "
-    "counts — train the BPE merges (functions/bpe.py), derive per-doc "
-    "counts via learned_token_counts (segment the DISTINCT vocab once, "
-    "join counts back to the corpus word stream), and feed them to "
-    "packing_assignment as token_counts. This is the production form: "
-    "the regex estimate mis-budgets exactly when compression matters "
-    "(repetitive text packs ~2x denser than the estimate predicts — "
-    "pinned by the planted-divergence pytest). Rows-only: the merge "
-    "sequence is data-dependent; the packing invariants and the "
-    "estimate-vs-learned assignment divergence are pytest-pinned "
-    "(tests/test_learned_packing.py). Same scale shape as the estimate "
-    "path — one hash Exchange on shard, per-shard running-sum window — "
-    "plus the vocab-sized tokenize join.",
-)
-def sequence_packing_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import bpe as bpe_lib
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") >= 1)
-    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
-    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
-    tc = learned_token_counts(docs, merges)
-    return packing_assignment(docs, token_counts=tc).select(
-        "doc_id", "shard", "n_tokens", "seq_in_shard", "offset_in_seq"
-    )
-
-
-@query(
-    "quality_filter_pipeline",
-    oracle=f"""
-        SELECT doc_id,
-               CASE
-                   WHEN length(text) - length(replace(text, ' ', '')) + 1 < 20
-                       THEN 'drop:too_short'
-                   WHEN length(text) - length(replace(text, ' ', '')) + 1 > 1000
-                       THEN 'drop:too_long'
-                   WHEN CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}'))
-                             AS DOUBLE)
-                        / (length(text) - length(replace(text, ' ', '')) + 1) > 0.5
-                       THEN 'drop:stopword_heavy'
-                   ELSE 'keep'
-               END AS verdict
-        FROM documents
-    """,
-    doc="Composite quality gate (the filter stage of a curation pipeline): "
-    "length window + stopword-density ceiling, emitting keep/drop with the "
-    "first failing reason — a deterministic CASE cascade, fully JVM-side; "
-    "downstream stages filter on verdict = 'keep' as a pushed predicate.",
-)
-def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    ratio = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)).cast(
-            "double"
-        )
-        / n_words
-    )
-    verdict = (
-        F.when(n_words < 20, "drop:too_short")
-        .when(n_words > 1000, "drop:too_long")
-        .when(ratio > 0.5, "drop:stopword_heavy")
-        .otherwise("keep")
-    )
-    return docs.select("doc_id", verdict.alias("verdict"))
-
-
-N_SALT = 8
-
-
-@query(
-    "salted_skew_agg",
-    oracle="""
-        SELECT event_type,
-               count(*) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM events
-        GROUP BY event_type
-    """,
-    doc=f"Skew-safe two-phase aggregation: phase 1 groups by (key, salt) "
-    f"with salt = event_id % {N_SALT} so one hot key spreads over "
-    f"{N_SALT} reducers; phase 2 merges the partials per key. The oracle is "
-    "the plain GROUP BY (identical result) — the salting only changes the "
-    "shuffle layout. events has ~5 heavy keys over millions of rows: the "
-    "exact shape where an unsalted agg at 100 TB sends each key's entire "
-    "volume through one reducer. (Spark's partial aggregation already "
-    "map-side combines; explicit salting is for when combiners can't keep "
-    "up or the agg state is large.)",
-)
-def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    phase1 = (
-        events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
-        .groupBy("event_type", "salt")
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
-    )
-    return phase1.groupBy("event_type").agg(
-        F.sum("pn").alias("n"),
-        F.round(F.sum("pv"), 2).alias("sum_value"),
-    )
-
-
-IVF_NPROBE = 3
-
-
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-        WITH cent AS (
-            SELECT label,
-                   {", ".join(f"round(avg(embedding[{d}]), 3) AS c{d}" for d in range(1, EMBEDDING_DIM + 1))}
-            FROM embeddings
-            GROUP BY label
-        ),
-        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        probed AS (
-            SELECT label
-            FROM cent CROSS JOIN q
-            ORDER BY {" + ".join(f"c{d} * CAST(q_emb[{d}] AS DOUBLE)" for d in range(1, EMBEDDING_DIM + 1))}
-                     DESC, label
-            LIMIT {IVF_NPROBE}
-        )
-        SELECT e.vec_id, round({dot_chain_sql("e.embedding", "q.q_emb")}, 6) AS score
-        FROM embeddings e CROSS JOIN q
-        WHERE e.label IN (SELECT label FROM probed)
-        ORDER BY {dot_chain_sql("e.embedding", "q.q_emb")} DESC, e.vec_id
-        LIMIT 10
-    """,
-    doc=f"IVF-style ANN: coarse quantizer = per-label mean centroids "
-    f"(rounded to 3 dp so Spark's and DuckDB's float-sum orders agree "
-    "bit-for-bit), probe the top-"
-    f"{IVF_NPROBE} partitions by centroid dot, exact search only inside "
-    f"them — scans {IVF_NPROBE}/10 of the data. The centroid table is "
-    "label-count-sized (broadcast); at 100 TB the inverted lists are the "
-    "partition layout itself (write.partitionBy(list_id)) so probing is "
-    "partition PRUNING, not a filter. Complements ann_signbucket_topk "
-    "(LSH family) as the second ANN scale path.",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cent = emb.groupBy("label").agg(
-        *[
-            F.round(F.avg(F.expr(f"CAST(embedding[{d - 1}] AS DOUBLE)")), 3).alias(f"c{d}")
-            for d in range(1, EMBEDDING_DIM + 1)
-        ]
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    cent_dot = F.expr(
-        " + ".join(f"c{d} * CAST(q_emb[{d - 1}] AS DOUBLE)" for d in range(1, EMBEDDING_DIM + 1))
-    )
-    probed = (
-        cent.crossJoin(F.broadcast(q))
-        .orderBy(cent_dot.desc(), "label")
-        .limit(IVF_NPROBE)
-        .select("label")
-    )
-    cand = (
-        emb.join(F.broadcast(probed), "label")
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", dot_chain_col("embedding", "q_emb").alias("dot"))
-    )
-    return (
-        cand.orderBy(F.col("dot").desc(), "vec_id")
-        .limit(10)
-        .select("vec_id", F.round("dot", 6).alias("score"))
-    )
-
-
-# --- semantic dedup (SemDeDup-style) ---------------------------------------
-# Round-7 redesign: BOTH stages are now ~linear in n.
-#
-# The round-6 scheme ran K = ceil(sqrt(n)) clusters with an EXACT pairwise
-# verify inside each cluster — the SemDeDup n^1.5 operating point, measured
-# at a 73x cost ratio for 100x data (BENCH_SCALE.md) and flagged as the one
-# scale-weak pipeline.  The n^1.5 was forced by the exact verify: cluster
-# count had to grow with n to bound the quadratic within-cluster work.
-# Replacing the exact verify with the banded sign-LSH candidate machinery
-# (the same family as embedding_neardup_pairs) removes that forcing —
-# within-cluster pair work is bounded by bucket occupancy, not cluster
-# size — so K no longer needs to grow: it is CAPPED at a constant.
-#
-#   * K = min(K_CAP, ceil(sqrt(n))): sqrt keeps tiny inputs sensible
-#     (tests, sf0.001), the cap makes K a bounded constant at scale.
-#   * assignment is a MAP-ONLY broadcast argmax: the K seeds are one
-#     broadcast row holding a sorted array<struct(seed_id, c_emb, c_nrm)>,
-#     and each vector's cluster is array_max(transform(cents, ...)) over
-#     K cosine folds — n*K dot products with bounded K, NO per-vector
-#     window and NO hashpartitioning(vec_id) exchange of n*K rows (the
-#     round-6 plan shuffled n*K scored rows to run the argmax window).
-#   * within-cluster verification: NEARDUP_BANDS sign-bit bands keyed on
-#     (cluster, band, bucket); the bucket width adapts to the EXPECTED
-#     CLUSTER SIZE n/K (footer-derived, plan literal), so within-bucket
-#     pair work stays ~target-occupancy-bounded as n grows.  Exact cosine
-#     runs on band collisions only; a vector is dropped (kept=0) iff some
-#     band collision pairs it with an EARLIER same-cluster member at
-#     cosine >= the threshold — LSH recall instead of exact recall, the
-#     same documented trade embedding_neardup_pairs makes.
-SEMDEDUP_MIN_K = 4
-SEMDEDUP_K_CAP = 32
-SEMDEDUP_COSINE = NEARDUP_COSINE  # same near-dup threshold as the LSH path
-
-
-def semdedup_k(n: int) -> int:
-    """ceil(sqrt(n)) clamped to [MIN_K, K_CAP] — the Python/oracle
-    lockstep cluster-count formula (integer-exact via isqrt).  The cap is
-    what makes assignment cost n*K LINEAR in n at scale; sqrt only governs
-    small inputs where fewer clusters than K_CAP make semantic sense."""
-    import math
-
-    k = math.isqrt(n - 1) + 1 if n > 0 else 0
-    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_K_CAP, k))
-
-
-def semdedup_band_bits(n: int) -> int:
-    """Band-key width for the within-cluster LSH: adaptive to the expected
-    cluster size n/K (not to n itself — the cluster id is already part of
-    the bucket key), so expected within-bucket occupancy stays
-    ~NEARDUP_TARGET_BUCKET_ROWS per cluster as the corpus grows."""
-    from seisdb_spark.functions.vectors import adaptive_bits_py
-
-    per_cluster = (n + semdedup_k(n) - 1) // semdedup_k(n) if n else 1
-    return adaptive_bits_py(
-        per_cluster, NEARDUP_TARGET_BUCKET_ROWS, NEARDUP_MIN_BITS
-    )
-
-
-_SEMDEDUP_K_SQL = (
-    f"GREATEST({SEMDEDUP_MIN_K}, LEAST({SEMDEDUP_K_CAP}, "
-    f"CAST(CEIL(SQRT(count(*))) AS BIGINT)))"
-)
-# DuckDB twin of semdedup_band_bits, over the nk CTE's (n, k) columns —
-# integer-only, digit-for-digit with adaptive_bits_py (ceil-div chain +
-# LENGTH(BIN(x - 1))).
-_SEMDEDUP_R_SQL = (
-    f"GREATEST({NEARDUP_MIN_BITS}, LEAST({MAX_SIGN_BITS}, LENGTH(BIN("
-    f"((n + k - 1) // k + {NEARDUP_TARGET_BUCKET_ROWS - 1}) "
-    f"// {NEARDUP_TARGET_BUCKET_ROWS} - 1))))"
-)
-
-
-@query(
-    "semantic_dedup",
-    oracle=f"""
-        WITH e AS (
-            SELECT vec_id, embedding,
-                   sqrt({dot_chain_sql("embedding", "embedding")}) AS nrm,
-                   {_hash32_sql("CAST(vec_id AS VARCHAR)")} AS h,
-                   {sign_string_sql("embedding")} AS fb
-            FROM embeddings
-        ),
-        nk AS (SELECT {_SEMDEDUP_K_SQL} AS k, count(*) AS n FROM embeddings),
-        wb AS (SELECT {_SEMDEDUP_R_SQL} AS r FROM nk),
-        ranked AS (
-            SELECT vec_id, embedding, nrm,
-                   row_number() OVER (ORDER BY h, vec_id) AS rn
-            FROM e
-        ),
-        seeds AS (
-            SELECT vec_id AS seed_id, embedding AS c_emb, nrm AS c_nrm
-            FROM ranked WHERE rn <= (SELECT k FROM nk)
-        ),
-        scored AS (
-            SELECT e.vec_id, s.seed_id,
-                   ({dot_chain_sql("e.embedding", "s.c_emb")})
-                       / (e.nrm * s.c_nrm) AS cos
-            FROM e CROSS JOIN seeds s
-        ),
-        assign AS (
-            SELECT vec_id, seed_id AS cluster FROM (
-                SELECT vec_id, seed_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cos DESC, seed_id) AS rn
-                FROM scored
-            ) WHERE rn = 1
-        ),
-        m AS (
-            SELECT a.vec_id, a.cluster, e.embedding, e.nrm, e.fb
-            FROM assign a JOIN e ON e.vec_id = a.vec_id
-        ),
-        bands AS (
-            SELECT vec_id, cluster, embedding, nrm, band,
-                   substr(fb, band * {NEARDUP_BAND_STRIDE} + 1, r) AS bk
-            FROM m CROSS JOIN wb
-            CROSS JOIN (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
-                        AS band)
-        ),
-        losers AS (
-            SELECT DISTINCT b.vec_id
-            FROM bands a JOIN bands b
-              ON a.cluster = b.cluster AND a.band = b.band AND a.bk = b.bk
-             AND a.vec_id < b.vec_id
-            WHERE ({dot_chain_sql("a.embedding", "b.embedding")})
-                  / (a.nrm * b.nrm) >= {SEMDEDUP_COSINE}
-        )
-        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-               CAST(CASE WHEN vec_id IN (SELECT vec_id FROM losers)
-                         THEN 0 ELSE 1 END AS INT) AS kept
-        FROM m
-    """,
-    doc=f"SEMANTIC DEDUP (SemDeDup-style), LINEAR at scale: embedding-space "
-    "near-duplicate removal with BOTH stages ~O(n). K deterministic seed "
-    "centroids (the vectors with the smallest md5 id-hashes — "
-    "reproducible across runs/engines, no random init), K = min("
-    f"{SEMDEDUP_K_CAP}, ceil(sqrt(n))) from the parquet footer row count "
-    "— BOUNDED, because the within-cluster verify no longer needs K to "
-    "grow (the round-6 K=sqrt(n) + exact-pairwise scheme measured 73x "
-    "cost at 100x data; see the module comment). Assignment is a MAP-ONLY "
-    "broadcast argmax: the seeds travel as ONE broadcast row holding a "
-    "sorted array<struct>, each vector computes K cosine folds and an "
-    "array_max — no per-vector window, no n*K-row shuffle. Verification "
-    f"runs {NEARDUP_BANDS} sign-bit LSH bands keyed on (cluster, band, "
-    "bucket) with the bucket width adapted to the expected cluster size "
-    "n/K, exact cosine on band collisions only: a vector is dropped "
-    f"(kept=0) iff a collision pairs it at cosine >= {SEMDEDUP_COSINE} "
-    "with an EARLIER (smaller-id) same-cluster member. Planted-near-dup "
-    "recall, drop justification, and the shuffle-free assignment plan "
-    "(no Window node) are asserted in tests/test_extensions.py.",
-    bench=True,
-)
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from seisdb_spark.sources.tables import content_hash32, parquet_row_count
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    n = parquet_row_count(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    k = semdedup_k(n)
-    r = semdedup_band_bits(n)
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_chain_col("embedding", "embedding")).alias("nrm"),
-        content_hash32("vec_id").alias("h"),
-        sign_string_expr("embedding").alias("fb"),
-    )
-    # K seed centroids -> ONE row holding a seed_id-sorted array<struct>;
-    # broadcasting this single row (K * dim floats) is what keeps the
-    # assignment below a pure projection.
-    seeds = (
-        e.orderBy("h", "vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-        .agg(F.array_sort(F.collect_list(F.struct("seed_id", "c_emb", "c_nrm"))).alias("cents"))
-    )
-    # argmax cosine over the broadcast seed array: struct(cos, -seed_id)
-    # under lexicographic array_max = max cosine, ties to the LOWEST
-    # seed_id — byte-identical to the oracle's row_number() tie rule.
-    cos_fold = (
-        f"aggregate(zip_with(slice(embedding, 1, {EMBEDDING_DIM}), "
-        f"slice(c.c_emb, 1, {EMBEDDING_DIM}), "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * c.c_nrm)"
-    )
-    best = F.expr(
-        f"array_max(transform(cents, c -> struct({cos_fold} AS cos, "
-        "-c.seed_id AS nsid)))"
-    )
-    m = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("_b", best)
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            "fb",
-            (-F.col("_b.nsid")).alias("cluster"),
-        )
-    )
-    bands = m.crossJoin(
-        F.broadcast(
-            spark.range(0, NEARDUP_BANDS).select(F.col("id").cast("int").alias("band"))
-        )
-    ).select(
-        "vec_id",
-        "cluster",
-        "embedding",
-        "nrm",
-        "band",
-        F.col("fb")
-        .substr(F.col("band") * NEARDUP_BAND_STRIDE + 1, F.lit(r))
-        .alias("bk"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pair_cos = dot_chain_col("a.embedding", "b.embedding") / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    losers = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(pair_cos >= SEMDEDUP_COSINE)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    # cluster is a SEED VEC_ID — a BIGINT at corpus scale (the x1000
-    # harness caught an INT cast overflowing at replica vec_ids >= 2^31)
-    return m.join(losers.withColumn("_lost", F.lit(1)), "vec_id", "left").select(
-        "vec_id",
-        F.col("cluster").cast("long").alias("cluster"),
-        F.when(F.col("_lost").isNull(), 1).otherwise(0).cast("int").alias("kept"),
-    )
-
-
-@query(
-    "curation_pipeline_stats",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        ),
-        losers AS (
-            SELECT DISTINCT doc_b AS doc_id
-            FROM shared
-            JOIN cnt ca ON shared.doc_a = ca.doc_id
-            JOIN cnt cb ON shared.doc_b = cb.doc_id
-            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        kept AS (
-            SELECT doc_id, lang, text
-            FROM documents
-            WHERE length(text) - length(replace(text, ' ', '')) + 1
-                      BETWEEN 20 AND 1000
-              AND doc_id NOT IN (SELECT doc_id FROM losers)
-              AND {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
-                  < 65536 * (CASE lang
-                      {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
-                      ELSE 0.5 END)
-        )
-        SELECT lang,
-               count(*) AS n_docs,
-               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
-                   AS total_tokens
-        FROM kept
-        GROUP BY lang
-    """,
-    doc="The full curation pipeline as ONE lazy plan: length quality gate -> "
-    "LSH near-dup removal (drop the higher doc_id of each verified pair) -> "
-    "deterministic stratified sample -> per-language token budget. "
-    "Everything composes: the near-dup side is candidates-only (never "
-    "all-pairs), the losers anti-join strategy is left to AQE (broadcast "
-    "when small, shuffle when the dup-rate makes it corpus-sized), "
-    "the gates are pushed predicates, and the final agg is one shuffle — "
-    "the shape of a 100 TB corpus build.",
-    bench=True,
-)
-def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    losers = (
-        _jaccard_on_candidates(docs)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    n_words = F.length("text") - F.length(F.translate(F.col("text"), " ", "")) + 1
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
-    rate = F.lit(0.5)
-    for lang, r in SAMPLE_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    kept = (
-        docs.filter(n_words.between(20, 1000))
-        .filter(bucket < 65536 * rate)
-        # No broadcast hint: ``losers`` is data-dependent (every doc losing a
-        # near-dup comparison) and at a realistic 20-40 % corpus dup rate it
-        # is corpus-fraction-sized — forcing a broadcast would OOM at scale.
-        # AQE picks broadcast at runtime when the set is actually small.
-        .join(losers, "doc_id", "left_anti")
-    )
-    return (
-        kept.select("lang", n_words.alias("nw"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nw").alias("total_tokens"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# The composed curation closure (seisdb_spark/curation.py), hash-checked
-# ---------------------------------------------------------------------------
-CURATION_MIN_WORDS = 20
-CURATION_MAX_WORDS = 1000
-# content gate: docs whose stopword density exceeds this are boilerplate-
-# heavy (same ceiling quality_filter_pipeline applies)
-CURATION_MAX_STOPWORD_RATIO = 0.5
-
-
-@query(
-    "curation_keep_set",
-    oracle=f"""
-        WITH RECURSIVE {_DECON_SH_CTES.strip()},
-        decon AS (
-            SELECT DISTINCT t.doc_id
-            FROM train_sh t JOIN bench_sh b ON t.sh = b.sh
-        ),
-        gated AS (
-            SELECT doc_id, lang, text FROM documents
-            WHERE doc_id % {DECON_BENCH_MOD} <> 0
-              AND doc_id NOT IN (SELECT doc_id FROM decon)
-              AND length(text) - length(replace(text, ' ', '')) + 1
-                  BETWEEN {CURATION_MIN_WORDS} AND {CURATION_MAX_WORDS}
-              AND CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
-                  / (length(text) - length(replace(text, ' ', '')) + 1)
-                  <= {CURATION_MAX_STOPWORD_RATIO}
-        ),
-        exact AS (
-            SELECT doc_id, lang, text FROM (
-                SELECT doc_id, lang, text,
-                       row_number() OVER (PARTITION BY md5(text)
-                                          ORDER BY doc_id) AS rn
-                FROM gated
-            ) WHERE rn = 1
-        ),
-        {_shingle_cte("exact")},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        cnt AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id),
-        shared AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-            FROM cand c
-            JOIN shingle ta ON ta.doc_id = c.doc_a
-            JOIN shingle tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-            GROUP BY c.doc_a, c.doc_b
-        ),
-        ver AS (
-            SELECT doc_a, doc_b
-            FROM shared
-            JOIN cnt ca ON shared.doc_a = ca.doc_id
-            JOIN cnt cb ON shared.doc_b = cb.doc_id
-            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        und AS (
-            SELECT doc_a AS src, doc_b AS dst FROM ver
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM ver
-        ),
-        reach (v, l) AS (
-            SELECT src, src FROM und
-            UNION
-            SELECT u.src, r.l FROM und u JOIN reach r ON r.v = u.dst
-        ),
-        losers AS (SELECT v FROM reach GROUP BY v HAVING min(l) <> v)
-        SELECT doc_id, lang FROM exact
-        WHERE doc_id NOT IN (SELECT v FROM losers)
-          AND {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")}
-              < 65536 * (CASE lang
-                  {" ".join(f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items())}
-                  ELSE 0.5 END)
-    """,
-    doc="The COMPOSED curation closure as one hash-checked query: "
-    "benchmark DECONTAMINATION (drop the eval holdout and any train doc "
-    "sharing an 8-word shingle with it — broadcast semi-join, the "
-    "decontamination_overlap drop applied as a gate) -> quality gate -> "
-    "exact dedup (min doc_id per content hash) -> banded-LSH near-"
-    "dup candidates on the survivors -> exact-Jaccard verify -> connected-"
-    "components canonical keep (only a component's minimum doc survives — "
-    "the transitive guarantee the pairwise loser-drop can't give) -> "
-    "deterministic stratified sample. This is seisdb_spark/curation.py's "
-    "curate() plan; the oracle re-expresses the full closure in SQL with a "
-    "recursive CTE for the component step. build_training_set feeds this "
-    "keep-set to the deterministic shard writer.",
-    bench=True,
-)
-def curation_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.curation import curate  # deferred: curation imports us
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return curate(docs).select("doc_id", "lang")
-
-
-# ---------------------------------------------------------------------------
-# retrieval & model-inference surface: BM25 search, quality-classifier
-# inference, vocabulary induction, corpus data card
-# ---------------------------------------------------------------------------
-
-# BM25 constants (Robertson/Sparck Jones defaults) and the fixed demo query.
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_QUERY_TERMS = ("hash", "join", "vector")
-
-
-def _bm25_score_sql(term_scores: list[str]) -> str:
-    """Left-associated sum of the per-term score expressions — a FIXED fp
-    addition order both engines honour (a SUM() across an exploded terms
-    relation would accumulate in engine-chosen order and drift ulps)."""
-    total = term_scores[0]
-    for s in term_scores[1:]:
-        total = f"({total} + {s})"
-    return total
-
-
-def _bm25_term_sql(i: int) -> str:
-    """One query term's BM25 contribution, with every operand explicitly
-    CAST to DOUBLE: a bare ``0.5`` literal parses as DECIMAL in both Spark
-    and DuckDB, and bigint+decimal arithmetic then follows engine-specific
-    precision/scale rules — explicit doubles keep the whole tree in
-    IEEE-754 with the identical operation order on both sides."""
-    d = "CAST({} AS DOUBLE)".format
-    idf = (
-        f"(({d(f'n - df{i}')} + {d(0.5)}) / ({d(f'df{i}')} + {d(0.5)})"
-        f" + {d(1.0)})"
-    )
-    tfn = (
-        f"(({d(f'tf{i}')} * {d(BM25_K1 + 1.0)}) / ({d(f'tf{i}')}"
-        f" + {d(BM25_K1)} * ({d(1.0 - BM25_B)}"
-        f" + {d(BM25_B)} * {d('dl')} / avgdl)))"
-    )
-    return f"({idf} * {tfn})"
-
-
-@query(
-    "bm25_topk",
-    oracle=f"""
-        WITH d AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS dl,
-                   {", ".join(
-                       f"len(list_filter(string_split(text, ' '), "
-                       f"x -> x = '{t}')) AS tf{i}"
-                       for i, t in enumerate(BM25_QUERY_TERMS)
-                   )}
-            FROM documents
-        ),
-        stats AS (
-            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-                   {", ".join(
-                       f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-                       for i in range(len(BM25_QUERY_TERMS))
-                   )}
-            FROM d
-        )
-        SELECT doc_id, round({_bm25_score_sql(
-            [_bm25_term_sql(i) for i in range(len(BM25_QUERY_TERMS))]
-        )}, 6) AS score
-        FROM d CROSS JOIN stats
-        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
-        ORDER BY score DESC, doc_id
-        LIMIT 10
-    """,
-    doc="BM25 full-text retrieval over the corpus for a fixed 3-term query: "
-    "per-document term frequencies as JVM array ops (size(filter(split))), "
-    "corpus stats (N, avgdl, per-term document frequency) as ONE broadcast "
-    "1-row aggregate, then the BM25 score with k1=1.2, b=0.75 and top-10 "
-    "via TakeOrderedAndProject. Determinism discipline: idf is the RATIONAL "
-    "form (N-df+0.5)/(df+0.5)+1 — the classic formula's ln() of it differs "
-    "by ulps across libm implementations (same deviation tfidf_top_terms "
-    "documents); per-term scores are added in FIXED left-associative order, "
-    "never via an engine-ordered SUM over exploded terms. Scale shape: two "
-    "scans (stats + scoring) with the 1-row stats broadcast, no shuffle of "
-    "corpus-sized data, top-k never sorts globally.",
-    bench=True,
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    terms = list(BM25_QUERY_TERMS)
-    d = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("dl"),
-        *[
-            F.expr(f"size(filter(split(text, ' '), x -> x = '{t}'))").alias(f"tf{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(len(terms))
-        ],
-    )
-    score = F.expr(
-        _bm25_score_sql([_bm25_term_sql(i) for i in range(len(terms))])
-    )
-    any_hit = sum(F.col(f"tf{i}") for i in range(len(terms))) > 0
-    return (
-        d.crossJoin(F.broadcast(stats))
-        .filter(any_hit)
-        .select("doc_id", F.round(score, 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
-
-
-# --- parameterized multi-query BM25 ----------------------------------------
-# The round-6 bm25_topk hard-codes one 3-term query as plan literals; a real
-# retrieval consumer issues MANY queries at once.  This variant takes a
-# (query_id, term) QUERIES TABLE, broadcast-joins it against the token
-# stream, scores per (query_id, doc), and emits per-query top-k.
-#
-# Determinism discipline: with a VARIABLE number of terms per query, the
-# fixed left-associative addition chain bm25_topk uses is unavailable — a
-# SUM over exploded per-term scores would accumulate in engine-chosen order
-# and drift ulps.  Instead each term's contribution is quantized to a
-# fixed-point BIGINT (floor(x * 10^9) — floor, not round: no tie rule to
-# disagree on), so the per-(query, doc) accumulation is an INTEGER sum —
-# exact, order-free, engine-independent — and the top-k ordering compares
-# integers (no fp tiebreaks).  Same trick as the integer-weight quality
-# classifier.  The published score is the de-quantized sum.
-BM25_MULTI_QUERIES: dict[int, tuple[str, ...]] = {
-    1: ("hash", "join"),
-    2: ("vector", "scan", "filter"),
-    3: ("window", "stream"),
-    4: ("sort", "merge", "join"),  # shares 'join' with q1: df is per TERM
-}
-BM25_MULTI_TOPK = 5
-BM25_QUANT = 10**9
-
-# One (query_id, doc) term contribution over columns (n, avgdl, df, tf, dl)
-# — the same rational-idf / k1-b tf normalization as bm25_topk, with every
-# operand an explicit DOUBLE; evaluated from the IDENTICAL string by both
-# engines.
-_BM25_SCALAR_SQL = (
-    "(((CAST(n - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
-    f" * ((CAST(tf AS DOUBLE) * CAST({BM25_K1 + 1.0} AS DOUBLE))"
-    f" / (CAST(tf AS DOUBLE) + CAST({BM25_K1} AS DOUBLE)"
-    f" * (CAST({1.0 - BM25_B} AS DOUBLE)"
-    f" + CAST({BM25_B} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))))"
-)
-_BM25_QUANT_SQL = (
-    f"CAST(FLOOR({_BM25_SCALAR_SQL} * CAST({BM25_QUANT} AS DOUBLE)) AS BIGINT)"
-)
-
-_BM25_QUERIES_VALUES = ", ".join(
-    f"({qid}, '{t}')" for qid, terms in BM25_MULTI_QUERIES.items() for t in terms
-)
-
-
-@query(
-    "bm25_multiquery",
-    oracle=f"""
-        WITH q(query_id, term) AS (VALUES {_BM25_QUERIES_VALUES}),
-        d AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                   string_split(text, ' ') AS w
-            FROM documents
-        ),
-        tok AS (SELECT doc_id, dl, unnest(w) AS word FROM d),
-        hits AS (
-            SELECT query_id, term, doc_id, dl, count(*) AS tf
-            FROM tok JOIN q ON word = term
-            GROUP BY query_id, term, doc_id, dl
-        ),
-        stats AS (
-            SELECT count(*) AS n,
-                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-            FROM d
-        ),
-        dfs AS (
-            SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term
-        ),
-        contrib AS (
-            SELECT query_id, doc_id, {_BM25_QUANT_SQL} AS c
-            FROM hits JOIN dfs USING (term) CROSS JOIN stats
-        ),
-        scored AS (
-            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS c
-            FROM contrib GROUP BY query_id, doc_id
-        )
-        SELECT CAST(query_id AS INT) AS query_id, doc_id,
-               CAST(rn AS INT) AS rank,
-               round(CAST(c AS DOUBLE) / {BM25_QUANT}, 6) AS score
-        FROM (
-            SELECT query_id, doc_id, c,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY c DESC, doc_id) AS rn
-            FROM scored
-        )
-        WHERE rn <= {BM25_MULTI_TOPK}
-    """,
-    doc=f"PARAMETERIZED MULTI-QUERY BM25: a (query_id, term) queries table "
-    "(here a literal demo set of 4 queries; in production an arbitrary "
-    "DataFrame) BROADCAST-joins against the corpus token stream, so one "
-    "corpus scan serves every query at once — the retrieval batch-serving "
-    "shape. Per-(query, doc, term) tf from the hit set only (docs matching "
-    "no term never enter the aggregation), per-term df re-derived from the "
-    "hit set, 1-row corpus stats broadcast. Each term contribution is "
-    f"quantized to floor(score * 10^9) so the per-(query, doc) sum is an "
-    "exact order-free INTEGER — the accumulation-order determinism a "
-    "variable-length term sum cannot otherwise give — and per-query top-"
-    f"{BM25_MULTI_TOPK} ranks by that integer (no fp ties). Scale shape: "
-    "map-side token explode + tiny broadcast joins, shuffles touch only "
-    "hit rows (selective terms), final window partitions by query_id — "
-    "per-query candidate sets, never the corpus.",
-    bench=True,
-)
-def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    qrows = [
-        (qid, t) for qid, terms in BM25_MULTI_QUERIES.items() for t in terms
-    ]
-    q = spark.createDataFrame(qrows, "query_id INT, term STRING")
-    d = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("dl"),
-        F.split(F.col("text"), " ").alias("w"),
-    )
-    tok = d.select("doc_id", "dl", F.explode("w").alias("word"))
-    hits = (
-        tok.join(F.broadcast(q), tok.word == q.term)
-        .groupBy("query_id", "term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dfs = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    contrib = (
-        hits.join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", F.expr(_BM25_QUANT_SQL).alias("c"))
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c").cast("long").alias("c")
-    )
-    byq = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "doc_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(byq))
-        .filter(F.col("rn") <= BM25_MULTI_TOPK)
-        .select(
-            F.col("query_id").cast("int").alias("query_id"),
-            "doc_id",
-            F.col("rn").cast("int").alias("rank"),
-            F.round(F.col("c").cast("double") / BM25_QUANT, 6).alias("score"),
-        )
-    )
-
-
-# --- hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN ----
-# The standard RAG retrieval stage: a lexical ranker (bm25_topk) and a
-# vector ranker (ann_ivf_topk) each produce a top-N list; reciprocal-rank
-# fusion scores each candidate 1/(k + rank) per list it appears in (k=60,
-# the Cormack/Clarke/Buettcher constant) and re-ranks by the sum.  RRF is
-# rank-only — it never compares the two engines' incommensurable scores —
-# and its arithmetic here is two exact double divisions added in a FIXED
-# order, so the fused ordering is engine-independent.  vec_id indexes the
-# same corpus as doc_id (embeddings.parquet is the documents' embedding
-# column split out), which is what makes the join meaningful.
-RRF_K = 60
-RRF_TOPK = 10
-
-
-@query(
-    "hybrid_rrf_topk",
-    # the two sub-pipelines' oracles are composed verbatim as nested CTE
-    # bodies — fusion correctness is checked END-TO-END through both.
-    oracle=None,  # filled in right below (needs the registered sub-oracles)
-    doc=f"HYBRID RETRIEVAL (RRF): fuse bm25_topk (lexical) and ann_ivf_topk "
-    f"(vector) top-10 lists by reciprocal-rank fusion with k={RRF_K} — "
-    "score = sum over lists of 1/(k + rank), absent list contributes 0 "
-    "(COALESCE), ties broken by doc_id. Both input lists are bounded "
-    f"(top-10), so ranking windows and the FULL OUTER join run on ≤10-row "
-    "inputs regardless of corpus size — the expensive work happens inside "
-    "the two sub-pipelines, each already scale-shaped (broadcast stats / "
-    "partition-pruned IVF probes). Planted-relevant-doc fusion test in "
-    "tests/test_extensions.py.",
-    bench=True,
-)
-def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bm = bm25_topk(spark, sf_dir)
-    ann = ann_ivf_topk(spark, sf_dir)
-    # ranks re-derived from each list's own (rounded) score with the same
-    # total order its oracle uses; both lists are 10 rows, so the
-    # unpartitioned windows are single-task by construction, not by luck
-    wb = Window.orderBy(F.col("score").desc(), "doc_id")
-    wa = Window.orderBy(F.col("score").desc(), "vec_id")
-    bmr = bm.select("doc_id", F.row_number().over(wb).alias("r"))
-    annr = ann.select(
-        F.col("vec_id").alias("doc_id"), F.row_number().over(wa).alias("r")
-    )
-    fused = bmr.alias("b").join(
-        annr.alias("a"), F.col("b.doc_id") == F.col("a.doc_id"), "full_outer"
-    )
-    rrf = F.coalesce(
-        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("b.r")), F.lit(0.0)
-    ) + F.coalesce(
-        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("a.r")), F.lit(0.0)
-    )
-    return (
-        fused.select(
-            F.coalesce(F.col("b.doc_id"), F.col("a.doc_id")).alias("doc_id"),
-            rrf.alias("_rrf"),
-            F.col("b.r").cast("int").alias("bm25_rank"),
-            F.col("a.r").cast("int").alias("ann_rank"),
-        )
-        .orderBy(F.col("_rrf").desc(), "doc_id")
-        .limit(RRF_TOPK)
-        .select(
-            "doc_id",
-            F.round(F.col("_rrf"), 6).alias("rrf_score"),
-            "bm25_rank",
-            "ann_rank",
-        )
-    )
-
-
-def _set_hybrid_oracle() -> None:
-    from dataclasses import replace
-
-    bm_sql = REGISTRY["bm25_topk"].oracle
-    ann_sql = REGISTRY["ann_ivf_topk"].oracle
-    sql = f"""
-        WITH bm AS ({bm_sql}),
-        ann AS ({ann_sql}),
-        bmr AS (
-            SELECT doc_id,
-                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
-            FROM bm
-        ),
-        annr AS (
-            SELECT vec_id AS doc_id,
-                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
-            FROM ann
-        ),
-        fused AS (
-            SELECT COALESCE(bmr.doc_id, annr.doc_id) AS doc_id,
-                   (COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + bmr.r),
-                             CAST(0.0 AS DOUBLE))
-                    + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + annr.r),
-                               CAST(0.0 AS DOUBLE))) AS rrf,
-                   bmr.r AS bm25_rank, annr.r AS ann_rank
-            FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
-        )
-        SELECT doc_id, round(rrf, 6) AS rrf_score,
-               CAST(bm25_rank AS INT) AS bm25_rank,
-               CAST(ann_rank AS INT) AS ann_rank
-        FROM fused
-        ORDER BY rrf DESC, doc_id
-        LIMIT {RRF_TOPK}
-    """
-    REGISTRY["hybrid_rrf_topk"] = replace(REGISTRY["hybrid_rrf_topk"], oracle=sql)
-
-
-_set_hybrid_oracle()
-
-
-# Quality-classifier weights: a deterministic hashed-feature linear model.
-# w(word) = (h(word) mod QC_WEIGHT_MOD) - QC_WEIGHT_SHIFT, an INTEGER in
-# [-1000, 1000] — integer weights make the per-document sum exact and
-# order-independent, so both engines produce bit-identical margins from ONE
-# final fp division (a float-weight SUM would accumulate in engine order).
-QC_WEIGHT_MOD = 2001
-QC_WEIGHT_SHIFT = 1000
-
-
-@query(
-    "quality_classifier_score",
-    oracle=f"""
-        WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents
-        ),
-        w AS (
-            SELECT doc_id,
-                   (({_duck_hexparse8("word")}) % {QC_WEIGHT_MOD})
-                       - {QC_WEIGHT_SHIFT} AS wt
-            FROM tok
-        ),
-        agg AS (
-            SELECT doc_id, CAST(sum(wt) AS BIGINT) AS sum_w,
-                   count(*) AS n_tok
-            FROM w GROUP BY doc_id
-        )
-        SELECT doc_id,
-               round(CAST(sum_w AS DOUBLE) / ({QC_WEIGHT_SHIFT}.0 * n_tok), 6)
-                   AS quality_margin,
-               CASE WHEN sum_w >= 0 THEN 1 ELSE 0 END AS keep
-        FROM agg
-    """,
-    doc="Model-based quality filtering (the fastText-classifier stage of "
-    "C4/CCNet-style pipelines) as pure engine inference: a hashed bag-of-"
-    "words LINEAR model whose per-token weights are a deterministic "
-    "function of md5(token) — the engine-side contract is exactly a real "
-    "exported linear classifier (hash token -> weight lookup -> mean "
-    "margin), with the learned weight table replaced by a hash-derived "
-    "stand-in since no model artifact ships in-container. BAG semantics "
-    "(every token occurrence contributes, as fastText averages input "
-    "vectors) — deliberately NOT a distinct word set, which would cost a "
-    "second (doc_id, word) dedup shuffle. Integer weights in [-1000,1000] "
-    "keep the document sum exact and order-independent (bit-identical "
-    "across engines); the margin (sum / (1000 * n_tokens)) is ONE fp "
-    "division, and keep = margin >= 0 is the filter verdict (sigmoid is "
-    "monotone — thresholding the margin IS thresholding the probability). "
-    "Scale: one projection + ONE groupBy(doc_id) shuffle with map-side "
-    "partial sums, all JVM expressions (asserted at 10x/100x in the scale "
-    "harness); a real weight table would broadcast-join on the token hash.",
-)
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = with_token_hash(
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-        ),
-        token_col="word",
-    )
-    wt = (F.col("h") % QC_WEIGHT_MOD - QC_WEIGHT_SHIFT).alias("wt")
-    agg = (
-        tok.select("doc_id", wt)
-        .groupBy("doc_id")
-        .agg(F.sum("wt").alias("sum_w"), F.count(F.lit(1)).alias("n_tok"))
-    )
-    return agg.select(
-        "doc_id",
-        F.round(
-            F.col("sum_w").cast("double")
-            / (F.lit(float(QC_WEIGHT_SHIFT)) * F.col("n_tok")),
-            6,
-        ).alias("quality_margin"),
-        F.when(F.col("sum_w") >= 0, 1).otherwise(0).alias("keep"),
-    )
-
-
-VOCAB_SIZE = 32
-VOCAB_SIZE_PROD = 32768  # a production tokenizer-scale V (2^15)
-
-
-def _vocab_oracle_sql(v: int) -> str:
-    return f"""
-        WITH occ AS (
-            SELECT lang, word, count(*) AS c FROM (
-                SELECT lang, unnest(string_split(text, ' ')) AS word
-                FROM documents
-            ) GROUP BY lang, word
-        ),
-        vocab AS (
-            SELECT word FROM (
-                SELECT word,
-                       row_number() OVER (ORDER BY sum(c) DESC, word) AS rk
-                FROM occ GROUP BY word
-            ) WHERE rk <= {v}
-        )
-        SELECT occ.lang,
-               CAST(sum(occ.c) AS BIGINT) AS total_tokens,
-               CAST(sum(CASE WHEN vocab.word IS NULL THEN occ.c ELSE 0 END)
-                    AS BIGINT) AS oov_tokens,
-               round(CAST(sum(CASE WHEN vocab.word IS NULL THEN occ.c ELSE 0
-                               END) AS DOUBLE) / sum(occ.c), 6) AS oov_rate
-        FROM occ LEFT JOIN vocab ON occ.word = vocab.word
-        GROUP BY occ.lang
-    """
-
-
-def _vocab_plan(spark: SparkSession, sf_dir: str, v: int) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    occ = (
-        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    vocab = (
-        occ.groupBy("word")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy(F.col("tc").desc(), "word")
-        .limit(v)
-        .select("word", F.lit(1).alias("in_vocab"))
-    )
-    joined = occ.join(F.broadcast(vocab), "word", "left")
-    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
-    return (
-        joined.groupBy("lang")
-        .agg(
-            F.sum("c").alias("total_tokens"),
-            F.sum(oov_c).alias("oov_tokens"),
-        )
-        .select(
-            "lang",
-            "total_tokens",
-            "oov_tokens",
-            F.round(
-                F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
-            ).alias("oov_rate"),
-        )
-    )
-
-
-_VOCAB_DOC = (
-    "Tokenizer-vocabulary induction + coverage audit: build the top-{v} "
-    "corpus vocabulary by total occurrence count "
-    "(deterministic count-then-word tiebreak), then per-language total "
-    "tokens, out-of-vocabulary tokens, and OOV rate — the coverage check "
-    "run before freezing a tokenizer on a new corpus. Scale shape: "
-    "occurrences pre-aggregate per (lang, word) — corpus-sized text "
-    "collapses to vocabulary-sized counts in ONE shuffle with map-side "
-    "combine; the global top-V is TakeOrderedAndProject over those counts "
-    "(never a single-partition window over the full vocabulary); the "
-    "vocab then BROADCASTS back for the anti-membership sums. The "
-    "OOV rate is a single division of exact integer sums."
-)
-
-
-@query(
-    "vocab_coverage",
-    oracle=_vocab_oracle_sql(VOCAB_SIZE),
-    doc=_VOCAB_DOC.format(v=VOCAB_SIZE),
-)
-def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _vocab_plan(spark, sf_dir, VOCAB_SIZE)
-
-
-@query(
-    "vocab_coverage_32k",
-    oracle=_vocab_oracle_sql(VOCAB_SIZE_PROD),
-    doc=_VOCAB_DOC.format(v=VOCAB_SIZE_PROD)
-    + " This V=2^15 variant is the PRODUCTION operating point (the round-6 "
-    "verdict noted V=32 proves the shape, not the claim): the driver "
-    "corpus's vocabulary is smaller than V, so here OOV is 0 by "
-    "construction and the parity check covers the totals; the claim that "
-    "the top-32768 TakeOrderedAndProject and the 32768-row broadcast-back "
-    "stay bounded is proven on a VOCAB-RICH synthetic corpus (~127k "
-    "distinct words) in tools/scale_stress.py at x10/x100 data.",
-)
-def vocab_coverage_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _vocab_plan(spark, sf_dir, VOCAB_SIZE_PROD)
-
-
-@query(
-    "corpus_datacard",
-    oracle="""
-        SELECT coalesce(lang, 'ALL') AS lang,
-               coalesce(source, 'ALL') AS source,
-               count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                   AS total_words,
-               count(DISTINCT md5(text)) AS distinct_texts,
-               round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
-                     / count(*), 6) AS dup_rate,
-               CAST(min(n_chars) AS BIGINT) AS min_chars,
-               CAST(max(n_chars) AS BIGINT) AS max_chars,
-               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
-        FROM documents
-        GROUP BY ROLLUP (lang, source)
-    """,
-    doc="The corpus DATA CARD: per (lang, source) slice plus per-lang and "
-    "whole-corpus rollups of document count, token volume, exact-duplicate "
-    "rate (via count-distinct of the md5 content digest), and length "
-    "stats — the audit table published alongside a released training set. "
-    "ROLLUP expands all three grouping levels in ONE shuffle (Spark Expand "
-    "+ single aggregate); the distinct-digest count adds the usual "
-    "two-phase distinct-aggregate expansion, still map-side-combined. "
-    "avg is computed as sum/count of exact integers on both sides — never "
-    "an engine AVG whose incremental accumulation order could drift.",
-)
-def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "lang",
-        "source",
-        "n_chars",
-        F.size(F.split(F.col("text"), " ")).alias("n_words"),
-        F.md5(F.col("text").cast("binary")).alias("digest"),
-    )
-    return (
-        base.rollup("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words").alias("total_words"),
-            F.count_distinct("digest").alias("distinct_texts"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .select(
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            "n_docs",
-            "total_words",
-            "distinct_texts",
-            F.round(
-                (F.col("n_docs") - F.col("distinct_texts")).cast("double")
-                / F.col("n_docs"),
-                6,
-            ).alias("dup_rate"),
-            "min_chars",
-            "max_chars",
-            F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6).alias(
-                "avg_chars"
-            ),
-        )
-    )
-
-
-@query(
-    "packing_efficiency",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   {_BPE_TOKENS_SQL} AS n_tokens,
-                   {_hash32_sql("text")} % {PACK_N_SHARDS} AS shard
-            FROM documents
-        ),
-        per_shard AS (
-            SELECT CAST(shard AS INT) AS shard,
-                   count(*) AS n_docs,
-                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-            FROM toks GROUP BY shard
-        )
-        SELECT shard, n_docs, total_tokens,
-               CAST((total_tokens + {PACK_SEQ_TOKENS - 1})
-                    // {PACK_SEQ_TOKENS} AS BIGINT) AS n_seqs,
-               CAST((total_tokens + {PACK_SEQ_TOKENS - 1})
-                    // {PACK_SEQ_TOKENS} * {PACK_SEQ_TOKENS} - total_tokens
-                    AS BIGINT) AS waste_tokens,
-               round(CAST(total_tokens AS DOUBLE)
-                     / ((total_tokens + {PACK_SEQ_TOKENS - 1})
-                        // {PACK_SEQ_TOKENS} * {PACK_SEQ_TOKENS}), 6)
-                   AS fill_rate
-        FROM per_shard
-    """,
-    doc="Packing-efficiency audit for the sequence_packing layout: per "
-    "shard, document count, total tokens, packed sequence count, padding "
-    "waste, and fill rate. Under concat-then-chunk the ONLY slack is each "
-    "shard's final partially-filled window — n_seqs is exactly "
-    f"ceil(total/{PACK_SEQ_TOKENS}) — so the whole audit reduces to ONE "
-    "map-side-combined groupBy(shard) aggregate of exact integers (no "
-    "window function, no per-sequence pass); fill_rate is a single fp "
-    "division. This is the metric that justifies packing over per-doc "
-    "padding: compare against padding waste = sum(window - n_tokens % "
-    "window) per doc. Scale: one shuffle of shard-count rows.",
-)
-def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.sources.tables import content_hash32
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    t = docs.select(
-        _bpe_tokens_col().alias("n_tokens"),
-        (content_hash32("text") % PACK_N_SHARDS).cast("int").alias("shard"),
-    )
-    per = t.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
-    n_seqs = F.floor(
-        (F.col("total_tokens") + (PACK_SEQ_TOKENS - 1)) / PACK_SEQ_TOKENS
-    ).cast("bigint")
-    return per.select(
-        "shard",
-        "n_docs",
-        "total_tokens",
-        n_seqs.alias("n_seqs"),
-        (n_seqs * PACK_SEQ_TOKENS - F.col("total_tokens")).alias("waste_tokens"),
-        F.round(
-            F.col("total_tokens").cast("double") / (n_seqs * PACK_SEQ_TOKENS),
-            6,
-        ).alias("fill_rate"),
-    )
-
-
-@query(
-    "kmeans_refine_assign",
-    oracle=None,  # iterative + distributed fp means: not SQL-expressible
-    doc="ITERATIVE Lloyd k-means refinement of the embedding clustering "
-    "(the loop that upgrades ann_ivf_topk / semantic_dedup one-shot seeds "
-    "to converged centroids): 2 iterations, k=8, deterministic md5-seeded "
-    "init. Spark shape per iteration (functions/cluster.py): assignment "
-    "is a MAP-ONLY projection — centroids are plan literals, nearest id "
-    "via k HOF folds + array argmin, no join/shuffle; re-estimation is "
-    "one posexplode + groupBy(cluster, dim) average whose exchange "
-    "carries at most k*dim rows per partition after partial agg; driver "
-    "state is k*dim doubles. Declared rows-only: the loop needs "
-    "driver-side iteration and distributed fp means are not bit-portable "
-    "to DuckDB — tests/test_cluster.py asserts planted-cluster recovery, "
-    "monotone inertia, and numpy-Lloyd centroid agreement instead.",
-)
-def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions.cluster import lloyd_refine
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    assigned, _ = lloyd_refine(emb)
-    return assigned.select("vec_id", "cluster")
-
-
-
-@query(
-    "token_rarity_score",
-    oracle="""
-        WITH occ AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents
-        ),
-        freq AS (SELECT word, count(*) AS cf FROM occ GROUP BY word),
-        per AS (
-            SELECT occ.doc_id,
-                   count(*) AS n_tok,
-                   CAST(sum(freq.cf) AS BIGINT) AS sum_cf
-            FROM occ JOIN freq USING (word)
-            GROUP BY occ.doc_id
-        )
-        SELECT doc_id, n_tok,
-               round(CAST(sum_cf AS DOUBLE) / n_tok, 6) AS mean_token_freq
-        FROM per
-    """,
-    doc="Corpus-frequency rarity scoring — the unigram-LM stage of "
-    "CCNet-style quality bucketing, in the exact-arithmetic form this "
-    "engine's determinism discipline requires: instead of summing "
-    "log-probabilities (libm ln differs by ulps across engines), score "
-    "each document by the MEAN CORPUS FREQUENCY of its tokens — exact "
-    "integer sums, one fp division per doc; low mean frequency = "
-    "rare-token-heavy = the same docs a unigram perplexity flags (the "
-    "per-token statistic is rank-monotone in probability). Two-pass "
-    "shape: (1) corpus term frequencies in one map-side-combined "
-    "groupBy(word); (2) tokens equi-join the frequency table on word "
-    "(vocabulary-sized, shuffle-join — a real vocabulary outgrows "
-    "broadcast) and re-aggregate per doc_id. Three keyed shuffles total, "
-    "all on pre-aggregated or token-id-sized rows.",
-)
-def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    occ = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    )
-    freq = occ.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
-    per = (
-        occ.join(freq, "word")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("cf").alias("sum_cf"))
-    )
-    return per.select(
-        "doc_id",
-        "n_tok",
-        F.round(F.col("sum_cf").cast("double") / F.col("n_tok"), 6).alias(
-            "mean_token_freq"
-        ),
-    )
-
-
-@query(
-    "source_mix_weights",
-    oracle="""
-        WITH per AS (
-            SELECT source,
-                   count(*) AS n_docs,
-                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                       AS n_tokens
-            FROM documents GROUP BY source
-        ),
-        tot AS (
-            SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   count(*) AS n_sources
-            FROM per
-        )
-        SELECT source, n_docs, n_tokens,
-               round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
-               round(CAST(total_tokens AS DOUBLE)
-                     / (n_sources * n_tokens), 6) AS uniform_weight
-        FROM per CROSS JOIN tot
-    """,
-    doc="Training-mixture reweighting factors per source: each source's "
-    "token count, its share of the corpus, and the up/down-sampling "
-    "weight that would equalize the mixture (total / (n_sources * "
-    "tokens_s) — weight > 1 means upsample). This is the computation "
-    "behind 'train on a balanced mix' configs, complementing "
-    "budgeted_sample_per_lang (which enforces absolute budgets) with "
-    "RELATIVE factors a dataloader can apply. Shape: one "
-    "map-side-combined groupBy(source) collapses the corpus to "
-    "source-count rows; the 1-row total then BROADCASTS back — two "
-    "scans of nothing larger than the per-source table, exact integer "
-    "sums, two fp divisions per row.",
-)
-def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    per = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
-    )
-    tot = per.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(
-            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
-        ).alias("share"),
-        F.round(
-            F.col("total_tokens").cast("double")
-            / (F.col("n_sources") * F.col("n_tokens")),
-            6,
-        ).alias("uniform_weight"),
-    )
-
-
-# --- retrieval evaluation: ANN quality vs exact ground truth ---------------
-# Closing the loop on the two ANN scale paths: an index you cannot measure
-# is an index you cannot trust after a reindex.  This query computes the
-# standard ANN quality metrics — recall@k against the exact brute-force
-# top-k, plus the reciprocal rank of the TRUE nearest neighbor — for BOTH
-# ANN variants (sign-bucket LSH and IVF) in one plan.  All three lists are
-# 10 rows, so every window/join here runs on k-row inputs; the expensive
-# work happens inside the three sub-pipelines, each already scale-shaped
-# (TakeOrderedAndProject brute force, bucket-pruned LSH probes, centroid-
-# pruned IVF probes).  At 100 TB this is the nightly index-quality canary:
-# sample queries, run both paths, alert on recall regression.
-ANN_EVAL_K = 10
-
-
-@query(
-    "retrieval_eval_recall",
-    oracle=None,  # composed below from the three registered sub-oracles
-    doc=f"ANN QUALITY EVAL: recall@{ANN_EVAL_K} and true-top1 reciprocal "
-    "rank of ann_signbucket_topk and ann_ivf_topk against the exact "
-    "similarity_topk_dot ground truth, one output row per method. Ranks "
-    "are re-derived from each list's own (rounded) score with the same "
-    "total order its oracle uses (score DESC, vec_id). hits = |ANN ∩ "
-    "exact|; recall is one fp division; top1_rank is the ANN rank of the "
-    "exact #1 neighbor (0 = missed). The oracle composes all three "
-    "sub-oracles verbatim as CTEs, so the metric is checked END-TO-END "
-    "through every pipeline. Lists are k-row bounded: the eval itself "
-    "adds no scale cost beyond its inputs.",
-    bench=True,
-)
-def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = similarity_topk_dot(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
-    exr = exact.select("vec_id", F.row_number().over(w).alias("er"))
-
-    def _metrics(method: str, ann: DataFrame) -> DataFrame:
-        annr = ann.select("vec_id", F.row_number().over(w).alias("r"))
-        j = exr.join(annr, "vec_id", "left")
-        top1 = F.max(F.when(F.col("er") == 1, F.col("r")))
-        agg = j.agg(
-            F.count("r").cast("int").alias("hits"),
-            F.round(F.count("r").cast("double") / ANN_EVAL_K, 2).alias(
-                "recall_at_10"
-            ),
-            F.coalesce(top1, F.lit(0)).cast("int").alias("top1_rank"),
-            F.round(
-                F.coalesce(
-                    F.lit(1.0).cast("double") / top1, F.lit(0.0).cast("double")
-                ),
-                6,
-            ).alias("top1_rr"),
-        )
-        return agg.select(F.lit(method).alias("method"), "*")
-
-    return _metrics("signbucket", ann_signbucket_topk(spark, sf_dir)).unionByName(
-        _metrics("ivf", ann_ivf_topk(spark, sf_dir))
-    )
-
-
-def _set_retrieval_eval_oracle() -> None:
-    from dataclasses import replace
-
-    exact_sql = REGISTRY["similarity_topk_dot"].oracle
-    sb_sql = REGISTRY["ann_signbucket_topk"].oracle
-    ivf_sql = REGISTRY["ann_ivf_topk"].oracle
-    metric = """
-        SELECT '{method}' AS method,
-               CAST(count(r) AS INT) AS hits,
-               round(CAST(count(r) AS DOUBLE) / {k}, 2) AS recall_at_10,
-               CAST(COALESCE(MAX(CASE WHEN er = 1 THEN r END), 0) AS INT)
-                   AS top1_rank,
-               round(COALESCE(CAST(1.0 AS DOUBLE)
-                                  / MAX(CASE WHEN er = 1 THEN r END),
-                              CAST(0.0 AS DOUBLE)), 6) AS top1_rr
-        FROM exr LEFT JOIN {annr} USING (vec_id)
-    """
-    sql = f"""
-        WITH exact AS ({exact_sql}),
-        sb AS ({sb_sql}),
-        ivf AS ({ivf_sql}),
-        exr AS (
-            SELECT vec_id,
-                   row_number() OVER (ORDER BY score DESC, vec_id) AS er
-            FROM exact
-        ),
-        sbr AS (
-            SELECT vec_id,
-                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
-            FROM sb
-        ),
-        ivfr AS (
-            SELECT vec_id,
-                   row_number() OVER (ORDER BY score DESC, vec_id) AS r
-            FROM ivf
-        )
-        {metric.format(method="signbucket", annr="sbr", k=ANN_EVAL_K)}
-        UNION ALL
-        {metric.format(method="ivf", annr="ivfr", k=ANN_EVAL_K)}
-    """
-    REGISTRY["retrieval_eval_recall"] = replace(
-        REGISTRY["retrieval_eval_recall"], oracle=sql
-    )
-
-
-_set_retrieval_eval_oracle()
-
-
-# --- edit-distance verified near-dup join (record-linkage form) ------------
-# The fuzzy-dedup family so far verifies candidates by set overlap (shingle
-# Jaccard) or by embedding cosine; record-linkage pipelines verify by EDIT
-# DISTANCE, which catches character-level mutations (OCR noise, typos,
-# diff-sized whitespace) that shingle sets blur.  Same scale architecture
-# as dedup_jaccard_pairs: the banded MinHash-LSH self-join proposes the
-# candidate pairs, and the quadratic-per-pair Levenshtein runs ONLY on that
-# vanishing fraction — never all-pairs.  The DP cost per pair is bounded by
-# a fixed text prefix (EDITDIST_PREFIX chars), so per-candidate work is a
-# constant at any corpus size; both gather joins put the candidate set on
-# the small side (AQE broadcasts it against the corpus-sized text table).
-EDITDIST_PREFIX = 256
-EDITDIST_MAX = 64  # prefix-gate dup verdict: <= this many edits
-# Full-text verify tier (r7 verdict item #8): candidate pairs where BOTH
-# texts fit the cap get a BOUNDED-DISTANCE Levenshtein over the whole
-# text — Spark's three-arg levenshtein(a, b, bound) is the O(n*bound)
-# banded DP, returning -1 past the bound, so per-pair work stays
-# cap*bound-bounded.  The bound is cap/4, which loses nothing: the dup
-# gate is dist*4 <= max(len) <= cap, so any distance past cap/4 already
-# fails it.  Pairs with a longer member keep the documented prefix-gate
-# approximation (full_edit_distance NULL).
-EDITDIST_FULL_CAP = 4096  # full verify only when both texts <= this
-EDITDIST_FULL_BOUND = EDITDIST_FULL_CAP // 4  # banded-DP cutoff (-1 past)
-
-
-@query(
-    "editdist_neardup_join",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        {_SIG_CTE},
-        {_BANDS_CTE},
-        {_CAND_CTE},
-        txt AS (
-            SELECT doc_id, substr(text, 1, {EDITDIST_PREFIX}) AS p,
-                   CASE WHEN length(text) <= {EDITDIST_FULL_CAP}
-                        THEN text END AS t
-            FROM documents
-        ),
-        -- each Levenshtein DP runs ONCE per candidate pair here (DuckDB
-        -- has no banded 3-arg form, so its full-text DP is O(len^2) —
-        -- re-evaluating it per referencing expression triples oracle wall
-        -- time on candidate-heavy corpora; r8 advice)
-        lev AS (
-            SELECT c.doc_a, c.doc_b,
-                   levenshtein(ta.p, tb.p) AS plev,
-                   greatest(length(ta.p), length(tb.p), 1) AS plen,
-                   CASE WHEN ta.t IS NULL OR tb.t IS NULL THEN NULL
-                        ELSE levenshtein(ta.t, tb.t) END AS flev,
-                   greatest(length(ta.t), length(tb.t)) AS flen
-            FROM cand c
-            JOIN txt ta ON ta.doc_id = c.doc_a
-            JOIN txt tb ON tb.doc_id = c.doc_b
-        )
-        SELECT doc_a, doc_b,
-               CAST(plev AS INT) AS edit_distance,
-               round(CAST(1.0 AS DOUBLE)
-                         - CAST(plev AS DOUBLE) / plen, 6) AS prefix_sim,
-               CAST(CASE
-                    WHEN flev IS NULL THEN NULL
-                    WHEN flev <= {EDITDIST_FULL_BOUND} THEN flev
-                    ELSE -1 END AS INT) AS full_edit_distance,
-               CASE
-                    WHEN flev IS NOT NULL THEN
-                        CASE WHEN flev * 4 <= flen THEN 1 ELSE 0 END
-                    WHEN plev <= {EDITDIST_MAX} THEN 1
-                    ELSE 0 END AS is_dup
-        FROM lev
-    """,
-    doc=f"EDIT-DISTANCE NEAR-DUP JOIN (record linkage): banded MinHash-LSH "
-    "blocking proposes candidate pairs; each is verified at two tiers — "
-    f"Levenshtein over a fixed {EDITDIST_PREFIX}-char prefix (always), "
-    "and a BOUNDED-DISTANCE full-text Levenshtein (three-arg banded DP, "
-    f"O(len*bound) not O(len^2)) when both texts are <= "
-    f"{EDITDIST_FULL_CAP} chars. is_dup uses the full verify where "
-    "available (dist*4 <= max(len), i.e. >= 75% character identity) and "
-    f"falls back to the <= {EDITDIST_MAX}-edit prefix gate for longer "
-    "docs — the documented approximation now confined to the tail. "
-    f"full_edit_distance is NULL past the cap and -1 past the "
-    f"{EDITDIST_FULL_BOUND}-edit band (which loses nothing: the gate "
-    "already fails there). Candidates only, never all-pairs; both "
-    "text-gather joins keep the candidate set on the build side; every "
-    "Levenshtein is JVM whole-stage codegen, no Python.",
-    bench=True,
-)
-def editdist_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    cand = _lsh_candidates(docs)
-    txt = docs.select(
-        "doc_id",
-        F.substring("text", 1, EDITDIST_PREFIX).alias("p"),
-        F.when(
-            F.length("text") <= EDITDIST_FULL_CAP, F.col("text")
-        ).alias("t"),
-    )
-    a = cand.join(
-        txt.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("p").alias("pa"),
-            F.col("t").alias("ta"),
-        ),
-        "doc_a",
-    )
-    ab = a.join(
-        txt.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("p").alias("pb"),
-            F.col("t").alias("tb"),
-        ),
-        "doc_b",
-    )
-    dist = F.levenshtein("pa", "pb")
-    denom = F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
-    # banded DP: -1 past the bound; NULL when either side exceeded the cap
-    fdist = F.expr(f"levenshtein(ta, tb, {EDITDIST_FULL_BOUND})")
-    full_len = F.greatest(F.length("ta"), F.length("tb"))
-    # integer-exact 75%-identity gate: dist*4 <= max(len); -1 (past the
-    # band) correctly fails it because 4*bound = cap >= max(len)
-    full_dup = (fdist >= 0) & (fdist * 4 <= full_len)
-    return ab.select(
-        "doc_a",
-        "doc_b",
-        dist.cast("int").alias("edit_distance"),
-        F.round(
-            F.lit(1.0).cast("double") - dist.cast("double") / denom, 6
-        ).alias("prefix_sim"),
-        fdist.cast("int").alias("full_edit_distance"),
-        F.when(
-            fdist.isNotNull(), F.when(full_dup, 1).otherwise(0)
-        )
-        .otherwise(F.when(dist <= EDITDIST_MAX, 1).otherwise(0))
-        .alias("is_dup"),
-    )
-
-
-# --- n-gram novelty: how much of each doc is first-seen content ------------
-# The incremental-curation twin of passage-level dedup: score each document
-# by the fraction of its distinct word shingles whose corpus-wide FIRST
-# occurrence (min doc_id = ingestion order) is this document.  Low novelty
-# = the doc mostly restates grams the corpus already has (boilerplate,
-# mirrors, quotes); curation pipelines downweight or drop it.  ONE big
-# shuffle total — the gram-key exchange feeds the per-doc distinct AND
-# min(doc_id) OVER (PARTITION BY sh); the per-doc rollup re-shuffles only
-# map-side partials on doc_id.  No gram-table self-join.  Gram cardinality
-# ~ corpus tokens, the same scale class repeated_passage_spans measured
-# ~linear at x100.
-@query(
-    "ngram_novelty_score",
-    oracle=f"""
-        WITH {_SHINGLE_CTE},
-        firsts AS (
-            SELECT doc_id,
-                   min(doc_id) OVER (PARTITION BY sh) AS first_doc
-            FROM shingle
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_shingles,
-               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_novel,
-               round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 6) AS novelty
-        FROM firsts
-        GROUP BY doc_id
-    """,
-    doc=f"N-GRAM NOVELTY: per-doc fraction of its distinct word "
-    f"{SHINGLE_K}-shingles whose corpus-wide first occurrence (min doc_id "
-    "= ingestion order) is this doc — the 'how much of this is new "
-    "content' curation signal; near-zero novelty marks boilerplate/mirror "
-    "docs for downweighting. ONE gram-key shuffle serves both the per-doc "
-    "distinct and the PARTITION BY sh window (hash partitioning on sh "
-    "co-locates (doc_id, sh) duplicates too); the per-doc rollup adds only "
-    "a partial-agged doc_id exchange. Integer counts + one final division "
-    "keep it engine-exact. Docs shorter than "
-    f"{SHINGLE_K} words carry no shingles and are absent by definition.",
-    bench=True,
-)
-def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    # repartition on the gram key BEFORE the per-doc distinct: hash
-    # partitioning on sh co-locates (doc_id, sh) duplicates too, so the
-    # same single exchange satisfies the distinct aggregate AND the
-    # PARTITION BY sh window — the default plan shuffled twice (once on
-    # (doc_id, sh) for dropDuplicates, again on sh for the window)
-    sh = (
-        shingle_tokens(docs, distinct=False)
-        .repartition(F.col("sh"))
-        .dropDuplicates(["doc_id", "sh"])
-    )
-    w = Window.partitionBy("sh")
-    firsts = sh.select(
-        "doc_id", F.min("doc_id").over(w).alias("first_doc")
-    )
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return firsts.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        novel.cast("long").alias("n_novel"),
-        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
-    )
-
-
-# --- DSIR-style importance resampling --------------------------------------
-# Data Selection via Importance Resampling (Xie et al. 2023, public): score
-# raw-pool documents by how target-like their hashed n-gram distribution
-# is, then keep the top-weighted ones.  Features are md5-hashed unigram
-# buckets (B = DSIR_BUCKETS); per-bucket importance is the add-1-smoothed
-# target/raw probability ratio.  Where the paper sums log-ratios, this
-# implementation sums the [1/1] Padé surrogate 2(r-1)/(r+1) of ln(r) —
-# the same monotone-in-r shape with NO libm call, the discipline the BM25
-# family established (libm log is the one cross-engine drift source).
-# Each bucket's surrogate is quantized to floor(x * 1e9) BIGINT once, so
-# every per-doc sum is exact integer arithmetic — order-free and
-# engine-identical.
-#
-# Scale shape: token explode is map-side; bucket stats need ONE combiner-
-# friendly shuffle with <= B keys (c_target and c_raw in a single pass via
-# conditional sums); the B-row quantized table and 1-row totals broadcast
-# back; the per-doc rollup is the usual (doc_id, bucket) -> doc_id pair of
-# partial-agged exchanges; selection is TakeOrderedAndProject (never a
-# global window over the corpus).
-DSIR_BUCKETS = 4096
-DSIR_TARGET_SOURCES = ("src0", "src1")
-DSIR_SELECT_N = 100
-DSIR_QUANT = 10**9
-
-_DSIR_T_LIST = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
-
-
-@query(
-    "dsir_importance_weights",
-    oracle=f"""
-        WITH tok AS (
-            SELECT doc_id, source,
-                   ({_hash_bucket_sql("word")}) % {DSIR_BUCKETS} AS b
-            FROM (
-                SELECT doc_id, source,
-                       unnest(string_split(text, ' ')) AS word
-                FROM documents
-            )
-        ),
-        bstats AS (
-            SELECT b,
-                   CAST(sum(CASE WHEN source IN ({_DSIR_T_LIST})
-                            THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                   CAST(sum(CASE WHEN source NOT IN ({_DSIR_T_LIST})
-                            THEN 1 ELSE 0 END) AS BIGINT) AS cr
-            FROM tok GROUP BY b
-        ),
-        tot AS (
-            SELECT CAST(sum(ct) AS BIGINT) AS nt,
-                   CAST(sum(cr) AS BIGINT) AS nr
-            FROM bstats
-        ),
-        bq AS (
-            SELECT b,
-                   CAST(FLOOR((CAST(2.0 AS DOUBLE) * (r - 1) / (r + 1))
-                              * {DSIR_QUANT}) AS BIGINT) AS q
-            FROM (
-                SELECT b,
-                       (CAST(ct + 1 AS DOUBLE) * (nr + {DSIR_BUCKETS}))
-                       / (CAST(cr + 1 AS DOUBLE) * (nt + {DSIR_BUCKETS})) AS r
-                FROM bstats CROSS JOIN tot
-            )
-        ),
-        docfeat AS (
-            SELECT doc_id, b, count(*) AS c
-            FROM tok
-            WHERE source NOT IN ({_DSIR_T_LIST})
-            GROUP BY doc_id, b
-        ),
-        wt AS (
-            SELECT doc_id,
-                   CAST(sum(c * q) AS BIGINT) AS wq,
-                   CAST(sum(c) AS BIGINT) AS n_tok
-            FROM docfeat JOIN bq USING (b)
-            GROUP BY doc_id
-        ),
-        sel AS (
-            SELECT * FROM wt ORDER BY wq DESC, doc_id LIMIT {DSIR_SELECT_N}
-        )
-        SELECT doc_id, n_tok,
-               round(CAST(wq AS DOUBLE) / {DSIR_QUANT}, 6) AS dsir_weight,
-               CAST(row_number() OVER (ORDER BY wq DESC, doc_id) AS INT)
-                   AS rank
-        FROM sel
-    """,
-    doc=f"DSIR IMPORTANCE RESAMPLING (Xie et al. 2023): md5-hashed unigram "
-    f"buckets (B={DSIR_BUCKETS}), add-1-smoothed target/raw ratio per "
-    f"bucket (target = sources {DSIR_TARGET_SOURCES}), per-doc importance "
-    "= sum of the rational Pade surrogate 2(r-1)/(r+1) of ln(r) — no libm, "
-    "quantized to BIGINT once per bucket so doc sums are exact integers. "
-    f"Selects the top-{DSIR_SELECT_N} raw-pool docs by weight via "
-    "TakeOrderedAndProject (rank window runs on the selected rows only). "
-    "One <=B-key combiner shuffle for stats, B-row + 1-row broadcasts "
-    "back, partial-agged per-doc rollup — every stage bounded or linear.",
-    bench=True,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("word").cast("binary")), 1, 4), 16, 10
-        ).cast("int")
-        % DSIR_BUCKETS
-    )
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
-    ).select("doc_id", "source", bucket.alias("b"))
-    bstats = tok.groupBy("b").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("cr"),
-    )
-    tot = bstats.agg(
-        F.sum("ct").cast("long").alias("nt"),
-        F.sum("cr").cast("long").alias("nr"),
-    )
-    r = ((F.col("ct") + 1).cast("double") * (F.col("nr") + DSIR_BUCKETS)) / (
-        (F.col("cr") + 1).cast("double") * (F.col("nt") + DSIR_BUCKETS)
-    )
-    q = F.floor(
-        (F.lit(2.0).cast("double") * (r - 1) / (r + 1)) * DSIR_QUANT
-    ).cast("long")
-    bq = bstats.crossJoin(F.broadcast(tot)).select("b", q.alias("q"))
-    docfeat = (
-        tok.filter(~is_t)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wt = (
-        docfeat.join(F.broadcast(bq), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("c") * F.col("q")).cast("long").alias("wq"),
-            F.sum("c").cast("long").alias("n_tok"),
-        )
-    )
-    sel = wt.orderBy(F.col("wq").desc(), "doc_id").limit(DSIR_SELECT_N)
-    w = Window.orderBy(F.col("wq").desc(), "doc_id")
-    return sel.select(
-        "doc_id",
-        "n_tok",
-        F.round(F.col("wq").cast("double") / DSIR_QUANT, 6).alias(
-            "dsir_weight"
-        ),
-        F.row_number().over(w).cast("int").alias("rank"),
-    )
-
-
-# --- BPE merge candidates (tokenizer training, first iteration) ------------
-# Training a BPE tokenizer over a 100 TB corpus starts by counting adjacent
-# symbol pairs over the WORD-FREQUENCY table, not the raw token stream —
-# the corpus collapses to its vocabulary (Zipf: orders of magnitude
-# smaller) before any pair work happens.  This query is that first merge
-# iteration: word counts (one combiner-friendly vocab-key shuffle), then
-# per-distinct-word adjacent char pairs weighted by the word's frequency,
-# then a pair rollup (alphabet^2-bounded keys) and top-K via
-# TakeOrderedAndProject.  Subsequent merge iterations re-run the same
-# shape on the re-segmented vocab table; the corpus is never re-scanned.
-BPE_MERGE_TOPK = 20
-
-
-@query(
-    "bpe_merge_candidates",
-    oracle=f"""
-        WITH wfreq AS (
-            SELECT word, count(*) AS wn
-            FROM (
-                SELECT unnest(string_split(text, ' ')) AS word FROM documents
-            )
-            GROUP BY word
-        ),
-        p0 AS (
-            SELECT word, wn,
-                   unnest(generate_series(1, greatest(length(word) - 1, 0)))
-                       AS i
-            FROM wfreq
-        ),
-        agg AS (
-            SELECT substr(word, i, 2) AS pair,
-                   CAST(sum(wn) AS BIGINT) AS n
-            FROM p0 GROUP BY substr(word, i, 2)
-        ),
-        sel AS (
-            SELECT * FROM agg ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
-        )
-        SELECT pair, n,
-               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
-        FROM sel
-    """,
-    doc=f"BPE MERGE CANDIDATES (tokenizer training, iteration 1): corpus "
-    "-> word-frequency table (ONE vocab-key combiner shuffle — Zipf makes "
-    "the vocab orders of magnitude smaller than the corpus), then "
-    "adjacent char pairs of each DISTINCT word weighted by its frequency, "
-    f"pair rollup over alphabet^2-bounded keys, top-{BPE_MERGE_TOPK} by "
-    "count via TakeOrderedAndProject. Exact integer counts everywhere; "
-    "ties broken by pair text. Later merge iterations repeat this shape "
-    "on the re-segmented vocab without re-scanning the corpus.",
-    bench=True,
-)
-def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
-    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
-    # empty list — gate single-char words explicitly (same guard the
-    # shingle builder uses)
-    pairs = wfreq.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN length(word) >= 2 THEN "
-                "transform(sequence(1, length(word) - 1), "
-                "          i -> substring(word, i, 2)) "
-                "ELSE array() END"
-            )
-        ).alias("pair"),
-        "wn",
-    )
-    agg = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n"))
-    sel = agg.orderBy(F.col("n").desc(), "pair").limit(BPE_MERGE_TOPK)
-    w = Window.orderBy(F.col("n").desc(), "pair")
-    return sel.select(
-        "pair", "n", F.row_number().over(w).cast("int").alias("rank")
-    )
-
-
-# --- BPE training loop (iterations 1..K) -----------------------------------
-# The full bounded-iteration training loop bpe_merge_candidates is
-# iteration 1 of: apply the top merge, re-segment the vocab, re-count,
-# repeat (functions/bpe.py — the cluster.py Lloyd-loop shape: one
-# pair-key shuffle + a LIMIT-1 argmax collect + a map-only fold rewrite
-# per iteration, 1-row driver state, vocab persisted across iterations,
-# corpus never re-scanned).  Rows-only: the merge sequence is a
-# data-dependent iterative fixpoint (each iteration's argmax becomes the
-# next iteration's plan literals), not expressible as one static SQL
-# text; determinism is exact-integer counts + a total argmax order, and
-# the pure-Python golden in tests/test_extensions.py pins the entire
-# sequence, with planted-merge tests pinning hand-computed cases.
-BPE_TRAIN_ITERS = 8
-
-
-@query(
-    "bpe_train_merges",
-    oracle=None,  # iterative data-dependent fixpoint — rows-only by design
-    doc=f"BPE TRAINING LOOP (iterations 1..{BPE_TRAIN_ITERS}): the full "
-    "merge-train recurrence over the word-frequency table — count "
-    "adjacent symbol pairs (one combiner-friendly shuffle bounded by the "
-    "pair vocabulary), pick the argmax (LIMIT 1, 1-row driver state), "
-    "rewrite every segmentation with a map-only higher-order fold "
-    "(greedy left-to-right non-overlapping, the standard BPE semantics), "
-    "repeat; stops early when no pair remains. One row per executed "
-    "merge: (iter, left_sym, right_sym, merged, n, total_syms); "
-    "total_syms falls by exactly n per merge. Exact integer counts and "
-    "a total argmax order make the sequence partitioning-independent; "
-    "pytest pins it against a pure-Python golden and planted vocabs. "
-    "At 100 TB the corpus is scanned ONCE into the Zipf-small vocab; "
-    "every iteration is vocab-sized.",
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import bpe as bpe_lib
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
-    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
-    schema = (
-        "iter int, left_sym string, right_sym string, merged string, "
-        "n long, total_syms long"
-    )
-    return spark.createDataFrame(
-        [
-            (
-                m["iter"],
-                m["left_sym"],
-                m["right_sym"],
-                m["merged"],
-                m["n"],
-                m["total_syms"],
-            )
-            for m in merges
-        ],
-        schema,
-    )
-
-
-@query(
-    "bpe_apply_tokenize",
-    oracle=None,  # merges are a data-dependent fixpoint — rows-only
-    doc=f"BPE TOKENIZE (train -> APPLY): the trained {BPE_TRAIN_ITERS}-"
-    "merge sequence (functions/bpe.py::train_merges, collected at plan "
-    "time — k-bounded driver state, the codebook pattern) applied to the "
-    "DISTINCT word table as chained map-only folds — Zipf means the "
-    "vocab is segmented ONCE, then per-word token counts join back to "
-    "the corpus word stream (AQE picks broadcast when the vocab is "
-    "small) and roll up per document. One row per doc: (doc_id, "
-    "n_words, n_bpe_tokens, tokens_per_word). This replaces the "
-    "regex ESTIMATE (bpe_token_estimate) with counts from an actual "
-    "learned tokenizer — the number a sequence-packing or budget stage "
-    "actually needs. Rows-only: the merge sequence is data-dependent; "
-    "pytest pins the segmentation against a pure-Python golden and "
-    "planted merges.",
-)
-def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import bpe as bpe_lib
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") >= 1)
-    wfreq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
-    merges = bpe_lib.train_merges(wfreq, iters=BPE_TRAIN_ITERS)
-    # auto-dispatch: chained-fold expression form at this demo merge
-    # count (zero Python); the Arrow mapInPandas kernel past the
-    # expression form's documented bound (functions/bpe.py)
-    vocab_tok = bpe_lib.segment_words_auto(
-        wfreq.select("word"), merges
-    ).select("word", "n_tokens")
-    return (
-        tok.join(vocab_tok, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_bpe_tokens",
-            F.round(
-                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
-            ).alias("tokens_per_word"),
-        )
-    )
-
-
-# --- PII redaction transform ------------------------------------------------
-# The transform stage pii_scan_counts gates: rewrite every email and long
-# digit run to a typed placeholder, emit the redacted text's digest +
-# length plus the redaction count.  Emails redact FIRST (they contain
-# digit runs; the sequential order is part of the spec and identical in
-# both engines).  Returning the md5 of the redacted text rather than the
-# text keeps the driver row compact while still pinning every redacted
-# byte; the real pipeline writes the redacted column to the shard sink.
-# Zero shuffles — both regexp_replace calls run inside whole-stage codegen
-# next to the scan (DuckDB needs the 'g' flag for replace-all; Spark's
-# regexp_replace is replace-all by default).
-@query(
-    "pii_redaction",
-    oracle=f"""
-        WITH r1 AS (
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_em,
-                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
-                       AS no_email
-            FROM documents
-        ),
-        red AS (
-            SELECT doc_id,
-                   n_em + len(regexp_extract_all(no_email, '{_PII_DIGITS}'))
-                       AS n_redactions,
-                   regexp_replace(no_email, '{_PII_DIGITS}', '<DIGITS>', 'g')
-                       AS redacted
-            FROM r1
-        )
-        SELECT doc_id, n_redactions,
-               length(redacted) AS redacted_len,
-               md5(redacted) AS redacted_md5
-        FROM red
-    """,
-    doc="PII REDACTION: emails then long digit runs rewritten to typed "
-    "placeholders via sequential replace-all regex (order is part of the "
-    "spec — emails contain digit runs), with the redaction count and the "
-    "redacted text's length + md5 as the verifiable output. Pure map-side "
-    "JVM regex, no shuffle; at 100 TB this is a projection the shard "
-    "writer streams through.",
-)
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
-    redacted = F.regexp_replace(no_email, _PII_DIGITS, "<DIGITS>")
-    n_em = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
-    # digit runs counted on the email-redacted text: a run INSIDE an email
-    # was already removed by the first pass and must not count twice
-    n_dg = F.size(F.regexp_extract_all(no_email, F.lit(_PII_DIGITS), 0))
-    return docs.select(
-        "doc_id",
-        (n_em + n_dg).alias("n_redactions"),
-        F.length(redacted).alias("redacted_len"),
-        F.md5(redacted.cast("binary")).alias("redacted_md5"),
-    )
-
-
-# --- quality-prioritized dedup: keep the BEST member of each cluster -------
-# Production curation does not keep the FIRST member of a near-dup cluster
-# (an artifact of crawl order) — it keeps the highest-QUALITY one.  This
-# op composes three existing surfaces end-to-end: verified near-dup pairs
-# (LSH + Jaccard) -> connected components (transitive closure) -> the
-# hashed-linear quality margin, then an argmax per cluster (quality DESC,
-# doc_id tiebreak).  Scale shape: the cluster table is DUP-RATE-DEPENDENT
-# (every doc in a verified near-dup cluster — at a realistic 20-40 % corpus
-# dup rate that is corpus-fraction-sized), so the join carries NO broadcast
-# hint: AQE picks broadcast at runtime when the set is actually small, the
-# same discipline documented at curation_pipeline_stats' losers join.  The
-# join still restricts the token stream so classifier sums are computed
-# ONLY for clustered docs, never
-# corpus-wide; the per-cluster argmax window partitions by cluster_id
-# (cluster-sized tasks, never a global sort).
-@query(
-    "dedup_keep_best",
-    oracle=None,  # composed below (reuses the CC recursive-CTE oracle)
-    doc="QUALITY-PRIORITIZED DEDUP: near-dup clusters (LSH -> Jaccard -> "
-    "connected components) keep their highest-quality member by hashed "
-    "linear-classifier weight (integer-exact sums; doc_id breaks ties) "
-    "instead of crawl order. The cluster table is dup-rate-dependent (can "
-    "be corpus-fraction-sized), so its join carries no broadcast hint — "
-    "AQE broadcasts when it is actually small; the join still restricts "
-    "the token stream so quality is scored only for clustered docs; "
-    "the keep argmax is a cluster-partitioned window. Oracle composes the "
-    "recursive-CTE closure with the classifier weights verbatim.",
-    bench=True,
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    # compose the REGISTERED clustering query (not a re-derivation of its
-    # body) so a future change to the closure updates Spark side and the
-    # composed oracle in lockstep — the same discipline the oracle uses
-    cc = dedup_cluster_components(spark, sf_dir).select(
-        "doc_id", F.col("canonical_id").alias("cluster_id")
-    )
-    tok = with_token_hash(
-        docs.join(cc, "doc_id").select(
-            "doc_id",
-            "cluster_id",
-            F.explode(F.split(F.col("text"), " ")).alias("word"),
-        ),
-        token_col="word",
-    )
-    wt = F.col("h") % QC_WEIGHT_MOD - QC_WEIGHT_SHIFT
-    q = (
-        tok.groupBy("doc_id", "cluster_id")
-        .agg(F.sum(wt).cast("long").alias("quality_w"))
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality_w").desc(), "doc_id"
-    )
-    return q.select(
-        "doc_id",
-        "cluster_id",
-        "quality_w",
-        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("keep"),
-    )
-
-
-def _set_keep_best_oracle() -> None:
-    from dataclasses import replace
-
-    cc_sql = REGISTRY["dedup_cluster_components"].oracle
-    sql = f"""
-        WITH cc AS ({cc_sql}),
-        tokq AS (
-            SELECT d.doc_id, cc.canonical_id AS cluster_id,
-                   CAST(sum(({_duck_hexparse8("word")}) % {QC_WEIGHT_MOD}
-                            - {QC_WEIGHT_SHIFT}) AS BIGINT) AS quality_w
-            FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                FROM documents
-            ) d
-            JOIN cc ON cc.doc_id = d.doc_id
-            GROUP BY d.doc_id, cc.canonical_id
-        )
-        SELECT doc_id, cluster_id, quality_w,
-               CASE WHEN row_number() OVER (
-                        PARTITION BY cluster_id
-                        ORDER BY quality_w DESC, doc_id) = 1
-                    THEN 1 ELSE 0 END AS keep
-        FROM tokq
-    """
-    REGISTRY["dedup_keep_best"] = replace(
-        REGISTRY["dedup_keep_best"], oracle=sql
-    )
-
-
-_set_keep_best_oracle()
-
-
-# --- int8 embedding quantization (vector-store compression) ----------------
-# The embedding-store twin of the reference's E1 truncating quantizer
-# (reference seisdb/DSGT.py:137-166 quantizes strain series; here the
-# same storage economics applied to the vector column): per-DIMENSION
-# min/max over the corpus defines a 256-level uniform grid; each vector
-# stores one int8 code per dim (4x smaller than float32, 8x than float64).
-# Scale shape: the stats pass is a posexplode + dim-key groupBy — exactly
-# EMBEDDING_DIM keys, fully combiner-collapsed map-side — and the 1-row
-# (mins, steps) array struct broadcasts back so encoding is MAP-ONLY.
-# Engine-exactness: min/max involve no accumulation (exact on any
-# partitioning); codes are floor() of identical doubles; the per-vector
-# code SUM is exact integer arithmetic; the reconstruction error is an
-# explicit left-associated 64-term chain (the dot_chain discipline).
-EMB_Q_LEVELS = 255  # codes 0..255
-
-
-def _embq_term_sql(d: int) -> tuple[str, str]:
-    """One dimension's (code, squared-error) pair, DuckDB 1-based index."""
-    x = f"CAST(e.embedding[{d + 1}] AS DOUBLE)"
-    mn, st = f"s.mins[{d + 1}]", f"s.steps[{d + 1}]"
-    code = (
-        f"CASE WHEN {st} = 0 THEN 0 ELSE "
-        f"LEAST({EMB_Q_LEVELS}, CAST(FLOOR(({x} - {mn}) / {st}) AS BIGINT)) END"
-    )
-    err = f"POWER({x} - ({mn} + ({code}) * {st}), 2)"
-    return code, err
-
-
-@query(
-    "embedding_int8_quantize",
-    oracle=None,  # generated below (64-term chains, shared builder)
-    doc=f"INT8 EMBEDDING QUANTIZATION: per-dim corpus min/max -> uniform "
-    f"{EMB_Q_LEVELS + 1}-level grid -> one int8 code per dim (4x smaller "
-    "than float32). Stats collapse map-side to EMBEDDING_DIM keys; the "
-    "1-row (mins, steps) struct broadcasts back so encoding is MAP-ONLY — "
-    "no per-vector shuffle at any corpus size. Output pins the exact "
-    "integer code sum and the reconstruction L2^2 error per vector "
-    "(explicit left-associated chain, both engines bit-identical). "
-    "Cites the reference's E1 series quantizer (DSGT.py:137-166) — the "
-    "same storage trade re-expressed for the vector column.",
-    bench=True,
-)
-def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    stats = (
-        emb.select(F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(
-            F.min(F.col("v").cast("double")).alias("mn"),
-            F.max(F.col("v").cast("double")).alias("mx"),
-        )
-    )
-    one = stats.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)"
-        ).alias("mins"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim, mn, mx))), "
-            f"s -> (s.mx - s.mn) / {EMB_Q_LEVELS})"
-        ).alias("steps"),
-    )
-    codes, errs = [], []
-    for d in range(EMBEDDING_DIM):
-        x = f"CAST(embedding[{d}] AS DOUBLE)"
-        mn, st = f"mins[{d}]", f"steps[{d}]"
-        code = (
-            f"CASE WHEN {st} = 0D THEN 0L ELSE "
-            f"LEAST({EMB_Q_LEVELS}L, CAST(FLOOR(({x} - {mn}) / {st}) AS BIGINT)) END"
-        )
-        codes.append(code)
-        errs.append(f"POWER({x} - ({mn} + ({code}) * {st}), 2)")
-    code_sum = "(" + ") + (".join(codes) + ")"
-    err_chain = errs[0]
-    for e in errs[1:]:
-        err_chain = f"({err_chain}) + ({e})"
-    return emb.crossJoin(F.broadcast(one)).select(
-        "vec_id",
-        F.expr(code_sum).cast("long").alias("code_sum"),
-        F.expr(f"round({err_chain}, 6)").alias("recon_err"),
-    )
-
-
-def _set_embq_oracle() -> None:
-    from dataclasses import replace
-
-    codes, errs = zip(*(_embq_term_sql(d) for d in range(EMBEDDING_DIM)))
-    code_sum = "(" + ") + (".join(codes) + ")"
-    err_chain = errs[0]
-    for e in errs[1:]:
-        err_chain = f"({err_chain}) + ({e})"
-    sql = f"""
-        WITH dimstats AS (
-            SELECT dim,
-                   min(CAST(v AS DOUBLE)) AS mn,
-                   max(CAST(v AS DOUBLE)) AS mx
-            FROM (
-                SELECT unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS dim
-                FROM embeddings
-            )
-            GROUP BY dim
-        ),
-        s AS (
-            SELECT list(mn ORDER BY dim) AS mins,
-                   list((mx - mn) / {EMB_Q_LEVELS} ORDER BY dim) AS steps
-            FROM dimstats
-        )
-        SELECT e.vec_id,
-               CAST({code_sum} AS BIGINT) AS code_sum,
-               round({err_chain}, 6) AS recon_err
-        FROM embeddings e CROSS JOIN s
-    """
-    REGISTRY["embedding_int8_quantize"] = replace(
-        REGISTRY["embedding_int8_quantize"], oracle=sql
-    )
-
-
-_set_embq_oracle()
-
-
-# --- block-wise int4 quantization (per-vector local scales) ----------------
-# The complementary storage point to embedding_int8_quantize: int8 uses
-# CORPUS-WIDE per-dim grids (one stats pass + broadcast-back), int4 uses
-# PER-VECTOR per-block grids (8-dim blocks, min/max inside the row) — the
-# FAISS SQ4 / GGUF block-quant shape.  16 levels halve int8's storage
-# (32 B codes + 2 scales per block vs 64 B) and the operator needs ZERO
-# shuffles and ZERO corpus passes: everything is row-local arithmetic, so
-# it pipelines into any scan at any corpus size and quantizes STREAMING
-# ingest without a stats job.  Round-half-up is spelled floor(x + 0.5) so
-# both engines floor the identical double.
-INT4_BLOCK = 8
-INT4_LEVELS = 15  # 4-bit codes: 0..15
-
-
-def _int4_code_expr(x: str, mn: str, mx: str) -> str:
-    """Code for element x against its block's [mn, mx] grid — identical
-    text evaluated by both engines (all literals CAST to DOUBLE so DuckDB
-    does not slip into DECIMAL arithmetic)."""
-    return (
-        f"CASE WHEN ({mx} - {mn}) = 0 THEN 0 ELSE "
-        f"LEAST({INT4_LEVELS}, CAST(FLOOR(({x} - {mn})"
-        f" * CAST({INT4_LEVELS} AS DOUBLE) / ({mx} - {mn})"
-        f" + CAST(0.5 AS DOUBLE)) AS INT)) END"
-    )
-
-
-def _balanced_sum(terms: list[str]) -> str:
-    """Pairwise-balanced `+` tree over the terms — ~log2(n) expression
-    depth instead of n (DuckDB's binder caps recursion at 128, which a
-    64-term left-deep chain of CASE-bearing terms exceeds).  BOTH engines
-    evaluate this identical text, so the fp accumulation order — the tree
-    order — still matches bit-for-bit; only the shape changed."""
-    while len(terms) > 1:
-        terms = [
-            f"({terms[i]} + {terms[i + 1]})"
-            if i + 1 < len(terms)
-            else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return terms[0]
-
-
-def _int4_err_expr(x: str, mn: str, mx: str, c: str) -> str:
-    """Squared reconstruction error; code 0 on a zero-range block
-    reconstructs mn = x, so no special case is needed."""
-    recon = (
-        f"({mn} + CAST({c} AS DOUBLE) * ({mx} - {mn})"
-        f" / CAST({INT4_LEVELS} AS DOUBLE))"
-    )
-    return f"(({x}) - {recon}) * (({x}) - {recon})"
-
-
-@query(
-    "embedding_int4_block_quantize",
-    oracle=None,  # generated below (shared per-element expr builders)
-    doc=f"BLOCK-WISE INT4 QUANTIZATION: each vector's {EMBEDDING_DIM} dims "
-    f"split into {EMBEDDING_DIM // INT4_BLOCK} blocks of {INT4_BLOCK}; "
-    "each block gets its own [min, max] grid from the ROW alone and "
-    f"{INT4_LEVELS + 1}-level codes (8x smaller than float32 incl. "
-    "scales). Unlike the corpus-grid int8 path this needs NO stats pass "
-    "and NO shuffle of any kind — pure row-local arithmetic that "
-    "pipelines into any scan and quantizes streaming ingest without a "
-    "stats job; the trade is 16 levels vs 256 plus 2 scales per block. "
-    "Codes serialize '-'-joined; qerr is the left-chained squared "
-    "reconstruction error, bit-identical across engines (floor(x + 0.5) "
-    "half-up on identical doubles).",
-    bench=True,
-)
-def embedding_int4_block_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return int4_block_quantize_df(spread(load_table(spark, sf_dir, "embeddings")))
-
-
-def int4_block_quantize_df(emb: DataFrame) -> DataFrame:
-    """The int4 block-quantize transform over ANY embeddings DataFrame —
-    pure row-local expressions, zero shuffles, zero corpus passes, so the
-    SAME function quantizes a batch scan and each arriving streaming
-    micro-batch (queries/streaming_queries.py::streaming_int4_quantize
-    makes that claim executable)."""
-    nb = EMBEDDING_DIM // INT4_BLOCK
-    mnmx = []
-    for b in range(nb):
-        sl = (
-            f"transform(slice(embedding, {b * INT4_BLOCK + 1}, "
-            f"{INT4_BLOCK}), x -> CAST(x AS DOUBLE))"
-        )
-        mnmx.append(F.expr(f"array_min({sl})").alias(f"mn{b}"))
-        mnmx.append(F.expr(f"array_max({sl})").alias(f"mx{b}"))
-    s = emb.select("vec_id", "embedding", *mnmx)
-    codes = "array(" + ", ".join(
-        _int4_code_expr(
-            f"CAST(embedding[{d}] AS DOUBLE)",
-            f"mn{d // INT4_BLOCK}",
-            f"mx{d // INT4_BLOCK}",
-        )
-        for d in range(EMBEDDING_DIM)
-    ) + ")"
-    c = s.select(
-        "vec_id",
-        "embedding",
-        *[F.col(f"mn{b}") for b in range(nb)],
-        *[F.col(f"mx{b}") for b in range(nb)],
-        F.expr(codes).cast("array<int>").alias("codes"),
-    )
-    errs = [
-        _int4_err_expr(
-            f"CAST(embedding[{d}] AS DOUBLE)",
-            f"mn{d // INT4_BLOCK}",
-            f"mx{d // INT4_BLOCK}",
-            f"codes[{d}]",
-        )
-        for d in range(EMBEDDING_DIM)
-    ]
-    err_chain = _balanced_sum(errs)
-    return c.select(
-        "vec_id",
-        F.array_join(F.col("codes").cast("array<string>"), "-").alias(
-            "codes"
-        ),
-        F.expr(f"round({err_chain}, 6)").alias("qerr"),
-    )
-
-
-def _set_int4_oracle() -> None:
-    from dataclasses import replace
-
-    nb = EMBEDDING_DIM // INT4_BLOCK
-    mnmx = []
-    for b in range(nb):
-        elems = [
-            f"CAST(embedding[{b * INT4_BLOCK + j + 1}] AS DOUBLE)"
-            for j in range(INT4_BLOCK)
-        ]
-        mnmx.append(f"LEAST({', '.join(elems)}) AS mn{b}")
-        mnmx.append(f"GREATEST({', '.join(elems)}) AS mx{b}")
-    code_cols = [
-        _int4_code_expr(
-            f"CAST(embedding[{d + 1}] AS DOUBLE)",
-            f"mn{d // INT4_BLOCK}",
-            f"mx{d // INT4_BLOCK}",
-        )
-        + f" AS c{d}"
-        for d in range(EMBEDDING_DIM)
-    ]
-    errs = [
-        _int4_err_expr(
-            f"CAST(embedding[{d + 1}] AS DOUBLE)",
-            f"mn{d // INT4_BLOCK}",
-            f"mx{d // INT4_BLOCK}",
-            f"c{d}",
-        )
-        for d in range(EMBEDDING_DIM)
-    ]
-    err_chain = _balanced_sum(errs)
-    codes_str = "concat_ws('-', " + ", ".join(
-        f"CAST(c{d} AS VARCHAR)" for d in range(EMBEDDING_DIM)
-    ) + ")"
-    sql = f"""
-        WITH s AS (
-            SELECT vec_id, embedding, {", ".join(mnmx)}
-            FROM embeddings
-        ),
-        c AS (
-            SELECT vec_id, embedding,
-                   {", ".join(f"mn{b}, mx{b}" for b in range(nb))},
-                   {", ".join(code_cols)}
-            FROM s
-        )
-        SELECT vec_id, {codes_str} AS codes, round({err_chain}, 6) AS qerr
-        FROM c
-    """
-    REGISTRY["embedding_int4_block_quantize"] = replace(
-        REGISTRY["embedding_int4_block_quantize"], oracle=sql
-    )
-
-
-_set_int4_oracle()
-
-
-# --- Trained bigram-LM perplexity gate --------------------------------------
-# CCNet-style model-based quality filtering (Wenzek et al. 2020, public):
-# train a small LM on a trusted reference slice, score every candidate
-# document by perplexity, keep the low-perplexity (in-domain-like) ones.
-# The model here is an add-1-smoothed BIGRAM LM learned IN-ENGINE from
-# the reference sources (unlike quality_classifier_score, whose weights
-# are a hash-derived stand-in, this model is genuinely TRAINED from
-# data): P(w2|w1) = (c12 + 1) / (c1 + V).  Per-bigram NLL is computed
-# with NO libm call — octave-reduced integer log2 plus the [1/1] Pade
-# fractional part, quantized to BIGINT nanonats (functions/ngram_lm.py
-# docstring has the proof and the <= 1.2 % error measurement) — so every
-# per-doc sum is exact integer arithmetic, order-free, engine-identical.
-#
-# Scale shape: training = ONE scan of the reference slice into the
-# bigram count table; context counts (c1 = sum_w2 c12) and the vocab
-# size are aggregations over that already-vocab-bounded table (the
-# persisted LM is these tables, the sketch-table pattern); scoring =
-# one corpus scan
-# with two joins against the count tables (AQE decides broadcast — no
-# hints) and ONE groupBy(doc_id) with map-side partial sums.  At sf0.01
-# the reference slice (src0-src3) averages mean-NLL ~3.32e9 nanonats vs
-# ~3.47e9 for out-of-domain sources — the LM discriminates, and the
-# keep threshold sits between the two modes.
-LM_REF_SOURCES = ("src0", "src1", "src2", "src3")
-LM_KEEP_NLL_NANO = 3_400_000_000
-
-_LM_REF_LIST = ", ".join(f"'{s}'" for s in LM_REF_SOURCES)
-
-
-def lm_score_df(
-    docs: DataFrame, bc: DataFrame, cc: DataFrame, vocab: DataFrame
-) -> DataFrame:
-    """Score a documents frame against a trained bigram LM — the
-    transform SHARED by the batch gate and the streaming score-on-ingest
-    twin (the int4_block_quantize_df precedent: one extracted function,
-    so stream==batch is equality of code, not of intent).  Per-document
-    scores depend only on that document's own text plus the static LM
-    tables, so microbatch boundaries cannot change a single value."""
-    from seisdb_spark.functions import ngram_lm as lm
-
-    big = lm.bigram_pairs(docs, "doc_id")
-    scored = (
-        big.join(bc, ["w1", "w2"], "left")
-        .join(cc, ["w1"], "left")
-        .crossJoin(vocab)
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
-            .cast("long")
-            .alias("bb"),
-            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
-            .cast("long")
-            .alias("a"),
-        )
-    )
-    terms = scored.select(
-        "doc_id", lm.nll_nano_expr("a", "bb").alias("nll")
-    )
-    agg = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("nll").cast("long").alias("sum_nll"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        F.expr("sum_nll div n_bigrams").alias("mean_nll_nano"),
-        F.when(
-            F.expr("sum_nll div n_bigrams") < F.lit(LM_KEEP_NLL_NANO), 1
-        )
-        .otherwise(0)
-        .cast("int")
-        .alias("ppl_keep"),
-    )
-
-
-def train_lm_from_corpus(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train the reference bigram LM from the corpus's trusted slice —
-    the shared train step (one reference scan; the count tables come
-    back localCheckpointed, i.e. materialized: the persisted model)."""
-    from seisdb_spark.functions import ngram_lm as lm
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    ref = lm.bigram_pairs(docs.filter(F.col("source").isin(*LM_REF_SOURCES)))
-    return lm.train_bigram_lm(ref)
-
-
-@query(
-    "ngram_lm_perplexity",
-    oracle=f"""
-        WITH arrs AS (
-            SELECT doc_id, source,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS l
-            FROM documents
-        ),
-        big AS (
-            SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
-            FROM arrs, unnest(generate_series(1, len(l) - 1)) AS u(i)
-        ),
-        refb AS (
-            SELECT w1, w2 FROM big WHERE source IN ({_LM_REF_LIST})
-        ),
-        bc AS (
-            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-            FROM refb GROUP BY w1, w2
-        ),
-        cc AS (
-            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
-            FROM bc GROUP BY w1
-        ),
-        vocab AS (
-            SELECT CAST(count(DISTINCT w) AS BIGINT) + 1 AS v
-            FROM (SELECT w1 AS w FROM bc
-                  UNION ALL SELECT w2 FROM bc)
-        ),
-        scored AS (
-            SELECT b.doc_id,
-                   COALESCE(cc.c1, 0) + v.v AS a,
-                   COALESCE(bc.c12, 0) + 1 AS bb
-            FROM big b
-            LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
-            LEFT JOIN cc ON cc.w1 = b.w1
-            CROSS JOIN vocab v
-        ),
-        terms AS (
-            SELECT doc_id, {{NLL}} AS nll FROM scored
-        ),
-        agg AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(nll) AS BIGINT) AS sum_nll
-            FROM terms GROUP BY doc_id
-        )
-        SELECT doc_id, n_bigrams,
-               sum_nll // n_bigrams AS mean_nll_nano,
-               CAST(CASE WHEN sum_nll // n_bigrams < {LM_KEEP_NLL_NANO}
-                    THEN 1 ELSE 0 END AS INT) AS ppl_keep
-        FROM agg
-    """,
-    doc=f"TRAINED bigram-LM perplexity gate (CCNet-style model-based "
-    f"quality filtering): an add-1-smoothed bigram LM learned from the "
-    f"reference sources {LM_REF_SOURCES} scores every document's mean "
-    "bigram NLL in exact BIGINT nanonats (octave-reduced integer log2 "
-    "+ IEEE-deterministic Pade fraction — no libm anywhere, so the "
-    "values are bit-identical across engines); keep = mean NLL below "
-    f"{LM_KEEP_NLL_NANO} nanonats (between the in-domain and out-of-"
-    "domain modes at sf0.01).  Training is ONE reference scan into the "
-    "bigram count table (context counts and vocab size derive from it, "
-    "never a second corpus pass); scoring is one "
-    "corpus scan, two AQE-decided joins against the LM tables, one "
-    "partial-agged groupBy(doc_id).  At 100 TB the LM tables are the "
-    "persisted KB-MB stat — train once, score every shard forever.",
-    bench=True,
-)
-def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bc, cc, vocab = train_lm_from_corpus(spark, sf_dir)
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return lm_score_df(docs, bc, cc, vocab)
-
-
-def _set_lm_oracle() -> None:
-    from dataclasses import replace
-
-    from seisdb_spark.functions.ngram_lm import nll_nano_sql
-
-    spec = REGISTRY["ngram_lm_perplexity"]
-    sql = spec.oracle.replace(
-        "{NLL}", nll_nano_sql("a", "bb", dialect="duck")
-    )
-    REGISTRY["ngram_lm_perplexity"] = replace(spec, oracle=sql)
-
-
-_set_lm_oracle()
-
-
-# --- Mergeable histogram quantile sketch ------------------------------------
-# The quantile class's RELATIONAL mergeable form (functions/histq.py):
-# approx_quantile_gate's percentile_approx is a Greenwald-Khanna sketch
-# locked inside an opaque aggregation buffer — no SQL-level merge, so no
-# way to persist per-source/per-batch quantile state and roll it up
-# later.  Fixed-grid histograms ARE that form: per-source bin counts
-# (<= 64 rows each) merge by plain addition, and the quantile estimate
-# carries the histogram guarantee — the exact q-quantile lies inside
-# the estimated bin — as exact integer arithmetic both engines agree
-# on, which keeps the gate oracle-bearing (the approx_quantile_gate
-# pattern).  The exact referee is a value-frequency table (bounded by
-# the metric's distinct-value count), never a global sort of rows.
-from seisdb_spark.functions.histq import (  # noqa: E402
-    HQ_BIN_W,
-    HQ_NBINS,
-    HQ_PROBE_PM,
-)
-
-_HQ_PM_LIST = ", ".join(str(p) for p in HQ_PROBE_PM)
-
-
-def hq_gate_report(qb: DataFrame, docs: DataFrame) -> DataFrame:
-    """Exact-quantile referee + within-bin gate over the estimated
-    quantile bins — shared by the batch rollup and the streaming twin
-    (they share one oracle), so the referee's rank convention and the
-    clamped-last-bin clause can never fork.  The exact quantile comes
-    from a value-frequency table (never a global row sort)."""
-    from seisdb_spark.functions import histq
-
-    vf = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wv = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    vcum = vf.select("v", F.sum("c").over(wv).cast("long").alias("cum"))
-    exact = (
-        qb.select("q_pm", "r")
-        .join(vcum, F.col("cum") >= F.col("r"))
-        .groupBy("q_pm")
-        .agg(F.min("v").alias("exact_v"))
-    )
-    return qb.join(exact, "q_pm").select(
-        F.col("q_pm").cast("int").alias("q_pm"),
-        "est_lo",
-        "est_hi",
-        "exact_v",
-        (
-            (F.col("exact_v") >= F.col("est_lo"))
-            & (
-                (F.col("exact_v") < F.col("est_hi"))
-                | (F.col("est_bin") == F.lit(histq.HQ_NBINS - 1))
-            )
-        )
-        .cast("int")
-        .alias("within_bin"),
-    )
-
-
-@query(
-    "hist_quantile_rollup",
-    oracle=f"""
-        WITH p AS (
-            SELECT least(n_chars // {HQ_BIN_W}, {HQ_NBINS - 1}) AS bin,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM documents GROUP BY 1
-        ),
-        cum AS (
-            SELECT bin, n,
-                   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum
-            FROM p
-        ),
-        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM p),
-        probes AS (
-            SELECT q_pm, (q_pm * n_total + 999) // 1000 AS r
-            FROM (SELECT unnest([{_HQ_PM_LIST}]) AS q_pm)
-            CROSS JOIN tot
-        ),
-        est AS (
-            SELECT q_pm, r, min(bin) AS est_bin
-            FROM probes JOIN cum ON cum.cum >= probes.r
-            GROUP BY q_pm, r
-        ),
-        vf AS (
-            SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-            FROM documents GROUP BY n_chars
-        ),
-        vcum AS (
-            SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
-            FROM vf
-        ),
-        ex AS (
-            SELECT q_pm, min(v) AS exact_v
-            FROM est JOIN vcum ON vcum.cum >= est.r
-            GROUP BY q_pm
-        )
-        SELECT CAST(est.q_pm AS INT) AS q_pm,
-               est_bin * {HQ_BIN_W} AS est_lo,
-               (est_bin + 1) * {HQ_BIN_W} AS est_hi,
-               exact_v,
-               CAST(CASE WHEN exact_v >= est_bin * {HQ_BIN_W}
-                          AND (exact_v < (est_bin + 1) * {HQ_BIN_W}
-                               OR est_bin = {HQ_NBINS - 1})
-                    THEN 1 ELSE 0 END AS INT) AS within_bin
-        FROM est JOIN ex USING (q_pm)
-    """,
-    doc="MERGEABLE HISTOGRAM QUANTILE SKETCH (sixth sketch-family "
-    "member; the quantile class's relational mergeable form): per-"
-    "source fixed-grid bin counts over document length (<= 64 rows per "
-    "source — fixed-size state regardless of row count or domain), "
-    "addition-merged across sources, cumulative counts over the 64-row "
-    "merged frame, and each probed per-mille quantile estimated as the "
-    "first bin reaching rank ceil(q*N/1000). Hard-gated on the "
-    "histogram guarantee: the exact q-quantile (from a value-frequency "
-    "table, never a global row sort) must lie inside the estimated "
-    "bin — exact integer arithmetic, deterministic in both engines. "
-    "percentile_approx cannot express this shape: its sketch has no "
-    "SQL merge, so per-source/per-batch quantile state cannot be "
-    "persisted and rolled up. One (source, bin)-keyed combiner "
-    "shuffle; every later frame is <= 64 rows. At 100 TB the partials "
-    "table IS the persisted stat — length-distribution questions after "
-    "ingest merge KB-sized histograms.",
-    bench=True,
-)
-def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from seisdb_spark.functions import histq
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    partials = histq.hist_partials(docs, "n_chars", ["source"])
-    merged = histq.hist_merge(partials)
-    qb = histq.hist_quantile_bins(merged)
-    return hq_gate_report(qb, docs)
-
-
-# --- Deterministic weighted sampling without replacement --------------------
-# Efraimidis-Spirakis (2006, public): a weighted-WOR sample of size K is
-# the K items with the largest u_i^(1/w_i), u_i uniform — equivalently
-# the K SMALLEST -ln(u_i)/w_i.  Curation pipelines need exactly this
-# primitive (keep a fixed per-language budget, weight-proportional, so
-# longer/higher-quality documents are kept preferentially but cheap docs
-# still get mass), and the classic blocker for an engine version is that
-# both the randomness and the log must be reproducible across engines.
-# Both are solved with existing repo machinery: u derives from md5 (the
-# oracle-portable hash discipline) as a 60-bit integer, and -ln(u) =
-# ln(2^60 / (h + 1)) is the octave-Pade nanonat NLL from
-# functions/ngram_lm.py — EXACT BIGINT arithmetic, so every priority
-# key, and therefore the sampled set itself, is bit-identical in Spark
-# and DuckDB.  One hash-partitioned window per language (partition-
-# local sort; no global ordering), rejected rows never leave their
-# partition.
-ES_SAMPLE_K = 20
-ES_HASH_HEX = 15  # 15 hex digits = 60 bits
-ES_U_DENOM = 1 << 60
-
-
-def _duck_hexparse15(expr: str) -> str:
-    """DuckDB twin of Spark's conv(substring(md5(x),1,15),16,10) —
-    a 60-bit BIGINT from the md5 prefix."""
-    return " + ".join(
-        f"(strpos('{_HEX_ALPHA}', substr(md5({expr}), {j + 1}, 1)) - 1)"
-        f" * {16 ** (ES_HASH_HEX - 1 - j)}"
-        for j in range(ES_HASH_HEX)
-    )
-
-
-def _es_oracle_sql() -> str:
-    from seisdb_spark.functions.ngram_lm import nll_nano_sql
-
-    nll = nll_nano_sql("a", "bb", dialect="duck")
-    return f"""
-        WITH h AS (
-            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
-                   ({_duck_hexparse15("CAST(doc_id AS VARCHAR)")}) + 1
-                       AS bb,
-                   CAST({ES_U_DENOM} AS BIGINT) AS a
-            FROM documents
-            WHERE n_chars > 0
-        ),
-        pri AS (
-            SELECT lang, doc_id, weight,
-                   (({nll}) * 1000000) // weight AS es_key
-            FROM h
-        ),
-        rk AS (
-            SELECT lang, doc_id, weight, es_key,
-                   row_number() OVER (
-                       PARTITION BY lang ORDER BY es_key, doc_id
-                   ) AS rank
-            FROM pri
-        )
-        SELECT lang, doc_id, weight, es_key, CAST(rank AS INT) AS rank
-        FROM rk WHERE rank <= {ES_SAMPLE_K}
-    """
-
-
-def es_priorities(docs: DataFrame) -> DataFrame:
-    """Row-local E-S priority keys ``(lang, doc_id, weight, es_key)`` —
-    the transform SHARED by the batch sampler and its streaming twin
-    (each key depends only on the row itself, so it is computable
-    inside any microbatch).  Map-side only: no shuffle."""
-    from seisdb_spark.functions.ngram_lm import nll_nano_sql
-
-    h60 = F.conv(
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")),
-            1,
-            ES_HASH_HEX,
-        ),
-        16,
-        10,
-    ).cast("long")
-    base = docs.filter(F.col("n_chars") > 0).select(
-        "lang",
-        "doc_id",
-        F.col("n_chars").cast("long").alias("weight"),
-        (h60 + F.lit(1)).cast("long").alias("bb"),
-        F.lit(ES_U_DENOM).cast("long").alias("a"),
-    )
-    nll = nll_nano_sql("a", "bb", dialect="spark")
-    return base.select(
-        "lang",
-        "doc_id",
-        "weight",
-        F.expr(f"(({nll}) * 1000000) div weight").alias("es_key"),
-    )
-
-
-def es_take_topk(pri: DataFrame) -> DataFrame:
-    """Per-lang bottom-K by (es_key, doc_id) with dense ranks — the
-    selection step shared by batch and the streaming merge (bottom-K of
-    a union of per-batch bottom-Ks IS the global bottom-K)."""
-    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
-    return (
-        pri.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= ES_SAMPLE_K)
-        .select(
-            "lang",
-            "doc_id",
-            "weight",
-            "es_key",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
-
-
-@query(
-    "weighted_sample_wor",
-    oracle=None,  # set below (needs the ngram_lm import at def time)
-    doc=f"DETERMINISTIC WEIGHTED SAMPLING WITHOUT REPLACEMENT "
-    f"(Efraimidis-Spirakis): per-language top-{ES_SAMPLE_K} by the "
-    "smallest -ln(u)/w, with u a 60-bit md5-derived uniform and the "
-    "log the octave-Pade nanonat NLL (functions/ngram_lm.py) — no rand "
-    "seed, no libm, every priority key exact BIGINT arithmetic, so the "
-    "SAMPLED SET ITSELF is bit-identical across engines and runs (the "
-    "reproducibility a training-data pipeline needs to re-derive any "
-    "shipped corpus). Weight = n_chars: inclusion probability is "
-    "weight-proportional (the E-S guarantee), pinned by a 200-strata "
-    "distributional test. One hash-partitioned per-lang window "
-    "(partition-local sort, never a global ordering); at 100 TB the "
-    "per-partition top-K could further drop to a bounded heap via "
-    "groupBy-collect, but the window form already moves no rejected "
-    "row off its partition.",
-    bench=True,
-)
-def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return es_take_topk(es_priorities(docs))
-
-
-def _set_es_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["weighted_sample_wor"] = replace(
-        REGISTRY["weighted_sample_wor"], oracle=_es_oracle_sql()
-    )
-
-
-_set_es_oracle()
-
-
-# --- Z-order layout / multi-column data skipping ----------------------------
-# Storage-layout operator class (Delta/Iceberg OPTIMIZE ZORDER, public
-# concept): see functions/zorder.py for the full design note.  The gate
-# query materializes the zone-map table under TWO layouts of the events
-# table — single-column-sorted (linear_x) and Morton-curve (zorder) —
-# and reports, for three probe rectangles, how many buckets/rows a
-# zone-map-pruned scan touches vs how many rows actually match.  All
-# integer arithmetic on a fixed grid, so the pruning counts themselves
-# are the oracle-checked values.
-from seisdb_spark.functions.zorder import (  # noqa: E402
-    ZO_BUCKETS,
-    ZO_LIN_W,
-    ZO_PROBES,
-    ZO_SIDE,
-    ZO_Z_W,
-    grid_bins,
-    interleave_sql,
-    layout_explode,
-    matched_counts,
-    probes_df,
-    scan_counts,
-    zone_maps,
-)
-
-
-def zorder_events_xy(ev: DataFrame) -> DataFrame:
-    """The events table's two layout dimensions: user_id and value
-    quantized to integer millis (exact across engines: one IEEE double
-    multiply + floor).  Shared by the batch gate and the streaming
-    zone-map twin so the two can never bin differently."""
-    return ev.select(
-        "event_id",
-        F.col("user_id").alias("x"),
-        F.expr("cast(floor(value * 1000) as bigint)").alias("y"),
-    )
-
-_ZO_PROBE_VALUES = ", ".join(
-    f"('{p}', {xl}, {xh}, {yl}, {yh})" for p, xl, xh, yl, yh in ZO_PROBES
-)
-
-
-@query(
-    "zorder_layout_gate",
-    oracle=f"""
-        WITH d AS (
-            SELECT event_id, user_id AS x,
-                   CAST(floor(value * 1000) AS BIGINT) AS y
-            FROM events
-        ),
-        b AS (
-            SELECT min(x) AS xlo, max(x) AS xhi,
-                   min(y) AS ylo, max(y) AS yhi
-            FROM d
-        ),
-        g AS (
-            SELECT event_id,
-                   least(((x - xlo) * {ZO_SIDE}) // (xhi - xlo + 1),
-                         {ZO_SIDE - 1}) AS bx,
-                   least(((y - ylo) * {ZO_SIDE}) // (yhi - ylo + 1),
-                         {ZO_SIDE - 1}) AS by
-            FROM d CROSS JOIN b
-        ),
-        z AS (
-            SELECT bx, by,
-                   {interleave_sql("bx", "by", idiv="//")} AS zkey
-            FROM g
-        ),
-        lay AS (
-            SELECT 'linear_x' AS layout, bx // {ZO_LIN_W} AS bucket, bx, by
-            FROM z
-            UNION ALL
-            SELECT 'zorder' AS layout, zkey // {ZO_Z_W} AS bucket, bx, by
-            FROM z
-        ),
-        zm AS (
-            SELECT layout, bucket,
-                   min(bx) AS min_bx, max(bx) AS max_bx,
-                   min(by) AS min_by, max(by) AS max_by,
-                   CAST(count(*) AS BIGINT) AS n_rows
-            FROM lay GROUP BY layout, bucket
-        ),
-        probes AS (
-            SELECT * FROM (VALUES {_ZO_PROBE_VALUES})
-                 AS t(probe, pxlo, pxhi, pylo, pyhi)
-        ),
-        scan AS (
-            SELECT layout, probe,
-                   CAST(count(*) AS BIGINT) AS buckets_scanned,
-                   CAST(sum(n_rows) AS BIGINT) AS rows_scanned
-            FROM zm JOIN probes
-              ON min_bx <= pxhi AND max_bx >= pxlo
-             AND min_by <= pyhi AND max_by >= pylo
-            GROUP BY layout, probe
-        ),
-        m AS (
-            SELECT probe, CAST(count(*) AS BIGINT) AS rows_matched
-            FROM g JOIN probes
-              ON bx BETWEEN pxlo AND pxhi AND by BETWEEN pylo AND pyhi
-            GROUP BY probe
-        )
-        SELECT layout, probe, buckets_scanned, rows_scanned, rows_matched
-        FROM scan JOIN m USING (probe)
-    """,
-    doc="Z-ORDER LAYOUT GATE (storage-layout / data-skipping class — "
-    "functions/zorder.py): bins events onto a 256x256 integer grid "
-    "(user_id x value-millis), assigns every row a Morton zkey via a "
-    "div/mod-polynomial bit interleave (engine-portable, no bitwise "
-    "dialect), then compares two 64-bucket layouts — sorted-by-x vs "
-    "Z-curve — by building each layout's zone-map table (per-bucket "
-    "min/max of BOTH dims) and counting the buckets/rows a pruned scan "
-    "touches for an x-slab, a y-slab, and a box probe. Because each "
-    "Z-bucket is an aligned 4^5-cell z-range (= a 32x32 square tile), "
-    "the Z-layout prunes BOTH single-dim probes to ~8/64 buckets and "
-    "the box probe to ~1, while sorted-by-x scans every bucket for the "
-    "y-slab — the measured, oracle-checked form of the OPTIMIZE ZORDER "
-    "claim. Scale shape: binning/zkey are row-local codegen "
-    "expressions (the grid bounds are a broadcast 1-row aggregate), "
-    "zone maps are one combiner shuffle of <= 128 rows, probes a "
-    "broadcast 3-row table; NO global sort anywhere — bucket = integer "
-    "key range, and the production writer (write_zordered) gets "
-    "balanced files from repartitionByRange's distributed sort.",
-    bench=True,
-)
-def zorder_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = grid_bins(
-        zorder_events_xy(spread(load_table(spark, sf_dir, "events"))), "x", "y"
-    )
-    zm = zone_maps(layout_explode(g))
-    probes = probes_df(spark)
-    return (
-        scan_counts(zm, probes)
-        .join(F.broadcast(matched_counts(g, probes)), "probe")
-        .select(
-            "layout", "probe", "buckets_scanned", "rows_scanned", "rows_matched"
-        )
-    )
+from seisdb_spark.queries import (
+    ext_common,
+    ext_dedup,
+    ext_embed,
+    ext_layout,
+    ext_packing,
+    ext_retrieval,
+    ext_sampling,
+    ext_sketch,
+    ext_text,
+)
+
+# Re-export verbatim (underscore helpers included — _SHINGLE_CTE etc. are
+# part of the historical import surface).  Shared helpers imported by
+# several submodules are the same objects, so collisions are no-ops.
+for _mod in (
+    ext_common,
+    ext_text,
+    ext_dedup,
+    ext_sketch,
+    ext_embed,
+    ext_retrieval,
+    ext_packing,
+    ext_sampling,
+    ext_layout,
+):
+    for _name, _val in vars(_mod).items():
+        if not _name.startswith("__"):
+            globals()[_name] = _val
+del _mod, _name, _val

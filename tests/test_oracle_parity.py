@@ -108,14 +108,14 @@ def test_driver_window_leads_registry():
     # every window entry except these documented rows-only ones has an
     # oracle (kmeans_refine_assign rotated OUT in round 8 after its r7
     # rows-only smoke row served its purpose; pq_refined_encode and
-    # bpe_train_merges did the same in round 10 and are OUT this round;
-    # bpe_apply_tokenize is the round-11 rows-only rotation getting its
-    # one clean driver execution, out again next round per the precedent;
-    # dgf_pipeline_records rotated OUT late in round 11 after NINE clean
-    # executions — sgt_pipeline_records stays as the record-sink rep)
+    # bpe_train_merges did the same in round 10; bpe_apply_tokenize's one
+    # clean rows-only execution landed in r11 and it is OUT this round
+    # per the same precedent; sequence_packing_learned is the round-12
+    # rows-only rotation getting its one clean driver execution;
+    # sgt_pipeline_records stays as the record-sink rep)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert no_oracle == [
-        "bpe_apply_tokenize",
+        "sequence_packing_learned",
         "multimodal_decode_features",
         "sgt_pipeline_records",
     ]

@@ -350,6 +350,37 @@ STRESS_QUERIES = {
         and not has_node(p, "BatchEvalPython")
         and not has_node(p, "CartesianProduct")
     ),
+    # sessionized funnel: the sessionize windows and the per-(user,
+    # session) fold share the user-keyed partition family — exactly ONE
+    # exchange hashed on user_id leading (the (user_id, session_id)
+    # fold groupBy reuses the window's partitioning: user_id-prefixed
+    # keys are co-located already); never a global sort, Python
+    # boundary, or cartesian
+    "funnel_sessionized": lambda p: (
+        count_exchanges(p, key="user_id") >= 1
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and not has_node(p, "CartesianProduct")
+    ),
+    # interval RANGE frame: ONE user-keyed exchange + ONE Window node
+    # evaluating the sliding frame partition-locally — never a self-join
+    # of the event stream against its trailing window, never a global
+    # sort, never a Python boundary
+    "window_range_trailing_day": lambda p: (
+        count_exchanges(p, key="user_id") == 1
+        and has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # INTERSECT ALL: per-value signed-count aggregate + generate — ONE
+    # exchange on the value, never a join of the two extents
+    "intersect_all_priorities": lambda p: (
+        count_exchanges(p, key="o_orderpriority") == 1
+        and has_node(p, "Generate")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+    ),
     # cohort retention: the corpus collapses to DISTINCT (user, month)
     # pairs before any join; the signup/activity joins are user-keyed
     # equi-joins (AQE picks broadcast vs shuffle by cohort size); the
@@ -390,6 +421,8 @@ OUTPUT_UNBOUNDED = {
     "timeseries_gapfill",
     "scd2_history_build",
     "pointintime_balance_lookup",
+    "window_range_trailing_day",  # one output row per event
+    "intersect_all_priorities",  # bag semantics: output ~ half the orders
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
