@@ -133,7 +133,18 @@ def repeated_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r11 verdict's superlinear-decade attribution ask.
 def passage_grams(docs: DataFrame) -> DataFrame:
     """Every word PASSAGE_GRAM_WORDS-gram, md5-fingerprinted at every
-    position: (doc_id, i, g).  Map-only (tokenize + explode + hash)."""
+    position: (doc_id, i, g).  Map-only (tokenize + explode + hash).
+
+    ``g`` is the first 15 hex digits of the md5 as a BIGINT (60 bits), not
+    the 32-char hex string: the gram table is the largest thing this
+    pipeline shuffles (~1 row per corpus token), and an 8-byte key more
+    than halves the exchange bytes of the distinct/flag/join stages — the
+    decade profile (tools/profile_decades.py) showed those exchanges, not
+    the data, were the x1000 superlinear term.  Collision odds are
+    n^2 / 2^61 expected colliding PAIRS (~0.02 at the 2.3e8-gram x1000
+    stress corpus, ~1e-10 at the sf0.01 oracle gate), and a collision can
+    only ever over-flag one gram position — the md5-string oracle would
+    catch any such flip at the hash gate."""
     k = PASSAGE_GRAM_WORDS
     w = F.split(F.col("text"), " ")
     # sequence(1, 0) counts DOWN in Spark — short docs need the empty array
@@ -145,12 +156,11 @@ def passage_grams(docs: DataFrame) -> DataFrame:
         w.alias("w"),
         F.explode(positions).alias("i"),
     )
+    gram_md5 = F.md5(F.concat_ws(" ", F.expr(f"slice(w, i, {k})")).cast("binary"))
     return starts.select(
         "doc_id",
         "i",
-        F.md5(F.concat_ws(" ", F.expr(f"slice(w, i, {k})")).cast("binary")).alias(
-            "g"
-        ),
+        F.conv(F.substring(gram_md5, 1, 15), 16, 10).cast("bigint").alias("g"),
     )
 
 

@@ -27,6 +27,18 @@ def get_spark(app_name: str = "seisdb-spark", shuffle_partitions: int | None = N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce only ever merges DOWNWARD from the initial count, so
+        # the initial count must be sized for the LARGEST corpus a shuffle
+        # might carry, not the smallest: with the default (== shuffle.
+        # partitions == 32) the x1000 stress corpus forced ~300 MB+ sort
+        # spills per task and made every corpus-keyed exchange superlinear
+        # across the x100->x1000 decade (rep-stage delta 15 s -> 256 s for
+        # 10x the rows; tools/profile_decades.py).  Starting at 512 and
+        # letting AQE coalesce to advisoryPartitionSizeInBytes keeps
+        # small-SF plans identical (coalesced post-shuffle) while large
+        # corpora get memory-sized sort runs — on a real 1000-executor
+        # cluster this would be set to a few x total cores.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
