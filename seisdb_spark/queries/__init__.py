@@ -191,6 +191,12 @@ from seisdb_spark.queries import relational  # noqa: F401,E402
 from seisdb_spark.queries import arrays  # noqa: F401,E402
 from seisdb_spark.queries import extensions  # noqa: F401,E402
 from seisdb_spark.queries import vector_store  # noqa: F401,E402
+from seisdb_spark.queries import temporal  # noqa: F401,E402
+from seisdb_spark.queries import graph_queries  # noqa: F401,E402
+
+# streaming_queries last: its twins share batch oracles registered above
+# (the CDC twin reuses temporal's snapshot SQL the same way the SCD2 twin
+# reuses relational's).
 from seisdb_spark.queries import streaming_queries  # noqa: F401,E402
 
 #: The 50 queries the driver must hash-check, in priority order.
@@ -233,7 +239,17 @@ DRIVER_WINDOW: list[str] = [
     # curation_keep_set in-window, and the LSH-blocked Levenshtein
     # verify stays pytest-oracle-checked every round)
     "streaming_gapfill",
-    "doc_winnowing_fingerprints",
+    # round-12 rotation (late block — six swaps for the round's six new
+    # oracle-bearing operators, forced in-window by the cumulative-
+    # coverage governance test): cdc_snapshot_apply — CDC last-writer-
+    # wins log replay, the MERGE-with-tombstones class (queries/
+    # temporal.py: ONE combiner-friendly struct-max aggregate, no per-key
+    # window sort) — in for doc_winnowing_fingerprints (green r3-r11,
+    # NINE hard rows, rotation-eligible per the r11 verdict; the
+    # fingerprint machinery stays pytest-oracle-checked and the text
+    # family keeps ngram_lm_perplexity + the LM streaming twins
+    # in-window).
+    "cdc_snapshot_apply",
     # round-12 rotation (r11 verdict item #1): sequence_packing_learned —
     # the learned-token-count packing form (rows-only: greedy FFD packing
     # is iterative; invariants pytest-pinned, planted ~2.25x divergence
@@ -375,7 +391,17 @@ DRIVER_WINDOW: list[str] = [
     # oracle-checked via vocab_coverage and the tokenizer family keeps
     # bpe_apply_tokenize in-window)
     "funnel_conversion_steps",
-    "curation_keep_set",
+    # round-12 rotation: streaming_cdc_apply — the CDC class's scan-once-
+    # at-ingest form (24th oracle-bearing streaming entry: per-microbatch
+    # struct-max/count partials from the SAME cdc_log + cdc_compact
+    # stages; struct max and integer count are associative, so the twin
+    # carries the batch snapshot's SQL verbatim) — in for
+    # curation_keep_set (green r3-r11, NINE hard rows, rotation-eligible
+    # per the r11 verdict; the composed decontaminate->gate->dedup->CC->
+    # sample closure stays pytest-oracle-checked every round and its
+    # member stages remain in-window via bloom_decontamination and
+    # d1_first_occurrence_dedup).
+    "streaming_cdc_apply",
     # round-10 rotation: streaming_hll_rollup — per-microbatch HLL sketch
     # maintenance (the 11th oracle-bearing streaming entry: raw text
     # scanned once AT INGEST into a persisted sketch table, rollups merge
@@ -428,7 +454,15 @@ DRIVER_WINDOW: list[str] = [
     # in-window via the sketch rollups and hist_quantile_rollup, and
     # the mixture-reweighting machinery stays pytest-oracle-checked)
     "cohort_retention",
-    "multimodal_decode_features",
+    # round-12 rotation: ohlc_time_bars — irregular-ticks-to-bars OHLC
+    # resampling (queries/temporal.py: open/close via struct min/max —
+    # argmin/argmax as ONE hash aggregate, no per-bar sort) — in for
+    # multimodal_decode_features (rows-only with NINE clean driver
+    # executions r3-r11, out per the dgf_pipeline_records precedent;
+    # the decode plumbing stays golden-pytest-checked every round and
+    # the multimodal header/payload machinery carries r4-r10 hard rows
+    # on record).
+    "ohlc_time_bars",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
@@ -477,7 +511,14 @@ DRIVER_WINDOW: list[str] = [
     # composed verbatim) — in for bm25_topk (green r6+r7+r8; the BM25
     # family keeps bm25_multiquery — the strictly stronger batch-serving
     # form — and hybrid_rrf_topk in-window)
-    "pq_recall_eval",
+    # round-12 rotation: graph_pagerank_topk — fixed-point BIGINT
+    # PageRank over the part-supplier bipartite graph (queries/
+    # graph_queries.py: 3 unrolled join+aggregate supersteps, exact
+    # integer ranks, the iterative-propagation class CC does not cover)
+    # — in for pq_recall_eval (green r9+r10+r11, rotation-eligible per
+    # the r11 verdict; the ANN family keeps mrl_pq_adc_topk in-window
+    # and the recall-canary CTE stack stays pytest-oracle-checked).
+    "graph_pagerank_topk",
     # round-11 rotation: streaming_topk_rollup — per-microbatch
     # approx_top_k_accumulate partials persisted to a sketch table,
     # combine-merged and gated like the batch heavy_hitters_gate (the
@@ -590,7 +631,15 @@ DRIVER_WINDOW: list[str] = [
     "l1_point_lookup",
     "l2_element_reorder",
     "sgt_flagship_encode",
-    "sgt_pipeline_records",
+    # round-12 rotation: anomaly_trailing_zscore — the trailing-window
+    # outlier gate on the interval RANGE frame machinery (queries/
+    # temporal.py: z^2 > k^2 cross-multiplied to exact BIGINT, no float
+    # z-score) — in for sgt_pipeline_records (rows-only with TEN clean
+    # driver executions r2-r11, out per the dgf_pipeline_records
+    # precedent; the record-sink family keeps sgt_flagship_encode —
+    # the oracle-bearing flagship — in-window and the blob/header sink
+    # stays golden-bit-exact pytest-checked every round).
+    "anomaly_trailing_zscore",
     # round-11 rotation (twenty-sixth swap): except_all_priorities —
     # EXCEPT ALL, the bag-semantics set-difference twin of the DISTINCT
     # set family (multiplicity max(0, n_O - n_F) per value; Spark plans
@@ -611,11 +660,13 @@ DRIVER_WINDOW: list[str] = [
     # in-window, and the events/window family keeps gapfill, funnel,
     # cohort and their streaming twins in-window)
     "event_transition_matrix",
-    # round-7 late rotation: pii_redaction (the transform stage the r6
-    # window's pii_scan gate feeds) in for approx_distinct_parts (green
-    # r2 through r6 — five hard rows — and still pytest-oracle-checked;
-    # the sketch family keeps approx_quantile_gate's r4+r5 rows on record)
-    "pii_redaction",
+    # round-12 rotation: ntile_price_deciles — NTILE equi-depth bucketing,
+    # completing the ranking-function family's assignment-semantics member
+    # (queries/temporal.py; the ANSI ceil-first bucket rule is part of the
+    # value hash) — in for pii_redaction (green r7-r11, FIVE hard rows,
+    # rotation-eligible per the r11 verdict; the PII machinery stays
+    # pytest-oracle-checked and its scan-gate twin carries r6-era rows).
+    "ntile_price_deciles",
 ]
 
 

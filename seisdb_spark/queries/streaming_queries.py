@@ -1697,3 +1697,70 @@ def _share_funnel_oracle() -> None:
 
 
 _share_funnel_oracle()
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle=None,  # set below: shares the batch snapshot's SQL
+    doc="STREAMING CDC LAST-WRITER-WINS APPLY (24th oracle-bearing "
+    "streaming entry — the MERGE-with-tombstones class's scan-once-at-"
+    "ingest form, the literal Debezium-to-lakehouse consumer): each "
+    "arriving orders microbatch is compacted to per-customer "
+    "(latest-record struct max, version count) partials by the SAME "
+    "cdc_log + cdc_compact stages the batch snapshot uses and appended "
+    "to a persisted partials table (batch_id-derived overwrite paths — "
+    "idempotent under checkpoint replays); the snapshot is then "
+    "compacted from the MERGED partials by the SAME cdc_snapshot "
+    "stage.  Struct max is associative and the version count merges by "
+    "addition — both exact — so microbatch boundaries provably cannot "
+    "change which record wins or a single count, and the oracle is the "
+    "batch snapshot's SQL verbatim.  Unlike the funnel/gap-fill twins, "
+    "last-writer-wins IS split-computable, so the streamed state here "
+    "is the COMPACTED partial (one row per customer seen in the batch, "
+    "never the raw change stream) — the smallest state any CDC "
+    "consumer can carry.",
+)
+def streaming_cdc_apply(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import os
+
+    from seisdb_spark.queries.temporal import cdc_compact, cdc_log, cdc_snapshot
+    from seisdb_spark.streaming import read_orders_stream
+
+    out_dir = _probe_root("cdc", sf_dir, out_dir)
+    log_dir = os.path.join(out_dir, "partials")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        (
+            cdc_compact(cdc_log(bdf))
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
+    return cdc_snapshot(partials)
+
+
+# stream==batch equivalence: struct max + count partials merge to the batch
+# compaction exactly (QuerySpec is frozen; replace the registry entry).
+def _share_cdc_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_cdc_apply"] = replace(
+        REGISTRY["streaming_cdc_apply"],
+        oracle=REGISTRY["cdc_snapshot_apply"].oracle,
+    )
+
+
+_share_cdc_oracle()

@@ -1,0 +1,245 @@
+"""Planted-case tests for the round-12 temporal/graph additions: CDC
+last-writer-wins replay (tombstone + resurrection + same-date tiebreak),
+OHLC bars (argmin/argmax tie semantics), the trailing-window anomaly
+gate (support gate + same-instant RANGE peers), NTILE's ceil-first rule,
+and PageRank against an independent pure-Python integer simulation.
+
+Oracle parity at sf0.01 is covered by test_oracle_parity for all six new
+queries; these tests pin the cases the real data may not contain and the
+cross-engine invariants a parity pass alone cannot localize.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from seisdb_spark.queries import REGISTRY
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _plant_orders(tmp_path, rows) -> str:
+    """Write a planted orders table (exact physical schema) and return the
+    sf_dir to point queries at."""
+    sf_dir = str(tmp_path / "planted")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    pdf["o_orderkey"] = pdf.o_orderkey.astype("int64")
+    pdf["o_custkey"] = pdf.o_custkey.astype("int64")
+    pdf["o_totalprice"] = pdf.o_totalprice.astype("float64")
+    pdf["o_orderdate"] = pdf.o_orderdate.astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(sf_dir, "orders.parquet"), index=False)
+    return sf_dir
+
+
+def _plant_events(tmp_path, rows, name: str = "planted_ev") -> str:
+    # distinct dir per planted corpus: the registry memoizes the analyzed
+    # plan per (session, sf_dir), so re-planting the SAME path would hand
+    # the second query a stale file listing
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["event_id"] = pdf.event_id.astype("int64")
+    pdf["user_id"] = pdf.user_id.astype("int64")
+    pdf["value"] = pdf.value.astype("float64")
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"), index=False)
+    return sf_dir
+
+
+def test_cdc_tombstone_resurrection_and_tiebreak(spark, tmp_path):
+    """The three CDC semantics a parity pass can't localize: (a) a key
+    whose LATEST record is a tombstone is absent even with live earlier
+    versions; (b) an upsert AFTER a tombstone resurrects the key; (c) two
+    changes on the same date resolve by o_orderkey — the log's total
+    order, not the payload."""
+    T = pd.Timestamp
+    sf_dir = _plant_orders(tmp_path, [
+        # key 1: upsert then tombstone -> absent
+        (10, 1, "O", 11.00, T("2024-01-01"), "1-URGENT"),
+        (11, 1, "F", 99.00, T("2024-02-01"), "1-URGENT"),
+        # key 2: tombstone then later upsert -> present (resurrected)
+        (20, 2, "F", 5.00, T("2024-01-01"), "1-URGENT"),
+        (21, 2, "O", 22.50, T("2024-03-01"), "1-URGENT"),
+        # key 3: two upserts SAME date -> higher orderkey wins
+        (31, 3, "O", 1.00, T("2024-01-05"), "1-URGENT"),
+        (32, 3, "O", 2.00, T("2024-01-05"), "1-URGENT"),
+    ])
+    got = (
+        REGISTRY["cdc_snapshot_apply"].spark(spark, sf_dir)
+        .toPandas().set_index("o_custkey").sort_index()
+    )
+    assert list(got.index) == [2, 3]  # key 1 tombstoned away
+    assert got.loc[2, "last_orderkey"] == 21
+    assert got.loc[2, "totalprice_cents"] == 2250
+    assert got.loc[2, "n_versions"] == 2  # tombstone still counts as a version
+    assert got.loc[3, "last_orderkey"] == 32
+    assert got.loc[3, "totalprice_cents"] == 200
+
+
+def test_cdc_stream_split_matches_batch(spark, tmp_path):
+    """The streamed CDC apply over orders split into 3 files (3 genuine
+    microbatches) must produce the SAME snapshot as the batch replay: a
+    key whose winning record and whose tombstone land in DIFFERENT
+    microbatches is exactly the case a naive per-batch apply without
+    the struct-max merge would get wrong."""
+    from seisdb_spark.queries.streaming_queries import streaming_cdc_apply
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "cdc_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "orders").toPandas()
+    pdf["o_orderdate"] = pdf.o_orderdate.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.o_orderkey % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/orders.parquet", index=False)
+    # the case that matters exists: some customer's versions span batches
+    assert (pdf.groupby("o_custkey").o_orderkey.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    def _sorted(d):
+        return d.sort_values("o_custkey").reset_index(drop=True)
+
+    out = str(tmp_path / "cdc_stream")
+    got = _sorted(
+        streaming_cdc_apply(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["cdc_snapshot_apply"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "partials"))) == 3
+
+
+def test_ohlc_open_close_use_time_order_not_input_order(spark, tmp_path):
+    """open/close must follow (ts, event_id), not file order or cents:
+    the planted bar arrives out of order, its earliest tick has the
+    LARGEST cents, and two ticks tie on ts (event_id breaks the tie)."""
+    T = pd.Timestamp
+    sf_dir = _plant_events(tmp_path, [
+        # one hour bar for type 'view', written in shuffled order
+        (5, T("2024-01-01 10:40:00"), 1, "view", 3.00, "{}"),
+        (2, T("2024-01-01 10:05:00"), 1, "view", 9.00, "{}"),  # earliest -> open
+        # tie on ts at the bar's end: event_id 7 > 6 -> close = 1.00
+        (7, T("2024-01-01 10:50:00"), 1, "view", 1.00, "{}"),
+        (6, T("2024-01-01 10:50:00"), 1, "view", 4.00, "{}"),
+    ])
+    got = REGISTRY["ohlc_time_bars"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.open_cents == 900
+    assert row.close_cents == 100
+    assert row.high_cents == 900
+    assert row.low_cents == 100
+    assert row.n_events == 4
+    assert row.vol_cents == 900 + 300 + 400 + 100
+
+
+def test_anomaly_gate_support_and_range_peers(spark, tmp_path):
+    """(a) A 10x spike after 9 steady observations flags; (b) the SAME
+    spike with only 6 prior observations does not (n >= 8 support gate);
+    (c) an event more than 7 days old is outside the frame; (d) two
+    events at the SAME instant are RANGE peers — both see the spike in
+    their shared frame."""
+    T = pd.Timestamp
+    rows = []
+    # user 1: 9 steady hourly values of 1.00, then a 10.00 spike
+    for i in range(9):
+        rows.append((i, T("2024-01-02 00:00:00") + pd.Timedelta(hours=i),
+                     1, "view", 1.00, "{}"))
+    rows.append((9, T("2024-01-02 10:00:00"), 1, "view", 10.00, "{}"))
+    # user 2: only 6 steady values then the same spike -> n=7 < 8, no flag
+    for i in range(6):
+        rows.append((100 + i, T("2024-01-02 00:00:00") + pd.Timedelta(hours=i),
+                     2, "view", 1.00, "{}"))
+    rows.append((106, T("2024-01-02 10:00:00"), 2, "view", 10.00, "{}"))
+    # user 3: like user 1 but the 9 steady values are 8 DAYS before the
+    # spike -> outside the trailing frame, n=1, no flag
+    for i in range(9):
+        rows.append((200 + i, T("2024-01-01 00:00:00") + pd.Timedelta(hours=i),
+                     3, "view", 1.00, "{}"))
+    rows.append((209, T("2024-01-10 00:00:00"), 3, "view", 10.00, "{}"))
+    sf_dir = _plant_events(tmp_path, rows)
+    got = REGISTRY["anomaly_trailing_zscore"].spark(spark, sf_dir).toPandas()
+    assert set(got.event_id) == {9}
+    assert got.iloc[0].win_n == 10
+
+    # (d) RANGE peers: duplicate user 1's spike at the SAME instant with a
+    # second spike event — peers share one frame (n includes both), and
+    # both flag; a ROWS frame would give the two different windows.
+    rows.append((10, T("2024-01-02 10:00:00"), 1, "view", 10.00, "{}"))
+    sf_dir2 = _plant_events(tmp_path, rows, name="planted_ev_peers")
+    got2 = REGISTRY["anomaly_trailing_zscore"].spark(spark, sf_dir2).toPandas()
+    flagged = got2[got2.user_id == 1]
+    assert set(flagged.event_id) == {9, 10}
+    assert set(flagged.win_n) == {11}
+
+
+def test_ntile_ceil_first_bucket_rule(spark, tmp_path):
+    """23 orders in one priority -> NTILE(10) bucket sizes must be
+    3,3,3,2,2,2,2,2,2,2 (the ANSI remainder-to-earlier-buckets rule that
+    is part of the value hash)."""
+    T = pd.Timestamp
+    rows = [
+        (k, 1, "O", float(k), T("2024-01-01"), "1-URGENT")
+        for k in range(1, 24)
+    ]
+    sf_dir = _plant_orders(tmp_path, rows)
+    got = (
+        REGISTRY["ntile_price_deciles"].spark(spark, sf_dir)
+        .toPandas().sort_values("decile").reset_index(drop=True)
+    )
+    assert list(got.n_orders) == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    # deciles are price-ordered: first decile holds the 3 cheapest
+    assert got.iloc[0].lo_cents == 100 and got.iloc[0].hi_cents == 300
+    assert got.iloc[9].hi_cents == 2300
+
+
+def test_pagerank_matches_pure_python_fixed_point(spark, duck):
+    """The Spark ranks must equal an INDEPENDENT pure-Python integer
+    simulation of the same fixed-point semantics on the real sf0.001
+    graph — not just the DuckDB oracle (which shares the SQL shape).
+    Exact equality: BIGINT floor-division arithmetic has one answer."""
+    from seisdb_spark.queries.graph_queries import (
+        PR_BASE,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOPK,
+    )
+
+    pairs = duck.execute(
+        "SELECT DISTINCT l_partkey, l_suppkey FROM "
+        f"'{SMOKE_SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    edges = []
+    for p, s in pairs:
+        edges.append((2 * p, 2 * s + 1))
+        edges.append((2 * s + 1, 2 * p))
+    deg: dict[int, int] = {}
+    for src, _ in edges:
+        deg[src] = deg.get(src, 0) + 1
+    pr = {n: PR_SCALE for n in deg}
+    for _ in range(PR_ITERS):
+        sums: dict[int, int] = {}
+        for src, dst in edges:
+            sums[dst] = sums.get(dst, 0) + pr[src] // deg[src]
+        pr = {n: PR_BASE + (85 * s) // 100 for n, s in sums.items()}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOPK]
+
+    got = REGISTRY["graph_pagerank_topk"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert [(int(r.node_id), int(r.pr_nano)) for r in got.itertuples()] == want
+    kinds = {int(r.node_id) % 2: r.node_kind for r in got.itertuples()}
+    assert all(
+        kinds[k] == ("part" if k == 0 else "supplier") for k in kinds
+    )

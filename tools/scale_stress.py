@@ -399,6 +399,54 @@ STRESS_QUERIES = {
         and not has_node(p, "BatchEvalPython")
         and not has_node(p, "CartesianProduct")
     ),
+    # CDC last-writer-wins replay: ONE custkey-keyed aggregate exchange
+    # (struct max plans as SortAggregate — map-side partials still
+    # collapse before the shuffle) — never a per-key window sort of the
+    # full version sequence, never a join, never a Python boundary
+    "cdc_snapshot_apply": lambda p: (
+        count_exchanges(p, key="o_custkey") == 1
+        and not has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # OHLC bars: ONE (event_type, bar)-keyed aggregate exchange; the
+    # struct-extrema argmin/argmax must never become a window or a join
+    "ohlc_time_bars": lambda p: (
+        count_exchanges(p, key="event_type") == 1
+        and not has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # trailing anomaly gate: ONE user-keyed exchange + ONE sliding RANGE
+    # frame evaluated partition-locally — never a self-join of the
+    # stream against its history, never a global sort
+    "anomaly_trailing_zscore": lambda p: (
+        count_exchanges(p, key="user_id") == 1
+        and has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # NTILE deciles: ONE priority-keyed exchange shared by the window
+    # and the decile aggregate (priority-prefixed keys are co-located)
+    "ntile_price_deciles": lambda p: (
+        count_exchanges(p, key="o_orderpriority") == 1
+        and has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
+    # PageRank: 3 unrolled join+aggregate supersteps — equi-joins only
+    # (AQE picks broadcast vs shuffle by rank-table size), the top-k a
+    # TakeOrdered, never a cartesian/global sort/Python boundary
+    "graph_pagerank_topk": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "NestedLoopJoin")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
@@ -423,6 +471,9 @@ OUTPUT_UNBOUNDED = {
     "pointintime_balance_lookup",
     "window_range_trailing_day",  # one output row per event
     "intersect_all_priorities",  # bag semantics: output ~ half the orders
+    "cdc_snapshot_apply",  # one row per live customer key
+    "ohlc_time_bars",  # bars ~ types x hours; the events replicas shift hours
+    "anomaly_trailing_zscore",  # flagged rows ~ a few percent of events
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
