@@ -529,12 +529,21 @@ DRIVER_WINDOW: list[str] = [
     # training loop stays pure-Python-golden + planted-pytest pinned,
     # and its merges feed the in-window bpe_apply_tokenize row)
     "streaming_topk_rollup",
-    # round-9 rotation (r8 verdict item #7): mrl_pq_adc_topk — the MRL x
+    # round-12 rotation (late): embedding_dim_quantiles — per-dimension
+    # EXACT nearest-rank quantile profile (the feature-profiling /
+    # quantile-transform class; the exact twin of hist_quantile_rollup's
+    # mergeable-sketch path — deterministic corpus ELEMENTS, not
+    # interpolations, so the float outputs hash) — in for
+    # mrl_pq_adc_topk (green r9+r10+r11, the last rotation-eligible
+    # entry on the r11 verdict's list; the vector family keeps
+    # similarity machinery in-window via THIS entry and the full
+    # MRL/PQ/IVF codec surface stays pytest-oracle-checked every round).
+    "embedding_dim_quantiles",
+    # r9-era slot history: mrl_pq_adc_topk — the MRL x
     # PQ composition, serving a 16-dim prefix from the first 2 code bytes
     # of the existing codes table — in for vocab_coverage (green r6+r7+r8;
     # the vocabulary family keeps vocab_coverage_32k, the production-V
     # audit, in-window)
-    "mrl_pq_adc_topk",
     # round-11 rotation (thirteenth swap — forced by the cumulative-
     # coverage governance test: every oracle-bearing entry must get a
     # driver row in some round, so late registrations start in-window):
@@ -628,7 +637,16 @@ DRIVER_WINDOW: list[str] = [
     "d1_first_occurrence_dedup",
     "a1a2_group_normalize",
     "r1_array_assembly",
-    "l1_point_lookup",
+    # round-12 rotation (late): streaming_ohlc_bars — the candlestick
+    # rollup's scan-once-at-ingest twin (25th oracle-bearing streaming
+    # entry: per-microbatch first/last-tick-struct + extrema + count/
+    # volume partials from the SAME ohlc_partials stage; every field
+    # merges associatively, so the twin carries the batch query's SQL
+    # verbatim) — in for l1_point_lookup (green r1-r11, ELEVEN hard
+    # rows, the longest streak in the registry; §2 family L keeps
+    # l2_element_reorder in-window and the lazy scalar-subquery lookup
+    # stays pytest-plan-asserted every round).
+    "streaming_ohlc_bars",
     "l2_element_reorder",
     "sgt_flagship_encode",
     # round-12 rotation: anomaly_trailing_zscore — the trailing-window

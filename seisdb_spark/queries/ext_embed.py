@@ -734,3 +734,88 @@ def _set_int4_oracle() -> None:
 
 
 _set_int4_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension exact quantile profile (feature preprocessing / profiling)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dim_quantiles",
+    oracle=f"""
+        WITH v AS (
+            SELECT i.i AS dim, CAST(embedding[i.i + 1] AS FLOAT) AS val,
+                   vec_id
+            FROM embeddings, range({EMBEDDING_DIM}) i(i)
+        ), r AS (
+            SELECT dim, val,
+                   row_number() OVER (
+                       PARTITION BY dim ORDER BY val, vec_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY dim) AS n
+            FROM v
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(max(n) AS BIGINT) AS n_values,
+               min(val) AS min_val,
+               max(CASE WHEN rn = (n + 1) // 2 THEN val END) AS p50_val,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN val END)
+                   AS p90_val,
+               max(val) AS max_val
+        FROM r
+        GROUP BY dim
+    """,
+    doc="PER-DIMENSION EXACT QUANTILE PROFILE (the feature-profiling / "
+    "quantile-transform preprocessing class: rank-based per-coordinate "
+    "statistics every normalization or drift monitor needs over an "
+    "embedding column): posexplode the vectors to (dim, value) pairs, "
+    "then per dimension — count, min/max, and EXACT nearest-rank p50 / "
+    "p90 picked by row_number over the (value, vec_id) total order (the "
+    "tiebreaker makes the selected ELEMENT deterministic, so the float "
+    "outputs are bit-identical corpus elements, not interpolations — "
+    "which is why this hashes where percentile_approx cannot).  Shape: "
+    "ONE dim-keyed exchange; parallelism is bounded by EMBEDDING_DIM "
+    "partitions and each holds a full corpus column sorted partition-"
+    "locally — the honest cost of EXACT order statistics, priced "
+    "against hist_quantile_rollup (the fixed-state mergeable-sketch "
+    "path) which is what a 100 TB profile uses when per-mille accuracy "
+    "suffices.  The two are the exact/approx pair of one family.",
+    bench=True,
+)
+def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    w = Window.partitionBy("dim").orderBy("val", "vec_id")
+    r = v.select(
+        "dim",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dim")).alias("n"),
+    )
+    return (
+        r.groupBy("dim")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.min("val").alias("min_val"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("val"))
+            ).alias("p50_val"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("val")
+                )
+            ).alias("p90_val"),
+            F.max("val").alias("max_val"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n_values").cast("bigint").alias("n_values"),
+            "min_val",
+            "p50_val",
+            "p90_val",
+            "max_val",
+        )
+    )

@@ -1764,3 +1764,68 @@ def _share_cdc_oracle() -> None:
 
 
 _share_cdc_oracle()
+
+
+@query(
+    "streaming_ohlc_bars",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING OHLC BAR MAINTENANCE (25th oracle-bearing streaming "
+    "entry — the tick-ingest candlestick rollup, the canonical "
+    "Structured Streaming example made contract-checkable): each "
+    "arriving events microbatch is compacted to per-(type, hour) "
+    "first/last-tick-struct + extrema + count/volume partials by the "
+    "SAME ohlc_partials stage the batch query uses and appended to a "
+    "persisted partials table (batch_id-derived overwrite paths — "
+    "idempotent under checkpoint replays); the bar table is then "
+    "compacted from the MERGED partials by the SAME ohlc_bars stage.  "
+    "Every partial field merges associatively — struct min/max pick "
+    "the (ts, event_id)-first/last tick across any batch split, "
+    "extrema by min/max, count/volume by addition, all exact — so "
+    "microbatch boundaries provably cannot move a single bar field and "
+    "the oracle is the batch query's SQL verbatim.  State is bars-seen-"
+    "this-batch rows, never the raw tick stream.",
+)
+def streaming_ohlc_bars(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    import os
+
+    from seisdb_spark.queries.temporal import ohlc_bars, ohlc_partials
+    from seisdb_spark.streaming import read_events_stream
+
+    out_dir = _probe_root("ohlc", sf_dir, out_dir)
+    log_dir = os.path.join(out_dir, "partials")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        (
+            ohlc_partials(bdf)
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
+    return ohlc_bars(partials)
+
+
+# stream==batch equivalence: struct-extrema/extrema/sum partials merge to
+# the batch bar table exactly (QuerySpec is frozen; replace the entry).
+def _share_ohlc_oracle() -> None:
+    from dataclasses import replace
+
+    REGISTRY["streaming_ohlc_bars"] = replace(
+        REGISTRY["streaming_ohlc_bars"],
+        oracle=REGISTRY["ohlc_time_bars"].oracle,
+    )
+
+
+_share_ohlc_oracle()

@@ -181,6 +181,15 @@ def cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ohlc_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ohlc_partials(events))
+
+
+def ohlc_partials(events: DataFrame) -> DataFrame:
+    """Per-(type, hour) OHLC partial: first/last tick structs, extrema,
+    count, volume.  Shared by the batch query and the streaming twin —
+    every field merges associatively (struct min/max, min/max, sum), so
+    per-microbatch partials produced by this same stage compact to the
+    identical bar table."""
     cents = F.round(F.col("value") * 100).cast("bigint")
     tick = F.struct("ts", "event_id", cents.alias("cents"))
     return (
@@ -192,12 +201,38 @@ def ohlc_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "bar_ts")
         .agg(
-            F.min("tick")["cents"].alias("open_cents"),
+            F.min("tick").alias("first_tick"),
             F.max("cents").alias("high_cents"),
             F.min("cents").alias("low_cents"),
-            F.max("tick")["cents"].alias("close_cents"),
+            F.max("tick").alias("last_tick"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("vol_cents"),
+        )
+    )
+
+
+def ohlc_bars(partials: DataFrame) -> DataFrame:
+    """Merge OHLC partials (idempotent over already-compacted input) and
+    unpack open/close from the winning tick structs."""
+    return (
+        partials.groupBy("event_type", "bar_ts")
+        .agg(
+            F.min("first_tick").alias("first_tick"),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max("last_tick").alias("last_tick"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("vol_cents").alias("vol_cents"),
+        )
+        .select(
+            "event_type",
+            "bar_ts",
+            F.col("first_tick.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("last_tick.cents").alias("close_cents"),
+            "n_events",
+            "vol_cents",
         )
     )
 

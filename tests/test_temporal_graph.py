@@ -243,3 +243,83 @@ def test_pagerank_matches_pure_python_fixed_point(spark, duck):
     assert all(
         kinds[k] == ("part" if k == 0 else "supplier") for k in kinds
     )
+
+
+def test_ohlc_stream_split_matches_batch(spark, tmp_path):
+    """The streamed OHLC bars over events split into 3 files (3 genuine
+    microbatches) must equal the batch bar table: a bar whose first and
+    last ticks land in DIFFERENT microbatches (guaranteed by event_id %
+    3 splitting) is exactly the case a naive per-batch bar emit without
+    the struct-extrema merge would get wrong."""
+    from seisdb_spark.queries.streaming_queries import streaming_ohlc_bars
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "ohlc_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "events").toPandas()
+    pdf["ts"] = pdf.ts.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.event_id % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/events.parquet", index=False)
+    # the case that matters exists: some bar's ticks span >= 2 batches
+    bars = pdf.assign(bar=pdf.ts.dt.floor("h")).groupby(
+        ["event_type", "bar"]
+    ).event_id.apply(lambda k: (k % 3).nunique())
+    assert (bars > 1).any()
+
+    def _sorted(d):
+        return d.sort_values(["event_type", "bar_ts"]).reset_index(drop=True)
+
+    out = str(tmp_path / "ohlc_stream")
+    got = _sorted(
+        streaming_ohlc_bars(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["ohlc_time_bars"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "partials"))) == 3
+
+
+def test_embedding_dim_quantiles_nearest_rank_rule(spark, tmp_path):
+    """Planted 5-vector corpus: with n=5 the nearest-rank picks are
+    rank 3 (p50) and rank 5 (p90) of the (value, vec_id) total order —
+    deterministic corpus ELEMENTS, including a duplicate-value tie
+    broken by vec_id."""
+    from seisdb_spark.functions.vectors import EMBEDDING_DIM
+
+    sf_dir = str(tmp_path / "planted_emb")
+    os.makedirs(sf_dir)
+    # dim 0 carries the interesting values; all other dims are 0.0
+    d0 = [5.0, 1.0, 3.0, 3.0, 9.0]  # sorted: 1,3,3,5,9 -> p50=3, p90=9
+    rows = []
+    for vid, v in enumerate(d0):
+        emb = [float(v)] + [0.0] * (EMBEDDING_DIM - 1)
+        rows.append((vid, emb, 0))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf.vec_id.astype("int64")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "vec_id": pa.array(pdf.vec_id, type=pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, e)) for e in pdf.embedding],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array(pdf.label, type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(sf_dir, "embeddings.parquet"))
+
+    got = (
+        REGISTRY["embedding_dim_quantiles"].spark(spark, sf_dir)
+        .toPandas().set_index("dim").sort_index()
+    )
+    assert len(got) == EMBEDDING_DIM
+    assert got.loc[0, "n_values"] == 5
+    assert got.loc[0, "min_val"] == 1.0
+    assert got.loc[0, "p50_val"] == 3.0
+    assert got.loc[0, "p90_val"] == 9.0
+    assert got.loc[0, "max_val"] == 9.0
+    assert (got.loc[1:, "p50_val"] == 0.0).all()
