@@ -730,9 +730,20 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
         else:
             df.collect()
 
+    def reclaim_shuffle_disk() -> None:
+        # Shuffle files of a completed pass are only deleted when the JVM
+        # GC collects the dropped DataFrame's ShuffleDependency (Spark's
+        # ContextCleaner is reference-triggered).  Between x1000 passes of
+        # a 600M-row join that lag is ~25 GB of dead spill per pass — four
+        # passes filled the disk (round-12 pointintime incident).  Forcing
+        # a JVM GC bounds live shuffle space to one pass's worth; it runs
+        # BETWEEN timed passes, so it costs no measured time.
+        spark.sparkContext._jvm.System.gc()
+
     run(fresh())  # warm-up: codegen + file listing
     times, df = [], None
     for _ in range(n):
+        reclaim_shuffle_disk()
         df = fresh()
         t0 = time.time()
         run(df)
