@@ -444,7 +444,16 @@ DRIVER_WINDOW: list[str] = [
     # rotation-eligible; the corpus-frequency family keeps
     # vocab_coverage_32k and the new heavy-hitters row in-window, and
     # the rarity scoring stays pytest-oracle-checked every round)
-    "heavy_hitters_gate",
+    # round-12 rotation (late): twap_daily_value — time-weighted average,
+    # the interval-weighted aggregation class tick-weighted bars cannot
+    # express (queries/temporal.py: LOCF dwell-weighted cents per (user,
+    # day), returned as the exact BIGINT num/den fraction so it hashes)
+    # — in for heavy_hitters_gate (FIVE driver greens r7-r11 including
+    # one on the r11 two-scan refactored form; the frequency-gate family
+    # keeps streaming_topk_rollup — the same approx_top_k machinery's
+    # ingest form — and cm_sketch_gate in-window, and the gate stays
+    # pytest-oracle-checked every round).
+    "twap_daily_value",
     # round-11 rotation (twenty-second swap): cohort_retention — the
     # cohort/retention product-analytics class (signup-month cohorts,
     # exact integer month-offset arithmetic — months_between() returns a

@@ -374,3 +374,75 @@ def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+# --- time-weighted average (TWAP) ---------------------------------------------
+
+
+@query(
+    "twap_daily_value",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), d AS (
+            SELECT user_id, day, cents,
+                   epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dwell_us
+            FROM e
+            WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+        )
+        SELECT user_id, day,
+               count(*) AS n_events,
+               CAST(coalesce(sum(cents * dwell_us), 0) AS BIGINT)
+                   AS twap_num,
+               CAST(coalesce(sum(dwell_us), 0) AS BIGINT) AS active_us
+        FROM d
+        GROUP BY 1, 2
+    """,
+    doc="TIME-WEIGHTED AVERAGE (TWAP — the interval-weighted aggregation "
+    "class OHLC's tick-weighted bars do not cover: a value that held for "
+    "23 hours must outweigh one that held for a second): per (user, "
+    "day), each event's cents value is weighted by its LOCF dwell time "
+    "(micros until the user's next event that day; the day's last event "
+    "carries zero dwell — the open interval is not yet observable, the "
+    "same honesty rule as SCD2's NULL valid_to).  Returned as the exact "
+    "BIGINT fraction (twap_num, active_us) rather than a rounded "
+    "quotient, so the result hashes and consumers choose their own "
+    "division precision — the num/den discipline the BM25 fixed-point "
+    "stack established.  Shape: ONE (user, day)-keyed exchange shared "
+    "by the lead() window and the aggregate (user-prefixed keys are "
+    "co-located); dwell products stay under 2^62 for any cents <= 5e4 "
+    "and day-bounded dwell <= 8.64e10 us.",
+    bench=True,
+)
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    e = events.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "day",
+        "cents",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dwell_us"
+        ),
+    )
+    return d.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.sum(F.col("cents") * F.col("dwell_us")), F.lit(0))
+        .cast("bigint")
+        .alias("twap_num"),
+        F.coalesce(F.sum("dwell_us"), F.lit(0))
+        .cast("bigint")
+        .alias("active_us"),
+    )

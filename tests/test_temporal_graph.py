@@ -323,3 +323,30 @@ def test_embedding_dim_quantiles_nearest_rank_rule(spark, tmp_path):
     assert got.loc[0, "p90_val"] == 9.0
     assert got.loc[0, "max_val"] == 9.0
     assert (got.loc[1:, "p50_val"] == 0.0).all()
+
+
+def test_twap_dwell_weighting_and_last_event_rule(spark, tmp_path):
+    """Planted day: 1.00 held for 1h, 4.00 held for 1h, 2.00 last (zero
+    dwell — the open interval is unobservable).  The dwell weighting and
+    the last-event rule are both visible in the exact fraction; a
+    tick-weighted mean would differ."""
+    T = pd.Timestamp
+    sf_dir = _plant_events(tmp_path, [
+        (1, T("2024-01-01 00:00:00"), 1, "view", 1.00, "{}"),
+        (2, T("2024-01-01 01:00:00"), 1, "view", 4.00, "{}"),
+        (3, T("2024-01-01 02:00:00"), 1, "view", 2.00, "{}"),
+        # a single-event day: zero active time, zero numerator
+        (4, T("2024-01-02 05:00:00"), 1, "view", 9.00, "{}"),
+    ], name="planted_twap")
+    got = (
+        REGISTRY["twap_daily_value"].spark(spark, sf_dir)
+        .toPandas().sort_values("day").reset_index(drop=True)
+    )
+    assert len(got) == 2
+    hour_us = 3_600_000_000
+    assert got.iloc[0].n_events == 3
+    assert got.iloc[0].twap_num == 100 * hour_us + 400 * hour_us
+    assert got.iloc[0].active_us == 2 * hour_us
+    assert got.iloc[1].n_events == 1
+    assert got.iloc[1].twap_num == 0
+    assert got.iloc[1].active_us == 0

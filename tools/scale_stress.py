@@ -447,6 +447,15 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
     ),
+    # TWAP: ONE (user, day)-keyed exchange shared by the lead() window
+    # and the aggregate — never a join, never a global sort
+    "twap_daily_value": lambda p: (
+        count_exchanges(p, key="user_id") == 1
+        and has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
@@ -474,6 +483,7 @@ OUTPUT_UNBOUNDED = {
     "cdc_snapshot_apply",  # one row per live customer key
     "ohlc_time_bars",  # bars ~ types x hours; the events replicas shift hours
     "anomaly_trailing_zscore",  # flagged rows ~ a few percent of events
+    "twap_daily_value",  # one row per active (user, day)
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
