@@ -111,11 +111,11 @@ def test_driver_window_leads_registry():
     # bpe_train_merges did the same in round 10; bpe_apply_tokenize's one
     # clean rows-only execution landed in r11 and it is OUT this round
     # per the same precedent; sequence_packing_learned is the round-12
-    # rows-only rotation getting its one clean driver execution;
-    # sgt_pipeline_records stays as the record-sink rep)
+    # rows-only rotation getting its one clean driver execution.  The
+    # round-12 late rotation also retired the two long-clean rows-only
+    # record sinks — sgt_pipeline_records after TEN clean executions and
+    # multimodal_decode_features after NINE, both per the
+    # dgf_pipeline_records precedent — so the window now carries exactly
+    # ONE rows-only entry and 49 hard oracle rows.)
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
-    assert no_oracle == [
-        "sequence_packing_learned",
-        "multimodal_decode_features",
-        "sgt_pipeline_records",
-    ]
+    assert no_oracle == ["sequence_packing_learned"]

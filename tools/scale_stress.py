@@ -456,6 +456,17 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
     ),
+    # exact per-dim quantile profile: ONE dim-keyed exchange + the
+    # row_number/count window evaluated partition-locally — never a join,
+    # never a global sort (parallelism deliberately = EMBEDDING_DIM; the
+    # 100 TB path is the histq sketch, documented in the query)
+    "embedding_dim_quantiles": lambda p: (
+        count_exchanges(p, key="dim") == 1
+        and has_node(p, "Window")
+        and not has_node(p, "Join")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # Z-order layout gate: binning is row-local against broadcast 1-row
     # bounds (BroadcastNestedLoopJoin with a single-row side — never a
     # cartesian of real extents); the only corpus-keyed exchange is the
