@@ -69,6 +69,56 @@ def _probe_root(prefix: str, sf_dir: str, out_dir: str | None) -> str:
     return out_dir
 
 
+def _ingest_log(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None,
+    prefix: str,
+    subdir: str,
+    reader,
+    per_batch,
+) -> DataFrame:
+    """The single-log scan-once-at-ingest skeleton shared by the
+    observation/partial twins (SCD2, gap-fill, funnel, CDC, OHLC):
+    compact each arriving microbatch with ``per_batch`` (a stage shared
+    with the batch twin), persist it under a batch_id-derived OVERWRITE
+    path — idempotent under checkpoint replays, the replay-safety
+    invariant lands here ONCE — then return the merged log for the
+    caller's read-side compaction.  Twins with more than one log table
+    (cohort) or a pre-published static side (zone maps) keep their own
+    bodies."""
+    import os
+
+    out_dir = _probe_root(prefix, sf_dir, out_dir)
+    log_dir = os.path.join(out_dir, subdir)
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def compact(bdf: DataFrame, batch_id: int) -> None:
+        per_batch(bdf).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        reader(spark, sf_dir)
+        .writeStream.foreachBatch(compact)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
+
+
+def _share_oracle(twin: str, source: str) -> None:
+    """stream==batch equivalence: the twin's persisted partials merge to
+    the batch stage's output exactly (associative merges, pinned by the
+    split pytest), so the twin carries the batch query's oracle SQL
+    verbatim.  QuerySpec is frozen; replace the registry entry."""
+    from dataclasses import replace
+
+    REGISTRY[twin] = replace(REGISTRY[twin], oracle=REGISTRY[source].oracle)
+
+
 @query(
     "streaming_tumbling_counts",
     oracle=REGISTRY["tumbling_window_counts"].oracle,
@@ -249,16 +299,7 @@ def streaming_incremental_dedup(
 # stream==batch equivalence: the streaming probe's oracle IS the batch
 # twin's SQL (registered after both exist; QuerySpec is frozen, so replace
 # the registry entry rather than mutating it).
-def _share_probe_oracle() -> None:
-    from dataclasses import replace
-
-    spec = REGISTRY["streaming_incremental_dedup"]
-    REGISTRY["streaming_incremental_dedup"] = replace(
-        spec, oracle=REGISTRY["dedup_incremental_probe"].oracle
-    )
-
-
-_share_probe_oracle()
+_share_oracle("streaming_incremental_dedup", "dedup_incremental_probe")
 
 
 @query(
@@ -435,16 +476,7 @@ def streaming_decontamination(
     )
 
 
-def _share_decon_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_decontamination"] = replace(
-        REGISTRY["streaming_decontamination"],
-        oracle=REGISTRY["decontamination_overlap"].oracle,
-    )
-
-
-_share_decon_oracle()
+_share_oracle("streaming_decontamination", "decontamination_overlap")
 
 
 @query(
@@ -563,16 +595,7 @@ def streaming_int4_quantize(
 
 # stream==batch equivalence: the streaming quantizer's oracle IS the batch
 # twin's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_int4_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_int4_quantize"] = replace(
-        REGISTRY["streaming_int4_quantize"],
-        oracle=REGISTRY["embedding_int4_block_quantize"].oracle,
-    )
-
-
-_share_int4_oracle()
+_share_oracle("streaming_int4_quantize", "embedding_int4_block_quantize")
 
 
 @query(
@@ -658,16 +681,7 @@ def streaming_hll_rollup(
 
 # stream==batch equivalence: the streaming sketch table's oracle IS the
 # batch rollup's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_hll_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_hll_rollup"] = replace(
-        REGISTRY["streaming_hll_rollup"],
-        oracle=REGISTRY["hll_sketch_rollup"].oracle,
-    )
-
-
-_share_hll_oracle()
+_share_oracle("streaming_hll_rollup", "hll_sketch_rollup")
 
 
 @query(
@@ -779,16 +793,7 @@ def streaming_topk_rollup(
 
 # stream==batch equivalence: the streaming top-k sketch table's oracle IS
 # the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_topk_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_topk_rollup"] = replace(
-        REGISTRY["streaming_topk_rollup"],
-        oracle=REGISTRY["heavy_hitters_gate"].oracle,
-    )
-
-
-_share_topk_oracle()
+_share_oracle("streaming_topk_rollup", "heavy_hitters_gate")
 
 
 @query(
@@ -870,16 +875,7 @@ def streaming_cm_rollup(
 
 # stream==batch equivalence: the streaming counter table's oracle IS the
 # batch gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_cm_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_cm_rollup"] = replace(
-        REGISTRY["streaming_cm_rollup"],
-        oracle=REGISTRY["cm_sketch_gate"].oracle,
-    )
-
-
-_share_cm_oracle()
+_share_oracle("streaming_cm_rollup", "cm_sketch_gate")
 
 
 @query(
@@ -962,16 +958,7 @@ def streaming_kmv_rollup(
 
 # stream==batch equivalence: the streaming signature table's oracle IS
 # the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_kmv_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_kmv_rollup"] = replace(
-        REGISTRY["streaming_kmv_rollup"],
-        oracle=REGISTRY["kmv_jaccard_gate"].oracle,
-    )
-
-
-_share_kmv_oracle()
+_share_oracle("streaming_kmv_rollup", "kmv_jaccard_gate")
 
 
 @query(
@@ -1039,16 +1026,7 @@ def streaming_lm_score(
 
 # stream==batch equivalence: the streaming scorer's oracle IS the batch
 # gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_lm_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_lm_score"] = replace(
-        REGISTRY["streaming_lm_score"],
-        oracle=REGISTRY["ngram_lm_perplexity"].oracle,
-    )
-
-
-_share_lm_oracle()
+_share_oracle("streaming_lm_score", "ngram_lm_perplexity")
 
 
 @query(
@@ -1115,16 +1093,7 @@ def streaming_quantile_rollup(
 
 # stream==batch equivalence: the streamed histogram table's oracle IS the
 # batch rollup's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_hq_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_quantile_rollup"] = replace(
-        REGISTRY["streaming_quantile_rollup"],
-        oracle=REGISTRY["hist_quantile_rollup"].oracle,
-    )
-
-
-_share_hq_oracle()
+_share_oracle("streaming_quantile_rollup", "hist_quantile_rollup")
 
 
 @query(
@@ -1205,16 +1174,7 @@ def streaming_lm_train(
 
 # stream==batch equivalence: the incrementally-trained model's oracle IS
 # the batch gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_lmt_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_lm_train"] = replace(
-        REGISTRY["streaming_lm_train"],
-        oracle=REGISTRY["ngram_lm_perplexity"].oracle,
-    )
-
-
-_share_lmt_oracle()
+_share_oracle("streaming_lm_train", "ngram_lm_perplexity")
 
 
 @query(
@@ -1276,16 +1236,7 @@ def streaming_weighted_sample(
 
 # stream==batch equivalence: the reservoir's oracle IS the batch
 # sampler's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_es_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_weighted_sample"] = replace(
-        REGISTRY["streaming_weighted_sample"],
-        oracle=REGISTRY["weighted_sample_wor"].oracle,
-    )
-
-
-_share_es_oracle()
+_share_oracle("streaming_weighted_sample", "weighted_sample_wor")
 
 
 @query(
@@ -1386,16 +1337,7 @@ def streaming_zone_maps(
 # stream==batch equivalence: merged zone maps equal the batch zone maps
 # exactly (min/max/sum are split-invariant), so the twin carries the
 # batch gate's SQL (QuerySpec is frozen; replace the registry entry).
-def _share_zm_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_zone_maps"] = replace(
-        REGISTRY["streaming_zone_maps"],
-        oracle=REGISTRY["zorder_layout_gate"].oracle,
-    )
-
-
-_share_zm_oracle()
+_share_oracle("streaming_zone_maps", "zorder_layout_gate")
 
 
 @query(
@@ -1419,54 +1361,24 @@ _share_zm_oracle()
 def streaming_scd2_build(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import os
-
     from pyspark.sql import functions as F
 
     from seisdb_spark.queries.relational import scd2_deltas, scd2_intervals
     from seisdb_spark.streaming import read_orders_stream
 
-    out_dir = _probe_root("scd2", sf_dir, out_dir)
-    log_dir = os.path.join(out_dir, "changelog")
-    ckpt = os.path.join(out_dir, "ckpt")
-
-    def compact(bdf: DataFrame, batch_id: int) -> None:
-        (
-            scd2_deltas(bdf)
-            .write.mode("overwrite")
-            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
-        )
-
-    q = (
-        read_orders_stream(spark, sf_dir)
-        .writeStream.foreachBatch(compact)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "scd2", "changelog",
+        read_orders_stream, scd2_deltas,
     )
-    q.awaitTermination()
-
-    partials = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(log_dir)
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.sum("delta_cents").alias("delta_cents"))
+    partials = merged.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum("delta_cents").alias("delta_cents")
     )
     return scd2_intervals(partials)
 
 
 # stream==batch equivalence: integer delta partials addition-merge to the
 # batch change log exactly (QuerySpec is frozen; replace the registry entry).
-def _share_scd2_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_scd2_build"] = replace(
-        REGISTRY["streaming_scd2_build"],
-        oracle=REGISTRY["scd2_history_build"].oracle,
-    )
-
-
-_share_scd2_oracle()
+_share_oracle("streaming_scd2_build", "scd2_history_build")
 
 
 @query(
@@ -1492,41 +1404,16 @@ _share_scd2_oracle()
 def streaming_gapfill(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import os
-
     from pyspark.sql import functions as F
 
     from seisdb_spark.queries.relational import gapfill_from_obs, gapfill_obs
     from seisdb_spark.streaming import read_events_stream
 
-    out_dir = _probe_root("gf", sf_dir, out_dir)
-    obs_dir = os.path.join(out_dir, "obs")
-    ckpt = os.path.join(out_dir, "ckpt")
-
-    def compact(bdf: DataFrame, batch_id: int) -> None:
-        (
-            gapfill_obs(bdf)
-            .write.mode("overwrite")
-            .parquet(os.path.join(obs_dir, f"batch-{batch_id}"))
-        )
-
-    q = (
-        read_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(compact)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    merged = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(obs_dir)
-        .groupBy("user_id", "hour")
-        .agg(
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.max("obs_max").alias("obs_max"),
-        )
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "gf", "obs", read_events_stream, gapfill_obs
+    ).groupBy("user_id", "hour").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("obs_max").alias("obs_max"),
     )
     return gapfill_from_obs(merged)
 
@@ -1534,16 +1421,7 @@ def streaming_gapfill(
 # stream==batch equivalence: count/max partials merge exactly, the fill is
 # a deterministic compaction of the merged obs table (QuerySpec frozen;
 # replace the registry entry).
-def _share_gapfill_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_gapfill"] = replace(
-        REGISTRY["streaming_gapfill"],
-        oracle=REGISTRY["timeseries_gapfill"].oracle,
-    )
-
-
-_share_gapfill_oracle()
+_share_oracle("streaming_gapfill", "timeseries_gapfill")
 
 
 @query(
@@ -1617,16 +1495,7 @@ def streaming_cohort_retention(
 # stream==batch equivalence: min/set-union partials merge exactly, the
 # retention table is a deterministic compaction of the merged partials
 # (QuerySpec is frozen; replace the registry entry).
-def _share_cohort_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_cohort_retention"] = replace(
-        REGISTRY["streaming_cohort_retention"],
-        oracle=REGISTRY["cohort_retention"].oracle,
-    )
-
-
-_share_cohort_oracle()
+_share_oracle("streaming_cohort_retention", "cohort_retention")
 
 
 @query(
@@ -1654,49 +1523,22 @@ _share_cohort_oracle()
 def streaming_funnel_steps(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import os
-
     from seisdb_spark.queries.relational import (
         funnel_steps_from_log,
         funnel_typed,
     )
     from seisdb_spark.streaming import read_events_stream
 
-    out_dir = _probe_root("funnel", sf_dir, out_dir)
-    log_dir = os.path.join(out_dir, "log")
-    ckpt = os.path.join(out_dir, "ckpt")
-
-    def compact(bdf: DataFrame, batch_id: int) -> None:
-        funnel_typed(bdf).write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"batch-{batch_id}")
-        )
-
-    q = (
-        read_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(compact)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "funnel", "log",
+        read_events_stream, funnel_typed,
     )
-    q.awaitTermination()
-
-    merged = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
     return funnel_steps_from_log(merged)
 
 
-# stream==batch equivalence: the persisted log is the union of per-batch
-# funnel-typed row sets (order-free), and the fold is a deterministic
-# compaction of that log (QuerySpec is frozen; replace the registry entry).
-def _share_funnel_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_funnel_steps"] = replace(
-        REGISTRY["streaming_funnel_steps"],
-        oracle=REGISTRY["funnel_conversion_steps"].oracle,
-    )
-
-
-_share_funnel_oracle()
+# the persisted log is the union of per-batch funnel-typed row sets
+# (order-free), so the fold compacts it deterministically
+_share_oracle("streaming_funnel_steps", "funnel_conversion_steps")
 
 
 @query(
@@ -1723,47 +1565,18 @@ _share_funnel_oracle()
 def streaming_cdc_apply(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import os
-
     from seisdb_spark.queries.temporal import cdc_compact, cdc_log, cdc_snapshot
     from seisdb_spark.streaming import read_orders_stream
 
-    out_dir = _probe_root("cdc", sf_dir, out_dir)
-    log_dir = os.path.join(out_dir, "partials")
-    ckpt = os.path.join(out_dir, "ckpt")
-
-    def compact(bdf: DataFrame, batch_id: int) -> None:
-        (
-            cdc_compact(cdc_log(bdf))
-            .write.mode("overwrite")
-            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
-        )
-
-    q = (
-        read_orders_stream(spark, sf_dir)
-        .writeStream.foreachBatch(compact)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    partials = _ingest_log(
+        spark, sf_dir, out_dir, "cdc", "partials",
+        read_orders_stream, lambda bdf: cdc_compact(cdc_log(bdf)),
     )
-    q.awaitTermination()
-
-    partials = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
     return cdc_snapshot(partials)
 
 
-# stream==batch equivalence: struct max + count partials merge to the batch
-# compaction exactly (QuerySpec is frozen; replace the registry entry).
-def _share_cdc_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_cdc_apply"] = replace(
-        REGISTRY["streaming_cdc_apply"],
-        oracle=REGISTRY["cdc_snapshot_apply"].oracle,
-    )
-
-
-_share_cdc_oracle()
+# struct max + count partials merge to the batch compaction exactly
+_share_oracle("streaming_cdc_apply", "cdc_snapshot_apply")
 
 
 @query(
@@ -1788,44 +1601,15 @@ _share_cdc_oracle()
 def streaming_ohlc_bars(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    import os
-
     from seisdb_spark.queries.temporal import ohlc_bars, ohlc_partials
     from seisdb_spark.streaming import read_events_stream
 
-    out_dir = _probe_root("ohlc", sf_dir, out_dir)
-    log_dir = os.path.join(out_dir, "partials")
-    ckpt = os.path.join(out_dir, "ckpt")
-
-    def compact(bdf: DataFrame, batch_id: int) -> None:
-        (
-            ohlc_partials(bdf)
-            .write.mode("overwrite")
-            .parquet(os.path.join(log_dir, f"batch-{batch_id}"))
-        )
-
-    q = (
-        read_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(compact)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    partials = _ingest_log(
+        spark, sf_dir, out_dir, "ohlc", "partials",
+        read_events_stream, ohlc_partials,
     )
-    q.awaitTermination()
-
-    partials = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
     return ohlc_bars(partials)
 
 
-# stream==batch equivalence: struct-extrema/extrema/sum partials merge to
-# the batch bar table exactly (QuerySpec is frozen; replace the entry).
-def _share_ohlc_oracle() -> None:
-    from dataclasses import replace
-
-    REGISTRY["streaming_ohlc_bars"] = replace(
-        REGISTRY["streaming_ohlc_bars"],
-        oracle=REGISTRY["ohlc_time_bars"].oracle,
-    )
-
-
-_share_ohlc_oracle()
+# struct-extrema/extrema/sum partials merge to the batch bar table exactly
+_share_oracle("streaming_ohlc_bars", "ohlc_time_bars")

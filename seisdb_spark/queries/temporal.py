@@ -275,9 +275,13 @@ def ohlc_bars(partials: DataFrame) -> DataFrame:
     "sigma) with n >= 8 support.  The float z-score is never computed: "
     "z^2 > k^2 is cross-multiplied to the exact BIGINT comparison "
     "(n*x - s)^2 > k^2 * (n*q - s^2) — bit-identical across engines, no "
-    "epsilon, no sqrt.  (Overflow headroom: |cents| <= ~5e4 and window "
-    "n <= ~1e5 keep every term below 2^62; at larger per-key rates the "
-    "terms quantize to coarser units first.)  The RANGE frame is "
+    "epsilon, no sqrt.  (Overflow headroom: every term is bounded by "
+    "(n * max|cents|)^2, so the gate is exact while n * max|cents| < "
+    "3e9 per window — e.g. 60k events of <= 5e4 cents in one user's "
+    "trailing week, ~2000x the densest driver stream; past that, "
+    "quantize to coarser units BEFORE the gate.  Spark runs ANSI-off "
+    "and would wrap silently where DuckDB raises, which is why the "
+    "bound is stated here rather than discovered.)  The RANGE frame is "
     "peer-inclusive, so same-instant ties share one frame and the gate "
     "is frame-order-independent — about 5 percent of sf0.01 events "
     "flag, so a broken frame bound or a bag/distinct slip is loudly "

@@ -764,6 +764,9 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
     run(fresh())  # warm-up: codegen + file listing
     times, df = [], None
     for _ in range(n):
+        df = None  # drop the prior pass's Dataset BEFORE the GC, or its
+        # ShuffleDependency is still strongly reachable via py4j and the
+        # collection frees only the pass-before-last's files
         reclaim_shuffle_disk()
         df = fresh()
         t0 = time.time()
