@@ -1,0 +1,37 @@
+"""Every scale-harness plan predicate, asserted at the driver gate SF on
+every pytest run.
+
+tools/scale_stress.py carries one executed-plan predicate per stressed
+query (no cartesian products, single keyed exchanges, broadcast sides
+staying broadcast...).  Until round 12 those only ran when a tier run
+was taken, so a plan regression could sit unnoticed between tier
+refreshes.  This test executes each stressed query at sf0.01 and asserts
+its own predicate on the AQE-final plan — the same check the tier rows
+certify, now on every suite run.
+
+Queries whose predicate is only meaningful on a derived corpus
+(DIR_OVERRIDE) are skipped here; their tier runs remain the evidence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from seisdb_spark.plancheck import final_plan
+from seisdb_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+from tools.scale_stress import DIR_OVERRIDE, STRESS_QUERIES
+
+CHECKED = sorted(n for n in STRESS_QUERIES if n not in DIR_OVERRIDE)
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_stress_plan_predicate_holds_at_gate_sf(spark, name):
+    spec = REGISTRY[name]
+    df = spec.spark(spark, SF_DIR)
+    df.collect()
+    plan = final_plan(df)
+    assert STRESS_QUERIES[name](plan), (
+        f"{name}: scale-harness plan predicate failed at {SF_DIR} — "
+        "the executed plan no longer has the certified 100TB shape"
+    )
