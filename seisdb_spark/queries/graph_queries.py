@@ -83,9 +83,10 @@ def _pagerank_oracle() -> str:
     "plus ONE dst-keyed combiner aggregate; out-degrees come from a "
     "src-partitioned window so the join reuses that partitioning.  At "
     "100 TB the edge table is persisted once and every superstep "
-    "shuffles only the rank table (documented; at bench scale the "
-    "3-deep lineage recompute is cheaper than the cache).  TakeOrdered "
-    "bounds the driver transfer to k rows.",
+    "shuffles only the rank table — implemented: the edge+degree table "
+    "is a lazy localCheckpoint, built the first time the plan executes "
+    "and joined by every superstep after that.  TakeOrdered bounds the "
+    "driver transfer to k rows.",
     bench=True,
 )
 def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,16 +106,21 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # out-degree via a src-partitioned window: the per-iteration rank join
     # then lands on already-co-located keys instead of adding a deg join.
-    # The edge table is materialized ONCE per action (lazy localCheckpoint
-    # — the heavy_hitters vocab precedent, contract-safe because nothing
-    # runs at plan-build time): without it every superstep re-runs the
-    # lineitem scan + distinct + degree window, tripling the dominant
-    # cost — this IS the 'persist the edges, shuffle only ranks' shape
-    # every production PageRank uses.
+    # The edge table is a lazy localCheckpoint (the heavy_hitters vocab
+    # precedent — contract-safe, nothing runs at plan-build time): it
+    # materializes the first time the plan executes and every superstep
+    # joins the persisted copy instead of re-running the lineitem scan +
+    # distinct + degree window — the 'persist the edges, shuffle only
+    # ranks' shape every production PageRank uses.  (Under the registry
+    # plan cache the checkpoint then lives for the session, so repeat
+    # executions of the same handle skip the edge build too; the tier
+    # harness evicts per pass and pays it every run.)
     edges_deg = edges.withColumn(
         "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=False)
-    ranks = edges.select("src").distinct().select(
+    # seed from the CHECKPOINTED table — seeding from `edges` would
+    # re-run the raw lineage once more per action just to list the nodes
+    ranks = edges_deg.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
     )
     for _ in range(PR_ITERS):
