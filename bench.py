@@ -64,6 +64,22 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
+    # Two lines, detail first, contract line LAST: the driver records only
+    # the tail of this process's output, and r11/r12 proved the single
+    # ~8 KB full-detail line gets truncated there ("parsed": null in
+    # BENCH_r{11,12}.json).  The final line carries every contract field
+    # (metric/value/unit/queries/sf) without the per-query min-max spread
+    # and cold breakdown, keeping it short enough to survive tail capture;
+    # the full record still lands in the committed BENCH_LOCAL_r{N}.json.
+    print(
+        json.dumps(
+            {
+                "detail": "per_query_spread_and_cold",
+                "query_min_max": spread,
+                "cold_queries": cold,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -71,9 +87,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "query_min_max": spread,
                 "n_warm": N_WARM,
-                "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }

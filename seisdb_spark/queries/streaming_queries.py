@@ -16,6 +16,17 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 
 from seisdb_spark.queries.registry import REGISTRY, query
+
+# Every module whose REGISTRY entry a module-level _share_oracle() call
+# below reads must be imported HERE, not trusted to the package init's
+# ordering comment: importing streaming_queries directly (a test, a user
+# script) would otherwise KeyError on the shared-oracle lookup.  These are
+# side-effect imports (they fill REGISTRY); no cycles — none of them
+# imports streaming_queries.
+from seisdb_spark.queries import extensions  # noqa: F401  (ext_* facade)
+from seisdb_spark.queries import graph_queries  # noqa: F401
+from seisdb_spark.queries import relational  # noqa: F401
+from seisdb_spark.queries import temporal  # noqa: F401
 from seisdb_spark.streaming import (
     read_events_stream,
     run_to_memory,
