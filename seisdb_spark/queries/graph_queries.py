@@ -17,10 +17,14 @@ BIGINTs on any engine and the result value-hashes.  The float form's
 sum-order drift is structurally impossible.  Triangle counts and
 clustering-coefficient fractions are exact integers outright.
 
-The batch queries are split into stage functions (``pagerank_edges`` /
-``pagerank_topk``) so the streaming edge-maintenance twin in
-streaming_queries.py literally runs the SAME stages over its compacted
-edge log — the funnel/gap-fill observation-log pattern applied to graphs.
+The batch PageRank is split into stage functions (``pagerank_pairs`` /
+``pagerank_edges`` / ``pagerank_topk``) and the streaming edge-
+maintenance twin ``streaming_pagerank_topk`` in streaming_queries.py
+runs those SAME stages over its compacted edge log — the funnel/gap-fill
+observation-log pattern applied to graphs (per-microbatch distinct
+(part, supplier) pairs are the persisted state; distinct-of-a-union
+equals distinct-of-union-of-distincts, so the merged log is
+split-invariant and the twin shares the batch oracle verbatim).
 """
 
 from __future__ import annotations
@@ -76,6 +80,16 @@ def _pagerank_oracle() -> str:
     """
 
 
+def pagerank_pairs(li: DataFrame) -> DataFrame:
+    """DISTINCT (part, supplier) pairs — the per-microbatch compaction
+    stage shared by the batch query and the streaming edge-log twin
+    (``streaming_pagerank_topk``): each arriving lineitem slice compacts
+    to its distinct pairs, and because distinct-of-a-union equals
+    distinct-of-union-of-distincts, the merged log is split-invariant by
+    construction (the re-distinct happens in ``pagerank_edges``)."""
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
 def pagerank_edges(pairs: DataFrame) -> DataFrame:
     """Symmetrized edge+out-degree table from DISTINCT (part, supplier)
     pairs — the persisted side of every superstep, shared verbatim by the
@@ -90,7 +104,7 @@ def pagerank_edges(pairs: DataFrame) -> DataFrame:
     and a few MB at driver scale; a long-lived multi-graph service would
     add an unpersist hook like ext_sketch's eager-checkpoint cleanup.)
     """
-    pairs = pairs.select("l_partkey", "l_suppkey").distinct()
+    pairs = pagerank_pairs(pairs)
     fwd = pairs.select(
         (2 * F.col("l_partkey")).alias("src"),
         (2 * F.col("l_suppkey") + 1).alias("dst"),

@@ -18,10 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from seisdb_spark.queries.registry import REGISTRY, query
 
 # Every module whose REGISTRY entry a module-level _share_oracle() call
-# below reads must be imported HERE, not trusted to the package init's
-# ordering comment: importing streaming_queries directly (a test, a user
-# script) would otherwise KeyError on the shared-oracle lookup.  These are
-# side-effect imports (they fill REGISTRY); no cycles — none of them
+# below reads is imported HERE as defense-in-depth.  (Importing
+# streaming_queries directly still executes the package __init__ first,
+# which registers every module before this one — so these imports guard
+# against a future __init__ reordering, not against direct imports.)
+# Side-effect imports (they fill REGISTRY); no cycles — none of them
 # imports streaming_queries.
 from seisdb_spark.queries import extensions  # noqa: F401  (ext_* facade)
 from seisdb_spark.queries import graph_queries  # noqa: F401
@@ -1624,3 +1625,48 @@ def streaming_ohlc_bars(
 
 # struct-extrema/extrema/sum partials merge to the batch bar table exactly
 _share_oracle("streaming_ohlc_bars", "ohlc_time_bars")
+
+
+@query(
+    "streaming_pagerank_topk",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING PAGERANK EDGE MAINTENANCE (26th oracle-bearing "
+    "streaming entry — the graph family's scan-once-at-ingest form): "
+    "each arriving lineitem microbatch is compacted to its DISTINCT "
+    "(part, supplier) pairs by the SAME pagerank_pairs stage the batch "
+    "query uses and appended to a persisted edge log (batch_id-derived "
+    "overwrite paths — idempotent under checkpoint replays); the "
+    "symmetrized edge+degree table and the 3 damped BIGINT supersteps "
+    "are then compacted from the MERGED log by the SAME pagerank_edges "
+    "/ pagerank_topk stages.  Split-invariance is structural: distinct-"
+    "of-a-union equals distinct-of-union-of-distincts (pagerank_edges "
+    "re-distincts the merged log), so microbatch boundaries provably "
+    "cannot change a single edge, degree, or rank, and the oracle is "
+    "the batch query's SQL verbatim.  The fixed-point iteration itself "
+    "is NOT split-computable (rank mass flows along paths that cross "
+    "batches) — which is exactly why the streamed state is the EDGE "
+    "log (the graph, kilobyte distinct-pair partials per batch), never "
+    "the ranks: the propagation is a deterministic compaction any "
+    "consumer re-runs from the merged log — the funnel/gap-fill "
+    "observation-log pattern applied to graphs.",
+)
+def streaming_pagerank_topk(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    from seisdb_spark.queries.graph_queries import (
+        pagerank_edges,
+        pagerank_pairs,
+        pagerank_topk,
+    )
+    from seisdb_spark.streaming import read_lineitem_stream
+
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "pr", "edgelog",
+        read_lineitem_stream, pagerank_pairs,
+    )
+    return pagerank_topk(pagerank_edges(merged))
+
+
+# distinct-pair edge partials re-distinct to the batch edge set exactly,
+# and the BIGINT supersteps are a deterministic compaction of that set
+_share_oracle("streaming_pagerank_topk", "graph_pagerank_topk")

@@ -17,6 +17,7 @@ from seisdb_spark.streaming.ingest import (  # noqa: F401
     read_documents_stream,
     read_embeddings_stream,
     read_events_stream,
+    read_lineitem_stream,
     read_orders_stream,
     run_to_memory,
     sessionize_stream,

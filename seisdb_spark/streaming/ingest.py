@@ -502,6 +502,27 @@ def novelty_probe(
     ).parquet(os.path.join(scores_dir, "batch-*"))
 
 
+def read_lineitem_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the lineitem table — the arriving edge-
+    observation side of the streaming PageRank edge-log twin.  Same
+    batch-resolved-schema + drift-tripwire discipline as
+    ``read_orders_stream`` (a user-supplied schema on a file stream is
+    not validated against the footers)."""
+    from seisdb_spark.sources.tables import check_table_schema
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    schema = spark.read.parquet(path).schema
+    check_table_schema("lineitem", schema, path)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_orders_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -960,3 +960,42 @@ def test_read_orders_stream_schema_tripwire(spark, tmp_path):
     ).to_parquet(bad / "orders.parquet", index=False)
     with pytest.raises(TypeError, match="testdata schema changed"):
         read_orders_stream(spark, str(bad))
+
+
+def test_pagerank_stream_split_matches_batch(spark, tmp_path):
+    """The streamed PageRank over lineitem split into 3 files (3 genuine
+    microbatches) must produce the SAME top-k rank table as the batch
+    query over the unsplit table: per-batch distinct (part, supplier)
+    pairs re-distinct to the batch edge set exactly (distinct-of-union ==
+    distinct-of-union-of-distincts), and the BIGINT supersteps are a
+    deterministic compaction of that set.  A part whose orders land in
+    different microbatches is the case that matters; l_orderkey % 3
+    splitting guarantees many."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_pagerank_topk
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "lineitem").toPandas()
+    pdf["l_shipdate"] = pdf.l_shipdate.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.l_orderkey % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/lineitem.parquet", index=False)
+    # the split must actually scatter some part across batches
+    assert (pdf.groupby("l_partkey").l_orderkey.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    out = str(tmp_path / "pr_stream")
+    got = _sorted(
+        streaming_pagerank_topk(
+            spark, src + "/arrival*", out_dir=out
+        ).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["graph_pagerank_topk"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(os.listdir(os.path.join(out, "edgelog"))) == 3
