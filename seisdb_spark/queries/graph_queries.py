@@ -295,7 +295,14 @@ def _tri_oracle() -> str:
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    return triangle_census(copurchase_edges(li))
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle census over a canonical (u < v) edge set —
+    the stage behind ``graph_triangle_counts``, split out so a planted
+    graph (tests/test_temporal_graph.py) drives the exact same plan the
+    query runs on the co-purchase graph."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))

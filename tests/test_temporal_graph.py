@@ -350,3 +350,52 @@ def test_twap_dwell_weighting_and_last_event_rule(spark, tmp_path):
     assert got.iloc[1].n_events == 1
     assert got.iloc[1].twap_num == 0
     assert got.iloc[1].active_us == 0
+
+
+def test_triangle_census_matches_planted_graph(spark):
+    """The degree-oriented census must reproduce a hand-computed planted
+    graph: a K4 on {1,2,3,4} (4 triangles, every node in exactly 3, so
+    each K4 node has cc = 2*3 / (3*2) = 1) plus the path 10-11-12
+    (triangle-free: tri_count 0 via the left-join, cc_den = d*(d-1)).
+    Each triangle must be found EXACTLY once (unique apex in the
+    orientation DAG): sum(tri_count) == 3 * n_triangles == 12."""
+    from seisdb_spark.queries.graph_queries import triangle_census
+
+    k4 = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    edges = spark.createDataFrame(
+        [{"u": u, "v": v} for u, v in k4 + [(10, 11), (11, 12)]],
+        "u bigint, v bigint",
+    )
+    got = {
+        int(r.part_id): (int(r.degree), int(r.tri_count),
+                         int(r.cc_num), int(r.cc_den))
+        for r in triangle_census(edges).collect()
+    }
+    want = {
+        1: (3, 3, 6, 6), 2: (3, 3, 6, 6), 3: (3, 3, 6, 6), 4: (3, 3, 6, 6),
+        10: (1, 0, 0, 0), 11: (2, 0, 0, 2), 12: (1, 0, 0, 0),
+    }
+    assert got == want
+    assert sum(t[1] for t in got.values()) == 12
+
+
+def test_copurchase_edges_canonical_and_deduped(spark):
+    """Edge derivation: parts adjacent iff some order contains both —
+    canonical u < v, deduped across orders, never a self-loop.  Orders
+    {1,2,3} and {2,3} must yield exactly {(1,2),(1,3),(2,3)} with the
+    shared (2,3) pair appearing once."""
+    from seisdb_spark.queries.graph_queries import copurchase_edges
+
+    li = spark.createDataFrame(
+        [
+            {"l_orderkey": 1, "l_partkey": 1},
+            {"l_orderkey": 1, "l_partkey": 2},
+            {"l_orderkey": 1, "l_partkey": 3},
+            {"l_orderkey": 2, "l_partkey": 2},
+            {"l_orderkey": 2, "l_partkey": 3},
+            {"l_orderkey": 2, "l_partkey": 3},  # dup line: same part twice
+        ],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = sorted((int(r.u), int(r.v)) for r in copurchase_edges(li).collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
