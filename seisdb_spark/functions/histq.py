@@ -105,3 +105,47 @@ def hist_quantile_bins(merged: DataFrame) -> DataFrame:
             ((F.col("est_bin") + 1) * HQ_BIN_W).alias("est_hi"),
         )
     )
+
+
+def hist_quantile_bins_by(
+    partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Per-GROUP quantile-bin location over per-group sketch partials —
+    ``hist_quantile_bins`` with the cumsum window, total, and probe join
+    all keyed by ``group_cols`` (each group's frame is still <= NBINS
+    rows, so the window sort is 64 rows per group, never the corpus).
+    Returns (group_cols..., q_pm, r, est_bin, est_lo, est_hi)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = partials.select(
+        *group_cols, "bin", "n", F.sum("n").over(w).cast("long").alias("cum")
+    )
+    total = partials.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    probes = total.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(p) for p in HQ_PROBE_PM])).alias("q_pm"),
+        "n_total",
+    ).select(
+        *group_cols,
+        "q_pm",
+        F.expr("(q_pm * n_total + 999) div 1000").alias("r"),
+    )
+    return (
+        probes.join(cum, [*group_cols], "inner")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy(*group_cols, "q_pm", "r")
+        .agg(F.min("bin").alias("est_bin"))
+        .select(
+            *group_cols,
+            "q_pm",
+            "r",
+            "est_bin",
+            (F.col("est_bin") * HQ_BIN_W).alias("est_lo"),
+            ((F.col("est_bin") + 1) * HQ_BIN_W).alias("est_hi"),
+        )
+    )

@@ -727,3 +727,109 @@ def hist_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = histq.hist_merge(partials)
     qb = histq.hist_quantile_bins(merged)
     return hq_gate_report(qb, docs)
+
+
+@query(
+    "quantile_exact_sketch_cert",
+    oracle=f"""
+        WITH p AS (
+            SELECT source,
+                   least(n_chars // {HQ_BIN_W}, {HQ_NBINS - 1}) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT source, bin, n,
+                   CAST(sum(n) OVER (
+                       PARTITION BY source ORDER BY bin
+                   ) AS BIGINT) AS cum
+            FROM p
+        ),
+        tot AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_total
+            FROM p GROUP BY source
+        ),
+        probes AS (
+            SELECT source, q_pm, (q_pm * n_total + 999) // 1000 AS r
+            FROM (SELECT unnest([{_HQ_PM_LIST}]) AS q_pm)
+            CROSS JOIN tot
+        ),
+        est AS (
+            SELECT probes.source, q_pm, r, min(bin) AS est_bin
+            FROM probes
+            JOIN cum ON cum.source = probes.source AND cum.cum >= probes.r
+            GROUP BY 1, 2, 3
+        ),
+        rk AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT est.source,
+               CAST(est.q_pm AS INT) AS q_pm,
+               est_bin * {HQ_BIN_W} AS est_lo,
+               (est_bin + 1) * {HQ_BIN_W} AS est_hi,
+               CAST(rk.n_chars AS BIGINT) AS exact_v,
+               CAST(CASE WHEN rk.n_chars >= est_bin * {HQ_BIN_W}
+                          AND (rk.n_chars < (est_bin + 1) * {HQ_BIN_W}
+                               OR est_bin = {HQ_NBINS - 1})
+                    THEN 1 ELSE 0 END AS INT) AS within_bin
+        FROM est
+        JOIN rk ON rk.source = est.source AND rk.rn = est.r
+    """,
+    doc="EXACT-vs-SKETCH QUANTILE CERTIFICATION (the exact/approx pairing "
+    "made an executable contract): per SOURCE, the exact nearest-rank "
+    "quantile — computed by embedding_dim_quantiles' machinery, a "
+    "row_number over the (value, doc_id) total order picking the rank-r "
+    "ELEMENT — must lie inside the bin hist_quantile_rollup's mergeable "
+    "histogram sketch estimates from its <= 64-row per-source partials, "
+    "for every probed per-mille quantile.  This certifies three things "
+    "at once: the sketch honours its bin guarantee PER GROUP (the "
+    "rollup's own gate only checks the global merge), the row_number "
+    "nearest-rank and the cumulative-frequency rank conventions agree "
+    "(the oracle recomputes both independently), and the shared rank "
+    "formula ceil(q*N/1000) is identical in both code paths.  All "
+    "integer arithmetic, so the within_bin flags hash exactly.  Scale "
+    "shape: the sketch side moves <= sources x 64 rows; the exact side "
+    "is ONE source-keyed exchange with a partition-local sort — the "
+    "honest cost of exact order statistics, which is precisely what "
+    "this certification prices against the sketch (at 100 TB you run "
+    "the sketch and keep THIS query for sampled audits).",
+    bench=True,
+)
+def quantile_exact_sketch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seisdb_spark.functions import histq
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    partials = histq.hist_partials(docs, "n_chars", ["source"])
+    est = histq.hist_quantile_bins_by(partials, ["source"])
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("exact_v"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        est.join(
+            ranked,
+            (est.source == ranked.source) & (est.r == ranked.rn),
+        )
+        .select(
+            est.source.alias("source"),
+            F.col("q_pm").cast("int").alias("q_pm"),
+            "est_lo",
+            "est_hi",
+            "exact_v",
+            (
+                (F.col("exact_v") >= F.col("est_lo"))
+                & (
+                    (F.col("exact_v") < F.col("est_hi"))
+                    | (F.col("est_bin") == F.lit(histq.HQ_NBINS - 1))
+                )
+            )
+            .cast("int")
+            .alias("within_bin"),
+        )
+    )

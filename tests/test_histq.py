@@ -187,3 +187,46 @@ def test_rollup_plan_shape(spark):
     assert not has_node(plan, "BatchEvalPython")
     assert not has_node(plan, "CartesianProduct")
     assert has_node(plan, "hashpartitioning(source")
+
+
+def test_cert_gate_holds_and_grouped_bins_match_ungrouped(spark):
+    """quantile_exact_sketch_cert: (a) the within_bin gate must hold for
+    every (source, q_pm) — the histogram guarantee is a theorem, not a
+    tolerance; (b) one row per source x probe; (c) the grouped bin
+    locator restricted to one source must equal the ungrouped locator
+    run on that source's partials alone (hist_quantile_bins_by IS
+    hist_quantile_bins per group)."""
+    from seisdb_spark.functions.histq import hist_quantile_bins_by
+    from seisdb_spark.sources.tables import load_table
+
+    pdf = (
+        REGISTRY["quantile_exact_sketch_cert"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+    )
+    n_sources = pdf.source.nunique()
+    assert len(pdf) == n_sources * len(HQ_PROBE_PM)
+    assert (pdf.within_bin == 1).all()
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    some_source = pdf.source.iloc[0]
+    one = docs.where(f"source = '{some_source}'")
+    grouped = (
+        hist_quantile_bins_by(
+            hist_partials(docs, "n_chars", ["source"]), ["source"]
+        )
+        .where(f"source = '{some_source}'")
+        .drop("source")
+        .toPandas()
+        .sort_values("q_pm")
+        .reset_index(drop=True)
+    )
+    ungrouped = (
+        hist_quantile_bins(
+            hist_merge(hist_partials(one, "n_chars", ["source"]))
+        )
+        .toPandas()
+        .sort_values("q_pm")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(grouped, ungrouped)
