@@ -212,7 +212,16 @@ DRIVER_WINDOW: list[str] = [
     # (r7-era slot history: embedding_int8_quantize had replaced
     # minhash_lsh_candidates, whose CTE stack stays hash-checked verbatim
     # inside editdist_neardup_join's oracle.)
-    "streaming_int4_quantize",
+    # round-14 rotation (r13 verdict item #1 — the stalled r13 rotation
+    # executed): graph_triangle_counts — degree-oriented triangle
+    # counting + exact clustering coefficients (queries/graph_queries.py:
+    # the graph family's third algorithm class; wedge-bounding
+    # orientation, all equi-joins, independent textbook 3-way-self-join
+    # oracle) — in for streaming_int4_quantize (green r10-r13, FOUR hard
+    # rows, rotation-eligible per the r13 verdict; the quantize family's
+    # int4 transform stays pytest-oracle-checked every round and the
+    # streaming family keeps 17+ in-window members).
+    "graph_triangle_counts",
     # round-11 rotation (fourteenth swap — forced by the cumulative-
     # coverage governance test: new oracle-bearing entries start
     # in-window): zorder_layout_gate — the storage-layout / data-
@@ -262,7 +271,18 @@ DRIVER_WINDOW: list[str] = [
     # parity pytest, and its learned_token_counts stage feeds THIS
     # in-window entry, so the BPE machinery stays driver-executed in
     # composed form).
-    "sequence_packing_learned",
+    # round-14 rotation: streaming_pagerank_topk — the graph family's
+    # scan-once-at-ingest form (26th oracle-bearing streaming entry:
+    # per-microbatch distinct (part, supplier) pairs from the SAME
+    # pagerank_pairs stage, appended to a persisted edge log;
+    # distinct-of-union == distinct-of-union-of-distincts, so the merged
+    # log is split-invariant and the twin shares the batch oracle
+    # verbatim; 3-microbatch scatter pytest) — in for
+    # sequence_packing_learned (rows-only with TWO clean driver
+    # executions r12+r13, out per the one-rows-only-round precedent; the
+    # learned-packing invariants stay pytest-pinned and its
+    # learned_token_counts stage stays pytest-checked every round).
+    "streaming_pagerank_topk",
     # round-12 rotation (r11 verdict item #5): streaming_funnel_steps —
     # the ordered-sequence class's scan-once-at-ingest form (23rd
     # oracle-bearing streaming entry: the fold is NOT split-computable,
@@ -307,7 +327,17 @@ DRIVER_WINDOW: list[str] = [
     # bm25_multiquery, pq_recall_eval, mrl_pq_adc_topk and
     # mrl_truncation_eval in-window, and the RRF fusion stays
     # pytest-oracle-checked every round)
-    "hll_sketch_rollup",
+    # round-14 rotation (r13 verdict item #4 — the r12 brief's exact-vs-
+    # sketch certification): quantile_exact_sketch_cert — per-source
+    # exact nearest-rank quantiles (embedding_dim_quantiles' row_number
+    # machinery) certified to lie inside hist_quantile_rollup's sketch
+    # bins, all-integer within_bin gate — in for hll_sketch_rollup
+    # (green r10-r13, FOUR hard rows, rotation-eligible per the r13
+    # verdict; the sketch family keeps cm_sketch_gate, kmv_jaccard_gate,
+    # hist_quantile_rollup, THIS cert, and all four streaming sketch
+    # twins — including streaming_hll_rollup, the HLL machinery's
+    # ingest form — in-window).
+    "quantile_exact_sketch_cert",
     # --- round-8 rotation: the vector-store codec surface (r7 verdict item
     # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
     # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty
