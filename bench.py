@@ -64,35 +64,37 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
-    # Two lines, detail first, contract line LAST: the driver records only
-    # the tail of this process's output, and r11/r12 proved the single
-    # ~8 KB full-detail line gets truncated there ("parsed": null in
-    # BENCH_r{11,12}.json).  The final line carries every contract field
-    # (metric/value/unit/queries/sf) without the per-query min-max spread
-    # and cold breakdown, keeping it short enough to survive tail capture;
-    # the full record still lands in the committed BENCH_LOCAL_r{N}.json.
+    # Two lines, detail first, SCALAR contract line LAST: the driver keeps
+    # only the tail (~2000 chars) of this process's output, and r11-r13
+    # proved any line embedding the per-query map (~2.3 KB for 60+
+    # queries) gets its HEAD — metric/value/unit — truncated off
+    # ("parsed": null in BENCH_r{11,12,13}.json).  So the per-query
+    # medians live on the DETAIL line with the spread/cold breakdown, and
+    # the final line is scalars only (< 200 bytes — asserted below so a
+    # future field addition cannot silently regrow it past tail capture).
     print(
         json.dumps(
             {
-                "detail": "per_query_spread_and_cold",
+                "detail": "per_query_medians_spread_cold",
+                "queries": per_query,
                 "query_min_max": spread,
                 "cold_queries": cold,
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "n_warm": N_WARM,
-                "cold_total": round(sum(cold.values()), 4),
-                "sf": sf,
-            }
-        )
+    contract = json.dumps(
+        {
+            "metric": "headline_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(per_query),
+            "n_warm": N_WARM,
+            "cold_total": round(sum(cold.values()), 4),
+            "sf": sf,
+        }
     )
+    assert len(contract) < 1000, "contract line must survive tail capture"
+    print(contract)
     spark.stop()
 
 
