@@ -278,13 +278,18 @@ def _tri_oracle() -> str:
     "expansion (orders have <= 7 lines), localCheckpointed once; each "
     "edge is then ORIENTED from its lower-(degree, id) endpoint to the "
     "higher one — the classic wedge-bounding trick: out-degrees are "
-    "O(sqrt(m)) regardless of hub skew, so the src-keyed wedge "
-    "self-join generates sum-of-C(out_deg, 2) candidates instead of "
-    "sum-of-C(deg, 2), and a hub of degree 10^6 at 100 TB contributes "
-    "~m wedges, not 10^12 — then ONE (x, y)-keyed equi-join against "
-    "the canonical edge set closes each wedge.  Every triangle is "
-    "found EXACTLY once (its unique apex in the orientation DAG), so "
-    "per-node participation = explode the 3 corners + ONE count "
+    "O(sqrt(m)) regardless of hub skew, so a hub of degree 10^6 at "
+    "100 TB contributes ~m wedge candidates, not 10^12.  The census is "
+    "the edge-iterator ADJACENCY-INTERSECTION form: per-apex sorted "
+    "out-neighbor arrays (each <= O(sqrt(m)) ints) attach to both "
+    "endpoints of every edge via two m-row equi-joins and "
+    "array_intersect enumerates wedge candidates IN-STAGE — wedge rows "
+    "are never serialized to shuffle (the wedge self-join form spills "
+    "Theta(wedge-rows) of per-row overhead; it filled the disk at the "
+    "x100 tier — see triangle_census), and everything after the "
+    "intersection is one row per TRIANGLE.  Every triangle is found "
+    "EXACTLY once (its lowest two corners in the orientation order), "
+    "so per-node participation = the three corner streams + ONE count "
     "aggregate.  All equi-joins, no cartesian anywhere; TakeOrdered "
     "bounds the report to the top-50 (tri_count desc, part_id) with "
     "the exact clustering-coefficient fraction 2*tri / d*(d-1) as "
@@ -302,7 +307,30 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     """Degree-oriented triangle census over a canonical (u < v) edge set —
     the stage behind ``graph_triangle_counts``, split out so a planted
     graph (tests/test_temporal_graph.py) drives the exact same plan the
-    query runs on the co-purchase graph."""
+    query runs on the co-purchase graph.
+
+    Engine shape — ADJACENCY INTERSECTION, not wedge materialization.
+    The r14 scale tier caught the textbook wedge self-join form filling
+    the disk at x100: the census is Theta(m * sqrt(m)) wedge CANDIDATES
+    either way (sf0.1 measures 41M wedges / 1.2M edges / 1.9M
+    triangles), but exploding them as shuffle ROWS pays ~30 bytes of
+    per-row shuffle overhead on 4.1B rows at x100 — >120 GB of spill for
+    ~16 GB of payload.  The edge-iterator form ships the SAME information
+    as per-node sorted out-neighbor ARRAYS instead: each oriented edge
+    (u, v) picks up nbrs(u) and nbrs(v) via two m-row equi-joins, and
+    ``array_intersect`` enumerates the wedge candidates INSIDE the stage
+    — they are never serialized, so shuffle volume drops from
+    Theta(wedge rows) to the array payload (2x wedges of ints, packed
+    and lz4-friendly) and the post-intersect traffic is one row per
+    TRIANGLE, not per wedge.  Orientation from the lower-(degree, id)
+    endpoint still bounds every array at O(sqrt(m)) regardless of hub
+    skew (max oriented out-degree at sf0.1: 97 vs degree max ~1.5k).
+
+    Exactly-once: triangle {a, b, c} in orientation order has its third
+    corner c in nbrs(a) INTERSECT nbrs(b) only at edge (a, b) — at edge
+    (a, c), b is in nbrs(a) but not nbrs(c) (c->b is not an oriented
+    edge).  Per-node participation: u and v each join |I| triangles, each
+    w in I joins one — three corner streams, one count aggregate."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -322,21 +350,39 @@ def triangle_census(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    # wedges from each apex's out-neighborhood (id-ordered so the closing
-    # probe hits the canonical u<v edge set), closed by one equi-join.
-    a = oe.select(F.col("src"), F.col("dst").alias("x"))
-    b = oe.select(F.col("src"), F.col("dst").alias("y"))
-    wedges = a.join(b, "src").where(F.col("x") < F.col("y"))
-    tris = wedges.join(
-        edges,
-        (wedges.x == edges.u) & (wedges.y == edges.v),
-    ).select("src", "x", "y")
-    per_node = (
-        tris.select(
-            F.explode(F.array("src", "x", "y")).alias("node")
+    # per-apex sorted out-neighbor arrays (bounded at O(sqrt(m)) by the
+    # orientation), attached to each edge's two endpoints by m-row
+    # equi-joins; the intersection enumerates wedge candidates in-stage.
+    adj = oe.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v"))
+    au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u"))
+    per_edge = (
+        oe.join(av, oe.dst == av.v_key)  # skinny m-row shuffle on dst
+        .join(au, oe.src == au.u_key)  # array payload shuffles on src
+        .select(
+            "src",
+            "dst",
+            F.array_intersect("nbrs_u", "nbrs_v").alias("common"),
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+        .select("src", "dst", "common", F.size("common").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+    corners = (
+        per_edge.select(
+            F.explode(F.array("src", "dst")).alias("node"),
+            F.col("cnt").cast("bigint").alias("t"),
+        )
+        .unionByName(
+            per_edge.select(
+                F.explode("common").alias("node"),
+                F.lit(1).cast("bigint").alias("t"),
+            )
+        )
+    )
+    per_node = corners.groupBy("node").agg(
+        F.sum("t").cast("bigint").alias("tri")
     )
     return (
         deg.join(per_node, "node", "left")

@@ -447,6 +447,19 @@ STRESS_QUERIES = {
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
     ),
+    # triangles: degree-oriented wedge join — every join an equi-join
+    # (the wedge self-join keyed on src, the closing probe on (x, y)),
+    # the report a TakeOrdered; never a cartesian/nested-loop, global
+    # sort, or Python boundary at any scale.  Runs on the GRAPH-scaled
+    # corpus (DIR_OVERRIDE) — the plain replicas keep l_partkey constant
+    # and only multiply edge multiplicity, leaving the census size flat.
+    "graph_triangle_counts": lambda p: (
+        has_node(p, "TakeOrderedAndProject")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "NestedLoopJoin")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # TWAP: ONE (user, day)-keyed exchange shared by the lead() window
     # and the aggregate — never a join, never a global sort
     "twap_daily_value": lambda p: (
@@ -504,7 +517,7 @@ OUTPUT_UNBOUNDED = {
 #: _d{doc_id % 4096}, a per-doc bijection on the token stream: ~127k
 #: distinct words even at base scale, with per-(lang, word) counts still
 #: realistic (Zipf-ish head preserved within each doc class).
-DIR_OVERRIDE = {"vocab_coverage_32k": "richvocab"}
+DIR_OVERRIDE = {"vocab_coverage_32k": "richvocab", "graph_triangle_counts": "graphscale"}
 
 
 #: Replica r >= 1 document ids: 10*orig + 1 + r * 10^8 — injective,
@@ -714,6 +727,46 @@ def generate_richvocab(spark: SparkSession, root: str, factor: int) -> str:
     return out_dir
 
 
+def generate_graphscale(spark: SparkSession, root: str, factor: int) -> str:
+    """Writes a GRAPH-scaled lineitem for DIR_OVERRIDE graph queries:
+    replica r offsets l_orderkey, l_partkey AND l_suppkey by r*ID_OFFSET,
+    so the co-purchase graph becomes factor disjoint copies of the sf0.1
+    graph — nodes, edges, wedges, and triangles all scale linearly with
+    per-node degree structure (including hub skew) preserved exactly.
+    The plain ``_gen_lineitem`` corpus keeps l_partkey constant across
+    replicas, which only multiplies edge MULTIPLICITY: the distinct edge
+    set — and therefore the whole census after the first distinct —
+    would stay sf0.1-sized, making a 'scale' row vacuous for any
+    graph-structure operator.  Factor 1 is the identity: SRC_DIR."""
+    if factor <= 1:
+        return SRC_DIR
+    out_dir = os.path.join(root, f"graphscale_x{factor}")
+    path = os.path.join(out_dir, "lineitem.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(out_dir, exist_ok=True)
+        line = load_table(spark, SRC_DIR, "lineitem")
+        cols = [
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ]
+        off = F.col("r") * ID_OFFSET
+        _replicas(line, factor).select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            (F.col("l_partkey") + off).alias("l_partkey"),
+            (F.col("l_suppkey") + off).alias("l_suppkey"),
+            *cols,
+        ).write.mode("overwrite").parquet(path)
+        print(f"generated {path}", file=sys.stderr)
+    return out_dir
+
+
+#: DIR_OVERRIDE tag -> derived-corpus generator (spark, root, factor) -> dir.
+OVERRIDE_GENERATORS = {
+    "richvocab": generate_richvocab,
+    "graphscale": generate_graphscale,
+}
+
+
 def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
     """Median wall time over n warm runs (one untimed warm-up) + the
     AQE-final executed plan of the last run.
@@ -818,8 +871,9 @@ def main() -> int:
     results = {}
     for name, plan_ok in stress.items():
         if name in DIR_OVERRIDE:
-            base_dir = generate_richvocab(spark, args.out, 1)
-            big_dir = generate_richvocab(spark, args.out, args.factor)
+            gen_override = OVERRIDE_GENERATORS[DIR_OVERRIDE[name]]
+            base_dir = gen_override(spark, args.out, 1)
+            big_dir = gen_override(spark, args.out, args.factor)
         else:
             base_dir, big_dir = SRC_DIR, scale_dir
         t_base, p_base = time_query(spark, name, base_dir, args.runs)
