@@ -105,17 +105,14 @@ def test_driver_window_leads_registry():
 
     assert len(DRIVER_WINDOW) == 50
     assert list(e.queries())[:50] == DRIVER_WINDOW
-    # every window entry except these documented rows-only ones has an
-    # oracle (kmeans_refine_assign rotated OUT in round 8 after its r7
-    # rows-only smoke row served its purpose; pq_refined_encode and
-    # bpe_train_merges did the same in round 10; bpe_apply_tokenize's one
-    # clean rows-only execution landed in r11 and it is OUT this round
-    # per the same precedent; sequence_packing_learned is the round-12
-    # rows-only rotation getting its one clean driver execution.  The
-    # round-12 late rotation also retired the two long-clean rows-only
-    # record sinks — sgt_pipeline_records after TEN clean executions and
-    # multimodal_decode_features after NINE, both per the
-    # dgf_pipeline_records precedent — so the window now carries exactly
-    # ONE rows-only entry and 49 hard oracle rows.)
+    # every window entry has an oracle as of round 14: every rows-only
+    # entry that needed its one clean driver execution has had it and
+    # rotated out (kmeans_refine_assign r8; pq_refined_encode +
+    # bpe_train_merges r10; bpe_apply_tokenize r11; the long-clean record
+    # sinks sgt_pipeline_records and multimodal_decode_features r12;
+    # sequence_packing_learned r14 after TWO clean executions), so the
+    # window is 50 hard oracle rows.  A future rows-only registration
+    # starts in-window per the governance precedent and joins this list
+    # until its clean execution lands.
     no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
-    assert no_oracle == ["sequence_packing_learned"]
+    assert no_oracle == []
