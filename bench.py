@@ -70,8 +70,9 @@ def main() -> None:
     # queries) gets its HEAD — metric/value/unit — truncated off
     # ("parsed": null in BENCH_r{11,12,13}.json).  So the per-query
     # medians live on the DETAIL line with the spread/cold breakdown, and
-    # the final line is scalars only (< 200 bytes — asserted below so a
-    # future field addition cannot silently regrow it past tail capture).
+    # the final line is scalars only (~165 bytes today; asserted < 500
+    # below so a future field addition cannot silently regrow it toward
+    # the ~2000-char tail-capture limit).
     print(
         json.dumps(
             {
@@ -93,7 +94,7 @@ def main() -> None:
             "sf": sf,
         }
     )
-    assert len(contract) < 1000, "contract line must survive tail capture"
+    assert len(contract) < 500, "contract line must survive tail capture"
     print(contract)
     spark.stop()
 

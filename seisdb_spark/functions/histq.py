@@ -76,35 +76,14 @@ def hist_quantile_bins(merged: DataFrame) -> DataFrame:
     <= NBINS merged rows (the window sorts 64 rows, not the corpus),
     then for each q_pm the first bin whose cumsum reaches rank
     ``ceil(q_pm * N / 1000)``.  Returns (q_pm, r, est_bin, est_lo,
-    est_hi) — all BIGINT."""
-    w = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = merged.select(
-        "bin", "n", F.sum("n").over(w).cast("long").alias("cum")
-    )
-    total = cum.agg(F.sum("n").cast("long").alias("n_total"))
-    probes = total.select(
-        F.explode(
-            F.array(*[F.lit(p) for p in HQ_PROBE_PM])
-        ).alias("q_pm"),
-        "n_total",
-    ).select(
-        "q_pm",
-        F.expr("(q_pm * n_total + 999) div 1000").alias("r"),
-    )
-    return (
-        probes.join(cum, F.col("cum") >= F.col("r"))
-        .groupBy("q_pm", "r")
-        .agg(F.min("bin").alias("est_bin"))
-        .select(
-            "q_pm",
-            "r",
-            "est_bin",
-            (F.col("est_bin") * HQ_BIN_W).alias("est_lo"),
-            ((F.col("est_bin") + 1) * HQ_BIN_W).alias("est_hi"),
-        )
-    )
+    est_hi) — all BIGINT.
+
+    Delegates to the group-keyed locator under one constant group so the
+    rank convention and the min-bin selection live in exactly ONE place
+    — a convention fix cannot fork the grouped and ungrouped paths."""
+    return hist_quantile_bins_by(
+        merged.withColumn("_g", F.lit(1)), ["_g"]
+    ).drop("_g")
 
 
 def hist_quantile_bins_by(
