@@ -141,6 +141,18 @@ STRESS_QUERIES = {
         and not has_node(p, "CartesianProduct")
         and not has_node(p, "BatchEvalPython")
     ),
+    # exact-vs-sketch quantile certification: BOTH paths key on source —
+    # the sketch partials aggregate and the exact side's rank window are
+    # source-hash-partitioned (the window sort is partition-local), the
+    # est/exact join is an equi-join on (source, rank) — never a global
+    # range sort, cartesian, or Python boundary; output is sources x
+    # probes rows
+    "quantile_exact_sketch_cert": lambda p: (
+        has_node(p, "hashpartitioning(source")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "CartesianProduct")
+        and not has_node(p, "BatchEvalPython")
+    ),
     # E-S weighted sampling: one hash-partitioned per-lang window
     # (partition-local sort) — never a global range sort, never a
     # Python boundary; rejected rows never leave their partition.
