@@ -303,7 +303,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(copurchase_edges(li))
 
 
-def triangle_census(edges: DataFrame) -> DataFrame:
+def triangle_census(edges: DataFrame, topk: int | None = TRI_TOPK) -> DataFrame:
     """Degree-oriented triangle census over a canonical (u < v) edge set —
     the stage behind ``graph_triangle_counts``, split out so a planted
     graph (tests/test_temporal_graph.py) drives the exact same plan the
@@ -394,5 +394,5 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             (F.col("d") * (F.col("d") - 1)).cast("bigint").alias("cc_den"),
         )
         .orderBy(F.desc("tri_count"), "part_id")
-        .limit(TRI_TOPK)
+        .limit(topk if topk is not None else 2**31 - 1)
     )

@@ -399,3 +399,55 @@ def test_copurchase_edges_canonical_and_deduped(spark):
     )
     got = sorted((int(r.u), int(r.v)) for r in copurchase_edges(li).collect())
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_triangle_census_replica_invariant(spark):
+    """Value certification of the graphscale tier construction
+    (tools/scale_stress.py _gen_lineitem_graph): the census over N
+    disjoint id-offset copies of the sf0.001 graph must equal the
+    factor-1 census with every replica's per-node rows mapped through
+    the same offset — nodes, degrees, triangle counts, and coefficient
+    fractions all replicate exactly.  This pins what the x10/x100 tier
+    TIMING rows assume: the derived corpus scales the graph without
+    changing its local structure."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import (
+        copurchase_edges,
+        triangle_census,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    off = 10**7  # ID_OFFSET in tools/scale_stress.py
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + r * off).alias("l_orderkey"),
+            (F.col("l_partkey") + r * off).alias("l_partkey"),
+        )
+        for r in range(3)
+    ]
+    li3 = reps[0].unionByName(reps[1]).unionByName(reps[2])
+
+    # full censuses (topk=None drops the top-50 report limit)
+    base = triangle_census(copurchase_edges(li), topk=None).toPandas()
+    big = triangle_census(copurchase_edges(li3), topk=None).toPandas()
+
+    base_rows = {
+        int(r.part_id): (int(r.degree), int(r.tri_count),
+                         int(r.cc_num), int(r.cc_den))
+        for r in base.itertuples()
+    }
+    want = {
+        pid + r * off: row
+        for r in range(3)
+        for pid, row in base_rows.items()
+    }
+    got = {
+        int(r.part_id): (int(r.degree), int(r.tri_count),
+                         int(r.cc_num), int(r.cc_den))
+        for r in big.itertuples()
+    }
+    assert got == want
