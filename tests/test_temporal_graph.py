@@ -451,3 +451,128 @@ def test_triangle_census_replica_invariant(spark):
         for r in big.itertuples()
     }
     assert got == want
+
+
+def _census_brute(edge_set):
+    """Independent pure-Python triangle census over a canonical u<v edge
+    set: O(n^3) corner enumeration — no orientation, no intersection,
+    shares nothing with the engine's plan."""
+    nodes = sorted({u for u, _ in edge_set} | {v for _, v in edge_set})
+    adj = {n: set() for n in nodes}
+    for u, v in edge_set:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {n: 0 for n in nodes}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in nodes:
+                if c > b and c in adj[a] and c in adj[b]:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    return {
+        n: (len(adj[n]), tri[n], 2 * tri[n], len(adj[n]) * (len(adj[n]) - 1))
+        for n in nodes
+    }
+
+
+def test_triangle_census_matches_brute_force_on_random_graphs(spark):
+    """Property test of the adjacency-intersection rewrite: on 12
+    deterministic pseudo-random graphs (12-22 nodes, edge probability
+    sweeping sparse to near-complete — near-complete graphs maximize
+    wedge/intersection traffic and tie-heavy orientations), the census
+    must equal an independent O(n^3) pure-Python corner enumeration,
+    node for node.  Seeded arithmetically (no RNG state), so failures
+    reproduce exactly."""
+    from seisdb_spark.queries.graph_queries import triangle_census
+
+    for seed in range(12):
+        n = 12 + (seed * 7) % 11  # 12..22
+        p_pm = 150 + seed * 70  # edge probability in per-mille: 0.15..0.92
+        edge_set = {
+            (u, v)
+            for u in range(1, n + 1)
+            for v in range(u + 1, n + 1)
+            # deterministic hash-uniform in [0, 1000)
+            if (u * 2654435761 + v * 40503 + seed * 97) % 1000 < p_pm
+        }
+        if not edge_set:
+            continue
+        edges = spark.createDataFrame(
+            [{"u": u, "v": v} for u, v in sorted(edge_set)],
+            "u bigint, v bigint",
+        )
+        got = {
+            int(r.part_id): (int(r.degree), int(r.tri_count),
+                             int(r.cc_num), int(r.cc_den))
+            for r in triangle_census(edges, topk=None).collect()
+        }
+        assert got == _census_brute(edge_set), f"seed={seed} n={n} p={p_pm}"
+
+
+def test_orientation_bounds_out_degree_on_planted_hub(spark):
+    """The wedge-bounding claim itself: on a planted hub graph (one node
+    adjacent to 60 degree-1 leaves, plus a K5 core) the lower-(degree,
+    id) orientation must leave the hub with out-degree <= the number of
+    HIGHER-degree-or-tied neighbors — every neighbor points AT the hub,
+    so the hub's 60 edges contribute 60 degree-1-or-5 sources, not
+    C(60, 2) = 1770 hub wedges.  Asserted: every oriented out-degree
+    <= ceil(sqrt(2m)) (the textbook bound the 100 TB story rests on),
+    the hub's out-degree is exactly 0 (all edges oriented INTO it), and
+    the census is still exact: the hub closes C(5, 2) = 10 triangles
+    with the K5 edges among its neighbors (found via the K5 apexes'
+    out-neighborhoods, never via hub wedges), each K5 node sits in
+    C(4, 2) = 6 core + 4 hub triangles, and the corner total is 60."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import triangle_census
+
+    hub = 1000
+    leaves = [(min(hub, i), max(hub, i)) for i in range(1, 61)]
+    k5 = [(u, v) for u in range(1, 6) for v in range(1, 6) if u < v]
+    # K5 nodes 1..5 are ALSO hub neighbors (ids 1..60 include them):
+    # the hub sees 60 neighbors of degree 1 or 5 — all lower-(d, id)
+    # than the hub's 60, so every hub edge orients INTO the hub, and
+    # the hub's 10 triangles must be discovered at the K5 edges (their
+    # oriented out-neighborhoods contain the hub), not at hub wedges.
+    edge_set = sorted(set(leaves + k5))
+    m = len(edge_set)
+    edges = spark.createDataFrame(
+        [{"u": u, "v": v} for u, v in edge_set], "u bigint, v bigint"
+    )
+
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ordered = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ordered.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    out_deg = {
+        int(r.src): int(r.od)
+        for r in oe.groupBy("src").agg(
+            F.count(F.lit(1)).alias("od")
+        ).collect()
+    }
+    bound = int((2 * m) ** 0.5) + 1
+    assert all(od <= bound for od in out_deg.values()), out_deg
+    assert hub not in out_deg  # every hub edge oriented INTO the hub
+
+    census = {
+        int(r.part_id): int(r.tri_count)
+        for r in triangle_census(edges, topk=None).collect()
+    }
+    assert census[hub] == 10  # one per K5 edge among its neighbors
+    assert all(census[n] == 10 for n in range(1, 6))  # 6 core + 4 hub
+    assert sum(census.values()) == 60  # 3 * (C(5,3) + C(5,2)) triangles
