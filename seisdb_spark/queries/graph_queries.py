@@ -369,18 +369,28 @@ def triangle_census(edges: DataFrame, topk: int | None = TRI_TOPK) -> DataFrame:
         .select("src", "dst", "common", F.size("common").alias("cnt"))
         .where(F.col("cnt") > 0)
     )
-    corners = (
-        per_edge.select(
-            F.explode(F.array("src", "dst")).alias("node"),
-            F.col("cnt").cast("bigint").alias("t"),
-        )
-        .unionByName(
-            per_edge.select(
-                F.explode("common").alias("node"),
-                F.lit(1).cast("bigint").alias("t"),
+    # ONE explode over one concatenated corner array — a two-branch union
+    # here would re-execute the whole per_edge lineage (the intersect, the
+    # census's dominant cost) once per branch; this keeps it single-pass.
+    corners = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.col("cnt").cast("bigint").alias("t"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.col("cnt").cast("bigint").alias("t"),
+                    ),
+                ),
+                F.expr(
+                    "transform(common, w -> struct(w AS node, 1L AS t))"
+                ),
             )
-        )
-    )
+        ).alias("c")
+    ).select(F.col("c.node").alias("node"), F.col("c.t").alias("t"))
     per_node = corners.groupBy("node").agg(
         F.sum("t").cast("bigint").alias("tri")
     )
