@@ -7,7 +7,7 @@ distributed graph primitives — iterative rank propagation (PageRank) and
 local-structure counting (triangles / clustering coefficient) — each
 expressed as plain DataFrame joins+aggregates, which is exactly how they
 run on any Spark cluster (GraphX/GraphFrames do the same join-shuffle per
-superstep / wedge-join under the hood).
+superstep / neighborhood-intersection under the hood).
 
 Exact-integer discipline: ranks live in BIGINT "nano-rank" units
 (initial rank 10^9 per node) and every per-edge contribution is a BIGINT
