@@ -461,7 +461,19 @@ DRIVER_WINDOW: list[str] = [
     # streaming_novelty_probe in-window, whose oracle recomputes the
     # relational novelty end-to-end).  (r7-era slot history:
     # ngram_novelty_score had replaced curation_pipeline_stats.)
-    "bloom_decontamination",
+    # round-14 rotation (late): graph_kcore_membership — k-core
+    # decomposition, the graph family's FOURTH algorithm class (density
+    # peeling; driver-side fixpoint loop whose state is two scalars,
+    # each peel one degree aggregate + two semi-filter equi-joins;
+    # oracle = the peel unrolled KCORE_MAX_PEELS times as MATERIALIZED
+    # CTEs, with a loud engine-side convergence guard so both engines
+    # provably describe the same iterate) — in for bloom_decontamination
+    # (green r10-r13 plus an r10-era row: FIVE hard greens, the last
+    # remaining entry on the r13 verdict's eligibility list; the
+    # decontamination machinery — bloom build, survivors' exact verify —
+    # stays pytest-oracle-checked every round via its own registry entry
+    # and the x1000 tier row (31.9) stands).
+    "graph_kcore_membership",
     # --- round-6 late additions: corpus-frequency rarity scoring + mixture
     # --- reweighting take the slots of text_quality_score and
     # --- multimodal_payload_stats (each green r3+r4+r5; text-quality and

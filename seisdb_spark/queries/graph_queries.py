@@ -406,3 +406,148 @@ def triangle_census(edges: DataFrame, topk: int | None = TRI_TOPK) -> DataFrame:
         .orderBy(F.desc("tri_count"), "part_id")
         .limit(topk if topk is not None else 2**31 - 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (density peeling)
+# ---------------------------------------------------------------------------
+#: the core threshold: avg co-purchase degree is ~116 at every SF, and the
+#: probe sweep showed k=80 is the interesting regime — a real multi-round
+#: peeling cascade (5 rounds at sf0.01) that leaves a strict, non-empty
+#: core (1857 of 2000 nodes); k >= 90 collapses the whole graph (also a
+#: valid exact answer, but a vacuous driver row).
+KCORE_K = 80
+#: loud convergence bound: the oracle unrolls exactly this many peels, so
+#: the engine must reach the fixpoint within it (observed <= 5; 24 is the
+#: ~5x margin the PR overflow-headroom discipline calls for).
+KCORE_MAX_PEELS = 24
+
+
+def kcore_core(
+    edges: DataFrame, k: int = KCORE_K, max_peels: int = KCORE_MAX_PEELS
+) -> DataFrame:
+    """Fixpoint k-core peeling over a canonical (u < v) edge set: drop
+    every node with degree < k, re-derive degrees, repeat until the edge
+    set stops changing; return the core membership (part_id,
+    core_degree).  Each peel is ONE degree aggregate + two node-keyed
+    semi-filter equi-joins — the same join+aggregate superstep shape the
+    tier-certified PageRank stages use — and each round's survivor edge
+    set is localCheckpointed so iteration i+1 reads a materialized table
+    instead of re-running the whole peel history (the pagerank_edges
+    discipline).  The loop is driver-side but its state is two scalars
+    (edge counts); all data stays executor-side.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_peels``: the DuckDB oracle unrolls exactly that many peels, so
+    an unconverged engine result would be compared against a
+    mid-cascade oracle state — fail loudly instead (observed rounds at
+    driver SFs: <= 5)."""
+    e = edges
+    m = e.count()
+    for _ in range(max_peels):
+        if m == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n").localCheckpoint(
+            eager=False
+        )
+        e2 = (
+            e.join(keep.select(F.col("n").alias("u")), "u")
+            .join(keep.select(F.col("n").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        m2 = e2.count()
+        if m2 == m:
+            break
+        e, m = e2, m2
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge within {max_peels} rounds — "
+            "the unrolled oracle would compare a mid-cascade state; raise "
+            "KCORE_MAX_PEELS (and regenerate the oracle) deliberately"
+        )
+    # at the fixpoint every endpoint has degree >= k by construction
+    return (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("n").cast("bigint").alias("part_id"), "core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and e{{i}} references e{{i-1}} four times (degree union
+    # twice + two IN subqueries) — inlining would duplicate the base
+    # scan ~4^N times and die on open file handles before planning
+    base = """
+        WITH ps AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM ps a
+            JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        )"""
+    prev = "e0"
+    for i in range(1, KCORE_MAX_PEELS + 1):
+        base += f""", s{i} AS MATERIALIZED (
+            SELECT n FROM (
+                SELECT n, count(*) AS d FROM (
+                    SELECT u AS n FROM {prev}
+                    UNION ALL SELECT v FROM {prev}
+                ) GROUP BY n
+            ) WHERE d >= {KCORE_K}
+        ), e{i} AS MATERIALIZED (
+            SELECT u, v FROM {prev}
+            WHERE u IN (SELECT n FROM s{i})
+              AND v IN (SELECT n FROM s{i})
+        )"""
+        prev = f"e{i}"
+    return base + f"""
+        SELECT CAST(n AS BIGINT) AS part_id,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT u AS n FROM {prev}
+            UNION ALL SELECT v FROM {prev}
+        )
+        GROUP BY n
+    """
+
+
+@query(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle(),
+    doc=f"K-CORE DECOMPOSITION (the graph family's fourth algorithm "
+    "class — density peeling, next to CC's connectivity, PageRank's "
+    "propagation, and the triangle census's local structure; the "
+    "canonical graph-quality / spam-farm filter in web-corpus "
+    f"curation): the {KCORE_K}-core of the part co-purchase graph — "
+    "iteratively drop nodes with degree < k until every survivor has "
+    "core degree >= k, return the membership with exact core degrees.  "
+    "Engine shape: a driver-side fixpoint loop whose state is two edge "
+    "COUNTS; each peel is one degree aggregate + two node-keyed "
+    "semi-filter equi-joins over the localCheckpointed survivor set "
+    "(the superstep shape the graphscale tiers certify for PageRank), "
+    "so per-round cost shrinks with the cascade and nothing corpus-"
+    "sized ever reaches the driver.  Peeling is anti-monotone — NOT "
+    "expressible as one Catalyst plan or a recursive CTE with a "
+    "single self-reference — which is exactly why the loop is the "
+    "honest form; the ORACLE unrolls the peel exactly KCORE_MAX_PEELS "
+    f"(= {KCORE_MAX_PEELS}) times (the PageRank unrolled-CTE pattern) "
+    "and the engine raises loudly if the fixpoint needs more rounds "
+    "(observed: 5 at sf0.01), so both engines provably describe the "
+    "same iterate.  Exact integer degrees; the fixpoint is unique "
+    "(k-cores are order-independent), so the membership value-hashes.",
+    bench=True,
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return kcore_core(copurchase_edges(li))

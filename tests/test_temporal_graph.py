@@ -576,3 +576,78 @@ def test_orientation_bounds_out_degree_on_planted_hub(spark):
     assert census[hub] == 10  # one per K5 edge among its neighbors
     assert all(census[n] == 10 for n in range(1, 6))  # 6 core + 4 hub
     assert sum(census.values()) == 60  # 3 * (C(5,3) + C(5,2)) triangles
+
+
+def test_kcore_planted_cascade(spark):
+    """Planted multi-round peeling cascade for k=2: a 4-node path
+    (10-11-12-13) hanging off a triangle (1-2-3 via node 13... edges
+    below) peels EXACTLY one layer per round — the leaf first, then the
+    newly-exposed end, until only the triangle (the 2-core, every
+    degree exactly 2) survives.  Pins the fixpoint value, the cascade
+    actually iterating (max_peels=1 must raise), and the empty-graph
+    result for an impossible k."""
+    import pytest
+
+    from seisdb_spark.queries.graph_queries import kcore_core
+
+    tri = [(1, 2), (1, 3), (2, 3)]
+    path = [(3, 10), (10, 11), (11, 12)]  # hangs off triangle node 3
+    edges = spark.createDataFrame(
+        [{"u": u, "v": v} for u, v in tri + path], "u bigint, v bigint"
+    )
+    got = {
+        int(r.part_id): int(r.core_degree)
+        for r in kcore_core(edges, k=2, max_peels=10).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # the cascade needs 3 peel rounds (12 -> 11 -> 10); a 1-round budget
+    # must fail LOUDLY, never return the mid-cascade state
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_core(edges, k=2, max_peels=1).collect()
+
+    # k above the max degree: the core is empty, with the right schema
+    empty = kcore_core(edges, k=10, max_peels=10)
+    assert empty.count() == 0
+    assert empty.columns == ["part_id", "core_degree"]
+
+
+def test_kcore_matches_brute_force_on_random_graphs(spark):
+    """The peeling fixpoint vs an independent pure-Python peeler on the
+    same deterministic pseudo-random graphs the triangle property test
+    uses (k-cores are unique, so any peeling order agrees)."""
+    from seisdb_spark.queries.graph_queries import kcore_core
+
+    def brute_kcore(edge_set, k):
+        adj = {}
+        for u, v in edge_set:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for o in adj.pop(n):
+                        adj[o].discard(n)
+                    changed = True
+        return {n: len(ns) for n, ns in adj.items() if ns}
+
+    for seed in (0, 3, 7):
+        n = 14 + seed
+        edge_set = {
+            (u, v)
+            for u in range(1, n + 1)
+            for v in range(u + 1, n + 1)
+            if (u * 2654435761 + v * 40503 + seed * 97) % 1000 < 400
+        }
+        edges = spark.createDataFrame(
+            [{"u": u, "v": v} for u, v in sorted(edge_set)],
+            "u bigint, v bigint",
+        )
+        for k in (2, 4, 6):
+            got = {
+                int(r.part_id): int(r.core_degree)
+                for r in kcore_core(edges, k=k, max_peels=30).collect()
+            }
+            assert got == brute_kcore(edge_set, k), f"seed={seed} k={k}"
