@@ -35,6 +35,26 @@ def main() -> None:
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
 
+    # Validate the projected contract-line length BEFORE the ~2-minute
+    # timing loop (worst-case field widths): failing after the run would
+    # discard its results (r14 advice — and a bare assert strips under -O).
+    probe = json.dumps(
+        {
+            "metric": "headline_query_wall_clock",
+            "value": 99999.9999,
+            "unit": "sec",
+            "n_queries": 99999,
+            "n_warm": N_WARM,
+            "cold_total": 99999.9999,
+            "sf": 99.999,
+        }
+    )
+    if len(probe) >= 500:
+        raise RuntimeError(
+            f"projected contract line is {len(probe)} chars — trim fields "
+            "before running (the driver tail-captures ~2000 chars)"
+        )
+
     # The first pass pays one-time costs (JVM + whole-stage-codegen JIT per
     # plan shape, Python worker spin-up, parquet footer caches) and is
     # reported as cold_total; the N_WARM following passes measure the
@@ -45,6 +65,20 @@ def main() -> None:
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+
+    def timed_pass(name, spec) -> float:
+        # Fixpoint queries (k-core peel, BFS frontier) execute their loop
+        # at PLAN BUILD: under the registry plan cache a warm re-collect
+        # times only the final aggregate (~70x under the honest cost for
+        # k-core — the r14 headline caveat).  Defeating the cache inside
+        # the timed region prices construction+execution every pass.
+        if spec.fixpoint:
+            spark.__dict__.get("_seisdb_plan_cache", {}).pop(
+                (name, sf_dir), None
+            )
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        return time.perf_counter() - t0
     # One trivial job before the loop: session/JVM/scheduler spin-up and the
     # first parquet listing otherwise land entirely on whichever query sorts
     # first (ann_signbucket_topk absorbed ~4 s of it), making its cold time
@@ -52,14 +86,10 @@ def main() -> None:
     # Python-worker, and footer costs — the part that belongs to it.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     for name, spec in sorted(bench_specs.items()):
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 4)
+        cold[name] = round(timed_pass(name, spec), 4)
         samples: list[float] = []
         for _ in range(N_WARM):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
+            samples.append(timed_pass(name, spec))
         per_query[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
@@ -94,7 +124,12 @@ def main() -> None:
             "sf": sf,
         }
     )
-    assert len(contract) < 500, "contract line must survive tail capture"
+    if len(contract) >= 500:  # explicit (assert strips under -O) and loud
+        raise RuntimeError(
+            f"contract line is {len(contract)} chars — it must stay well "
+            "under the ~2000-char driver tail capture; a field addition "
+            "regrew it (move detail to the first line)"
+        )
     print(contract)
     spark.stop()
 

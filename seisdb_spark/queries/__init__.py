@@ -248,17 +248,20 @@ DRIVER_WINDOW: list[str] = [
     # curation_keep_set in-window, and the LSH-blocked Levenshtein
     # verify stays pytest-oracle-checked every round)
     "streaming_gapfill",
-    # round-12 rotation (late block — six swaps for the round's six new
-    # oracle-bearing operators, forced in-window by the cumulative-
-    # coverage governance test): cdc_snapshot_apply — CDC last-writer-
-    # wins log replay, the MERGE-with-tombstones class (queries/
-    # temporal.py: ONE combiner-friendly struct-max aggregate, no per-key
-    # window sort) — in for doc_winnowing_fingerprints (green r3-r11,
-    # NINE hard rows, rotation-eligible per the r11 verdict; the
-    # fingerprint machinery stays pytest-oracle-checked and the text
-    # family keeps ngram_lm_perplexity + the LM streaming twins
-    # in-window).
-    "cdc_snapshot_apply",
+    # round-15 rotation (governance-forced: new oracle-bearing entries
+    # start in-window): graph_bfs_hops — multi-source BFS hop distance,
+    # the graph family's FIFTH algorithm class (reachability/distance;
+    # driver-side frontier loop with one-scalar state, each round one
+    # src-keyed equi-join + distinct + anti-join over checkpointed
+    # frontiers; oracle = the frontier ladder unrolled BFS_MAX_HOPS
+    # times as MATERIALIZED CTEs — the cap makes the semantics total,
+    # so no convergence guard is needed) — in for cdc_snapshot_apply
+    # (green r12+r13+r14, thrice-green rotation-eligible; the CDC
+    # family keeps streaming_cdc_apply in-window, which carries the
+    # batch snapshot's SQL verbatim over the same cdc_log/cdc_compact
+    # stages).  (r12-era slot history: cdc_snapshot_apply had replaced
+    # doc_winnowing_fingerprints, green r3-r11.)
+    "graph_bfs_hops",
     # round-12 rotation (r11 verdict item #1): sequence_packing_learned —
     # the learned-token-count packing form (rows-only: greedy FFD packing
     # is iterative; invariants pytest-pinned, planted ~2.25x divergence
@@ -441,17 +444,17 @@ DRIVER_WINDOW: list[str] = [
     # keeps streaming_decontamination, bloom_decontamination, and
     # curation_keep_set's decon stage in-window)
     "streaming_hll_rollup",
-    # round-12 rotation (r11 verdict item #4): window_range_trailing_day
-    # — the time-interval RANGE window frame class (trailing-24h per-user
-    # count/cents over irregular event timestamps: value-based peer-
-    # inclusive frames, the moving-aggregate semantics a ROWS frame
-    # cannot express; planted same-instant pytest pins the divergence) —
-    # in for salted_skew_agg (green r4-r11, EIGHT hard rows, rotation-
-    # eligible; the salting/skew machinery is a plan-shape technique
-    # pinned by its pytest plan assertions and the AQE skew-join test
-    # every round, and the aggregation family keeps cube_revenue,
-    # hist_quantile_rollup and the sketch rollups in-window).
-    "window_range_trailing_day",
+    # round-15 rotation (r14 verdict item #4: rotate in the entries with
+    # the FEWEST career greens — the r2-only SQL-surface cohort):
+    # window_frame_moving_sum — the ROWS-frame moving aggregate (one
+    # hard row, r2) — back in for window_range_trailing_day (green
+    # r12+r13+r14, thrice-green; the interval-RANGE-frame machinery
+    # stays in-window via anomaly_trailing_zscore, which evaluates the
+    # same trailing RANGE frame, and the rotated-out query stays
+    # pytest-oracle-checked every round).  (r12-era slot history:
+    # window_range_trailing_day had replaced salted_skew_agg, green
+    # r4-r11.)
+    "window_frame_moving_sum",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built
     # filter, broadcast 1-row dense word array, exact verify of bloom
@@ -505,15 +508,14 @@ DRIVER_WINDOW: list[str] = [
     # in-window via the sketch rollups and hist_quantile_rollup, and
     # the mixture-reweighting machinery stays pytest-oracle-checked)
     "cohort_retention",
-    # round-12 rotation: ohlc_time_bars — irregular-ticks-to-bars OHLC
-    # resampling (queries/temporal.py: open/close via struct min/max —
-    # argmin/argmax as ONE hash aggregate, no per-bar sort) — in for
-    # multimodal_decode_features (rows-only with NINE clean driver
-    # executions r3-r11, out per the dgf_pipeline_records precedent;
-    # the decode plumbing stays golden-pytest-checked every round and
-    # the multimodal header/payload machinery carries r4-r10 hard rows
-    # on record).
-    "ohlc_time_bars",
+    # round-15 rotation (fewest-career-greens cohort, cont.):
+    # outer_join_nation_activity — the multi-way outer-join family rep
+    # (one hard row, r2) — back in for ohlc_time_bars (green
+    # r12+r13+r14, thrice-green; the OHLC family keeps
+    # streaming_ohlc_bars in-window, which carries the batch query's
+    # SQL verbatim over the same ohlc_partials stage).  (r12-era slot
+    # history: ohlc_time_bars had replaced multimodal_decode_features.)
+    "outer_join_nation_activity",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
@@ -604,17 +606,15 @@ DRIVER_WINDOW: list[str] = [
     # pytest-oracle-checked, and corpus-summary coverage stays in-window
     # via source_mix_weights + the sketch rollups)
     "streaming_weighted_sample",
-    # round-12 rotation (r11 verdict item #3): intersect_all_priorities —
-    # INTERSECT ALL, completing the six-member set-op family (bag-
-    # semantics intersection next to r11's except_all_priorities: per-
-    # value least(n_a, n_b) multiplicity via ONE signed-count exchange,
-    # same duplicate-heavy input so a bag/distinct confusion is
-    # unmissable) — in for packing_efficiency (green r6-r11, SIX hard
-    # rows, rotation-eligible; the packing family keeps the NEW
-    # sequence_packing_learned in-window — the strictly stronger learned-
-    # count form whose stats compose the same bin-packing machinery —
-    # and the efficiency audit stays pytest-oracle-checked every round).
-    "intersect_all_priorities",
+    # round-15 rotation (fewest-career-greens cohort, cont.):
+    # median_acctbal_by_segment — exact grouped median (one hard row,
+    # r2) — back in for intersect_all_priorities (green r12+r13+r14,
+    # thrice-green; the set-op family keeps except_all_priorities
+    # in-window — the same signed-count-aggregate plan shape on the
+    # same duplicate-heavy input).  (r12-era slot history:
+    # intersect_all_priorities had replaced packing_efficiency, green
+    # r6-r11.)
+    "median_acctbal_by_segment",
     # --- round-5 rotation: first driver rows for the two new ops + the
     # --- newly-oracle-bearing sliding stream (swapped in for text_stats /
     # --- bpe_token_estimate / lang_id_ngram, each green r2+r3+r4) -----------
@@ -729,13 +729,14 @@ DRIVER_WINDOW: list[str] = [
     # in-window, and the events/window family keeps gapfill, funnel,
     # cohort and their streaming twins in-window)
     "event_transition_matrix",
-    # round-12 rotation: ntile_price_deciles — NTILE equi-depth bucketing,
-    # completing the ranking-function family's assignment-semantics member
-    # (queries/temporal.py; the ANSI ceil-first bucket rule is part of the
-    # value hash) — in for pii_redaction (green r7-r11, FIVE hard rows,
-    # rotation-eligible per the r11 verdict; the PII machinery stays
-    # pytest-oracle-checked and its scan-gate twin carries r6-era rows).
-    "ntile_price_deciles",
+    # round-15 rotation (fewest-career-greens cohort, cont.):
+    # rank_distribution_customers — the rank/dense_rank ranking-function
+    # family rep (one hard row, r2) — back in for ntile_price_deciles
+    # (green r12+r13+r14, thrice-green; the ranking family keeps THIS
+    # member in-window and NTILE's ceil-first bucket rule stays
+    # pytest-oracle-checked every round).  (r12-era slot history:
+    # ntile_price_deciles had replaced pii_redaction, green r7-r11.)
+    "rank_distribution_customers",
 ]
 
 

@@ -31,12 +31,24 @@ class QuerySpec:
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    #: True for driver-loop fixpoint queries (k-core peel, BFS frontier):
+    #: their iterations execute at PLAN BUILD, so under the registry plan
+    #: cache a warm re-collect times only the final aggregate (~70x under
+    #: the honest cost for k-core).  bench.py and tools/scale_stress.py
+    #: defeat the cache and time construction+execution for these.
+    fixpoint: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bench: bool = False,
+    fixpoint: bool = False,
+):
     """Decorator registering a Spark query with its DuckDB oracle twin.
 
     The registered callable memoizes the *lazy* analyzed DataFrame per
@@ -69,7 +81,12 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
         cached.__name__ = fn.__name__
         cached.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
-            name=name, spark=cached, oracle=oracle, doc=doc, bench=bench
+            name=name,
+            spark=cached,
+            oracle=oracle,
+            doc=doc,
+            bench=bench,
+            fixpoint=fixpoint,
         )
         return fn
 

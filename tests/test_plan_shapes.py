@@ -35,6 +35,12 @@ CHECKED = sorted(
 @pytest.mark.parametrize("name", CHECKED)
 def test_stress_plan_predicate_holds_at_gate_sf(spark, name):
     spec = REGISTRY[name]
+    if spec.fixpoint:
+        # driver-loop queries capture their per-round superstep plans as
+        # a side effect of the loop, which runs at plan build — defeat
+        # the plan cache so the round plans the predicate inspects are
+        # from THIS corpus, not whichever invocation cached the plan
+        spark.__dict__.get("_seisdb_plan_cache", {}).pop((name, SF_DIR), None)
     df = spec.spark(spark, SF_DIR)
     if name in OUTPUT_UNBOUNDED:
         # corpus-scaled outputs stay executor-side (SF_DIR is

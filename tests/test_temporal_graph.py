@@ -651,3 +651,122 @@ def test_kcore_matches_brute_force_on_random_graphs(spark):
                 for r in kcore_core(edges, k=k, max_peels=30).collect()
             }
             assert got == brute_kcore(edge_set, k), f"seed={seed} k={k}"
+
+
+def test_bfs_planted_path_and_unreachable_component(spark):
+    """Planted multi-round frontier expansion: a 6-node path seeded at
+    node 100 (100 % 100 == 0 picks exactly it) must assign hops = path
+    distance; a disjoint component with no seed must be absent; the hop
+    CAP must truncate (not error — capped semantics is total, unlike the
+    k-core fixpoint)."""
+    from seisdb_spark.queries.graph_queries import bfs_hops
+
+    path = [(100, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    island = [(7, 8), (8, 9)]  # no node divisible by 100 — unreachable
+    edges = spark.createDataFrame(
+        [{"u": u, "v": v} for u, v in path + island], "u bigint, v bigint"
+    )
+    got = {
+        int(r.part_id): int(r.hops)
+        for r in bfs_hops(edges, seed_mod=100, max_hops=10).collect()
+    }
+    assert got == {100: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+    # cap below the path length: nodes beyond the cap are EXCLUDED
+    capped = {
+        int(r.part_id): int(r.hops)
+        for r in bfs_hops(edges, seed_mod=100, max_hops=2).collect()
+    }
+    assert capped == {100: 0, 1: 1, 2: 2}
+
+    # no seeds at all: empty result with the right schema
+    empty = bfs_hops(edges, seed_mod=10**9, max_hops=3)
+    assert empty.count() == 0
+    assert empty.columns == ["part_id", "hops"]
+
+
+def test_bfs_nearest_seed_on_multi_seed_graphs(spark):
+    """Multi-source semantics vs an independent pure-Python BFS on the
+    deterministic pseudo-random graphs the k-core test uses: hops =
+    distance to the NEAREST seed, levels set-unique regardless of visit
+    order."""
+    import collections
+
+    from seisdb_spark.queries.graph_queries import bfs_hops
+
+    def brute_bfs(edge_set, seed_mod, max_hops):
+        adj = collections.defaultdict(set)
+        nodes = set()
+        for u, v in edge_set:
+            adj[u].add(v)
+            adj[v].add(u)
+            nodes |= {u, v}
+        dist = {n: 0 for n in nodes if n % seed_mod == 0}
+        frontier = set(dist)
+        for h in range(1, max_hops + 1):
+            frontier = {
+                m for n in frontier for m in adj[n] if m not in dist
+            }
+            for m in frontier:
+                dist[m] = h
+            if not frontier:
+                break
+        return dist
+
+    for seed in (0, 3, 7):
+        n = 14 + seed
+        edge_set = {
+            (u, v)
+            for u in range(1, n + 1)
+            for v in range(u + 1, n + 1)
+            if (u * 2654435761 + v * 40503 + seed * 97) % 1000 < 120
+        }
+        edges = spark.createDataFrame(
+            [{"u": u, "v": v} for u, v in sorted(edge_set)],
+            "u bigint, v bigint",
+        )
+        for mod in (5, 7):
+            got = {
+                int(r.part_id): int(r.hops)
+                for r in bfs_hops(edges, seed_mod=mod, max_hops=6).collect()
+            }
+            assert got == brute_bfs(edge_set, mod, 6), f"seed={seed} mod={mod}"
+
+
+def test_bfs_replica_invariant(spark):
+    """Value certification of the graphscale tier construction for BFS:
+    the hop table over N disjoint id-offset copies of the sf0.001 graph
+    must equal the factor-1 table with every replica's rows mapped
+    through the offset (ID_OFFSET is a multiple of BFS_SEED_MOD, so each
+    copy carries its own seeds)."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import (
+        bfs_hops,
+        copurchase_edges,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    off = 10**7  # ID_OFFSET in tools/scale_stress.py
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + r * off).alias("l_orderkey"),
+            (F.col("l_partkey") + r * off).alias("l_partkey"),
+        )
+        for r in range(3)
+    ]
+    li3 = reps[0].unionByName(reps[1]).unionByName(reps[2])
+
+    base = {
+        int(r.part_id): int(r.hops)
+        for r in bfs_hops(copurchase_edges(li)).collect()
+    }
+    want = {pid + r * off: h for r in range(3) for pid, h in base.items()}
+    got = {
+        int(r.part_id): int(r.hops)
+        for r in bfs_hops(copurchase_edges(li3)).collect()
+    }
+    assert got == want
