@@ -50,12 +50,22 @@ def main() -> None:
     mm: dict[str, list[float]] = {}
     for name in args.names:
         spec = REGISTRY[name]
-        spec.spark(spark, args.sf_dir).count()  # cold pass, untimed
-        samples = []
-        for _ in range(args.n):
+
+        def one_pass() -> float:
+            # fixpoint (driver-loop) queries iterate at plan build: defeat
+            # the plan cache inside the timed region, same as bench.py
+            if spec.fixpoint:
+                spark.__dict__.get("_seisdb_plan_cache", {}).pop(
+                    (name, args.sf_dir), None
+                )
             t0 = time.perf_counter()
             spec.spark(spark, args.sf_dir).count()
-            samples.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        one_pass()  # cold pass, untimed
+        samples = []
+        for _ in range(args.n):
+            samples.append(one_pass())
         med[name] = round(statistics.median(samples), 4)
         mm[name] = [round(min(samples), 4), round(max(samples), 4)]
     print(json.dumps({"queries": med, "min_max": mm, "n": args.n}))
