@@ -833,7 +833,13 @@ OVERRIDE_GENERATORS = {
 }
 
 
-def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
+def time_query(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    n: int = 3,
+    warmup: bool = True,
+):
     """Median wall time over n warm runs (one untimed warm-up) + the
     AQE-final executed plan of the last run.
 
@@ -880,7 +886,12 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n: int = 3):
         # BETWEEN timed passes, so it costs no measured time.
         spark.sparkContext._jvm.System.gc()
 
-    run(fresh())  # warm-up: codegen + file listing
+    if warmup:
+        run(fresh())  # warm-up: codegen + file listing
+    # --no-warmup is the x1000 single-pass protocol: a >30-minute tier
+    # pass cannot afford a second full execution just to warm codegen,
+    # and for fixpoint queries every pass rebuilds the loop anyway — the
+    # recorded number is then a COLD pass, stated in the tier notes.
     times, df = [], None
     for _ in range(n):
         df = None  # drop the prior pass's Dataset BEFORE the GC, or its
@@ -929,6 +940,12 @@ def main() -> int:
         help="write results to this JSON path even for --only runs (used "
         "for the per-factor BENCH_SCALE_x{N}.json tier artifacts)",
     )
+    ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the untimed warm-up pass (the x1000 single-pass "
+        "protocol: recorded numbers are then COLD passes)",
+    )
     args = ap.parse_args()
 
     from seisdb_spark.session import get_spark
@@ -952,8 +969,12 @@ def main() -> int:
             big_dir = gen_override(spark, args.out, args.factor)
         else:
             base_dir, big_dir = SRC_DIR, scale_dir
-        t_base, p_base = time_query(spark, name, base_dir, args.runs)
-        t_big, p_big = time_query(spark, name, big_dir, args.runs)
+        t_base, p_base = time_query(
+            spark, name, base_dir, args.runs, warmup=not args.no_warmup
+        )
+        t_big, p_big = time_query(
+            spark, name, big_dir, args.runs, warmup=not args.no_warmup
+        )
         # graphscale rows carry a suffixed key so a full re-run can never
         # clobber a plain-corpus historical row with derived-corpus numbers
         # (graph_pagerank_topk has both kinds on record).  richvocab keeps
