@@ -286,19 +286,20 @@ DRIVER_WINDOW: list[str] = [
     # learned-packing invariants stay pytest-pinned and its
     # learned_token_counts stage stays pytest-checked every round).
     "streaming_pagerank_topk",
-    # round-12 rotation (r11 verdict item #5): streaming_funnel_steps —
-    # the ordered-sequence class's scan-once-at-ingest form (23rd
-    # oracle-bearing streaming entry: the fold is NOT split-computable,
-    # so the streamed state is the observation log — per-microbatch
-    # funnel-typed rows from the SAME funnel_typed stage, compacted by
-    # the SAME funnel_steps_from_log; row-set union is split-invariant
-    # by construction; shares the batch funnel's oracle) — in for
-    # ann_signbucket_topk (green r7-r11, NINE hard rows, rotation-
-    # eligible; the ANN family keeps pq_recall_eval and mrl_pq_adc_topk
-    # in-window — pq_recall_eval's oracle recomputes the exact top-k
-    # baseline the sign-bucket probe is gated against — and the banded
-    # sign-LSH machinery stays pytest-oracle-checked every round).
-    "streaming_funnel_steps",
+    # round-15 rotation (late — governance-forced: new oracle-bearing
+    # entries start in-window): graph_sssp_cost — bounded Bellman-Ford
+    # weighted shortest-path cost, the graph family's SIXTH algorithm
+    # class (relaxation: a node's tentative cost can improve after
+    # first visit, so the loop state is the full checkpointed cost
+    # table, unlike BFS's append-only frontiers; fixed round count
+    # makes the semantics total, oracle = the min-plus ladder unrolled
+    # as MATERIALIZED CTEs) — in for streaming_funnel_steps (green
+    # r12+r13+r14, thrice-green; the funnel family keeps
+    # funnel_conversion_steps AND funnel_sessionized in-window, and the
+    # streaming family keeps 15+ members).  (r12-era slot history:
+    # streaming_funnel_steps had replaced ann_signbucket_topk, green
+    # r7-r11.)
+    "graph_sssp_cost",
     # round-11 rotation (tenth swap): streaming_quantile_rollup — the
     # histogram sketch's ingest twin (16th oracle-bearing streaming
     # entry; per-microbatch bin-count partials, addition-merged —

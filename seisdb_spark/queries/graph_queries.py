@@ -737,6 +737,154 @@ def _bfs_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford weighted shortest-path cost (relaxation)
+# ---------------------------------------------------------------------------
+#: deterministic positive integer edge weight, derived identically in both
+#: engines: w(u, v) = 1 + (u + v) % 8.  The modulus 8 divides the
+#: graphscale replica offset (10^7 = 2^7 * 5^7), so every disjoint copy
+#: carries the SAME weights and the cost table replicates exactly — the
+#: same invariance the seed modulus relies on.
+SSSP_WEIGHT_MOD = 8
+#: relaxation rounds: the engine runs EXACTLY this many (min-plus
+#: relaxation is monotone non-increasing, so extra rounds past
+#: convergence are no-ops on the values) and the oracle unrolls the same
+#: ladder — "minimum path cost from any seed using <= SSSP_MAX_EDGES
+#: edges" is a total semantics, no convergence guard needed.
+SSSP_MAX_EDGES = 8
+SSSP_ROUND_PLANS: list[str] = []
+
+
+def sssp_cost(
+    edges: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    max_edges: int = SSSP_MAX_EDGES,
+) -> DataFrame:
+    """Bounded Bellman-Ford: minimum-cost path from the nearest seed
+    (nodes divisible by ``seed_mod``) using at most ``max_edges`` edges,
+    over a canonical (u < v) edge set with weights 1 + (u + v) %
+    SSSP_WEIGHT_MOD.  Returns (part_id, min_cost) for reachable nodes.
+
+    This is the RELAXATION class, not BFS's frontier class: a node's
+    tentative cost can IMPROVE in later rounds (a cheap many-hop path
+    beats an expensive direct edge — pinned by a planted pytest), so the
+    loop state is the full tentative-cost table, re-derived and
+    checkpointed each round (superseded rounds released, the k-core
+    discipline), not an append-only union of frontiers.  Each round is
+    ONE src-keyed equi-join of the weighted symmetric edge projection
+    against the previous cost table + ONE min-combiner aggregate —
+    map-side partials collapse the per-node candidate set before the
+    shuffle, the textbook distributed Bellman-Ford superstep.  Driver
+    state is one scalar (the materialization count).  Exact BIGINT
+    min-plus arithmetic (costs <= max_edges * 8), so the table
+    value-hashes across engines."""
+    SSSP_ROUND_PLANS.clear()
+    w = (F.lit(1) + (F.col("u") + F.col("v")) % SSSP_WEIGHT_MOD).cast("bigint")
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("w")
+    ).unionByName(
+        edges.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), w.alias("w")
+        )
+    )
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % seed_mod == 0)
+        .select("node", F.lit(0).cast("bigint").alias("cost"))
+        .localCheckpoint(eager=False)
+    )
+    dist_owned = False
+    for _ in range(max_edges):
+        relax = sym.join(dist, sym.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        new_join = (
+            dist.select("node", "cost")
+            .unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        new = new_join.localCheckpoint(eager=False)
+        new.count()  # materialize: next round reads blocks, not lineage
+        SSSP_ROUND_PLANS.append(final_plan(new_join))
+        if dist_owned:
+            _release_checkpoint(dist)
+        dist, dist_owned = new, True
+    return dist.select(
+        F.col("node").cast("bigint").alias("part_id"),
+        F.col("cost").alias("min_cost"),
+    )
+
+
+def _sssp_oracle() -> str:
+    base = """
+        WITH ps AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM ps a
+            JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        ), symw AS MATERIALIZED (
+            SELECT u AS src, v AS dst,
+                   CAST(1 + (u + v) % {wmod} AS BIGINT) AS w FROM e0
+            UNION ALL
+            SELECT v, u, CAST(1 + (u + v) % {wmod} AS BIGINT) FROM e0
+        ), d0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+            FROM symw WHERE src % {smod} = 0
+        )""".format(wmod=SSSP_WEIGHT_MOD, smod=BFS_SEED_MOD)
+    prev = "d0"
+    for i in range(1, SSSP_MAX_EDGES + 1):
+        base += f""", d{i} AS MATERIALIZED (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM {prev}
+                UNION ALL
+                SELECT s.dst, d.cost + s.w
+                FROM symw s JOIN {prev} d ON s.src = d.node
+            ) GROUP BY node
+        )"""
+        prev = f"d{i}"
+    return base + f"""
+        SELECT CAST(node AS BIGINT) AS part_id,
+               CAST(cost AS BIGINT) AS min_cost
+        FROM {prev}
+    """
+
+
+@query(
+    "graph_sssp_cost",
+    oracle=_sssp_oracle(),
+    doc=f"BOUNDED BELLMAN-FORD SHORTEST-PATH COST (the graph family's "
+    "SIXTH algorithm class — weighted relaxation; distinct from BFS's "
+    "frontier expansion because a node's tentative cost can IMPROVE "
+    "after first visit, so the loop state is the full cost table, not "
+    "an append-only frontier union): minimum path cost from the "
+    f"nearest seed (part ids divisible by {BFS_SEED_MOD}) using at "
+    f"most {SSSP_MAX_EDGES} edges, weights 1 + (u + v) % "
+    f"{SSSP_WEIGHT_MOD} (the modulus divides the graphscale replica "
+    "offset, so the cost table replicates exactly under the derived "
+    "corpus).  Engine shape: exactly max_edges relaxation supersteps — "
+    "per round ONE src-keyed equi-join of the weighted symmetric edge "
+    "projection against the checkpointed previous cost table + ONE "
+    "min-combiner aggregate (map-side partials collapse candidates "
+    "before the shuffle); superseded cost tables are released (the "
+    "k-core discipline).  The FIXED round count makes the semantics "
+    "total: min-plus relaxation is monotone, extra rounds past "
+    "convergence are value no-ops, and the oracle unrolls the same "
+    "ladder — no convergence guard needed.  Exact BIGINT min-plus "
+    "(costs <= 64), so the table value-hashes.  fixpoint=True: the "
+    "loop runs at plan build — bench/tier harnesses defeat the plan "
+    "cache and price it honestly.",
+    bench=True,
+    fixpoint=True,
+)
+def graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return sssp_cost(copurchase_edges(li))
+
+
 @query(
     "graph_bfs_hops",
     oracle=_bfs_oracle(),

@@ -770,3 +770,110 @@ def test_bfs_replica_invariant(spark):
         for r in bfs_hops(copurchase_edges(li3)).collect()
     }
     assert got == want
+
+
+def test_sssp_cost_beats_hops_on_planted_triangle(spark):
+    """The relaxation-vs-frontier divergence pin: with w = 1 + (u+v) % 8,
+    the 2-edge path 3-5-11 (cost 1+1) must beat the direct edge 3-11
+    (cost 7) — a hop-minimizing BFS would stop at the 1-edge answer.
+    Node 3 is the only seed under seed_mod=3 in this node set."""
+    from seisdb_spark.queries.graph_queries import sssp_cost
+
+    edges = spark.createDataFrame(
+        [{"u": 3, "v": 5}, {"u": 5, "v": 11}, {"u": 3, "v": 11}],
+        "u bigint, v bigint",
+    )
+    got = {
+        int(r.part_id): int(r.min_cost)
+        for r in sssp_cost(edges, seed_mod=3, max_edges=4).collect()
+    }
+    # w(3,5) = 1 + 8%8 = 1; w(5,11) = 1 + 16%8 = 1; w(3,11) = 1 + 14%8 = 7
+    assert got == {3: 0, 5: 1, 11: 2}
+
+    # edge budget 1: the relaxation is cut off before the cheap detour,
+    # so the direct edge's cost 7 stands — pins the <= max_edges cap
+    capped = {
+        int(r.part_id): int(r.min_cost)
+        for r in sssp_cost(edges, seed_mod=3, max_edges=1).collect()
+    }
+    assert capped == {3: 0, 5: 1, 11: 7}
+
+
+def test_sssp_matches_brute_force_on_random_graphs(spark):
+    """Engine relaxation vs an independent pure-Python Bellman-Ford on
+    the deterministic pseudo-random graphs the k-core/BFS tests use."""
+    from seisdb_spark.queries.graph_queries import SSSP_WEIGHT_MOD, sssp_cost
+
+    def brute(edge_set, seed_mod, max_edges):
+        nodes = sorted({u for u, _ in edge_set} | {v for _, v in edge_set})
+        wadj = []
+        for u, v in edge_set:
+            w = 1 + (u + v) % SSSP_WEIGHT_MOD
+            wadj += [(u, v, w), (v, u, w)]
+        dist = {n: 0 for n in nodes if n % seed_mod == 0}
+        for _ in range(max_edges):
+            new = dict(dist)
+            for s, d, w in wadj:
+                if s in dist and (d not in new or dist[s] + w < new[d]):
+                    new[d] = dist[s] + w
+            dist = new
+        return dist
+
+    for seed in (0, 3, 7):
+        n = 14 + seed
+        edge_set = {
+            (u, v)
+            for u in range(1, n + 1)
+            for v in range(u + 1, n + 1)
+            if (u * 2654435761 + v * 40503 + seed * 97) % 1000 < 150
+        }
+        edges = spark.createDataFrame(
+            [{"u": u, "v": v} for u, v in sorted(edge_set)],
+            "u bigint, v bigint",
+        )
+        for mod in (5, 7):
+            got = {
+                int(r.part_id): int(r.min_cost)
+                for r in sssp_cost(edges, seed_mod=mod, max_edges=6).collect()
+            }
+            assert got == brute(edge_set, mod, 6), f"seed={seed} mod={mod}"
+
+
+def test_sssp_replica_invariant(spark):
+    """Value certification of the graphscale tier for the WEIGHTED
+    operator: the weight modulus 8 divides ID_OFFSET = 10^7, so replica
+    copies carry identical weights and the cost table must replicate
+    exactly through the id offset (weights would change under a modulus
+    that does not divide the offset — this is the pin that keeps that
+    invariant from silently breaking)."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import (
+        copurchase_edges,
+        sssp_cost,
+    )
+    from seisdb_spark.sources.tables import load_table
+
+    off = 10**7
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + r * off).alias("l_orderkey"),
+            (F.col("l_partkey") + r * off).alias("l_partkey"),
+        )
+        for r in range(3)
+    ]
+    li3 = reps[0].unionByName(reps[1]).unionByName(reps[2])
+
+    base = {
+        int(r.part_id): int(r.min_cost)
+        for r in sssp_cost(copurchase_edges(li)).collect()
+    }
+    want = {pid + r * off: c for r in range(3) for pid, c in base.items()}
+    got = {
+        int(r.part_id): int(r.min_cost)
+        for r in sssp_cost(copurchase_edges(li3)).collect()
+    }
+    assert got == want

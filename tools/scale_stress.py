@@ -512,6 +512,16 @@ STRESS_QUERIES = {
         and not has_node(p, "BatchEvalPython")
         and _graph_round_plans_ok("BFS_ROUND_PLANS")
     ),
+    # bounded Bellman-Ford: every relaxation round ONE src-keyed
+    # equi-join + ONE min-combiner aggregate over the checkpointed cost
+    # table — same captured-round-plan discipline as k-core/BFS.
+    "graph_sssp_cost": lambda p: (
+        not has_node(p, "CartesianProduct")
+        and not has_node(p, "NestedLoopJoin")
+        and not has_node(p, "rangepartitioning")
+        and not has_node(p, "BatchEvalPython")
+        and _graph_round_plans_ok("SSSP_ROUND_PLANS")
+    ),
     # TWAP: ONE (user, day)-keyed exchange shared by the lead() window
     # and the aggregate — never a join, never a global sort
     "twap_daily_value": lambda p: (
@@ -562,6 +572,7 @@ OUTPUT_UNBOUNDED = {
     "twap_daily_value",  # one row per active (user, day)
     "graph_kcore_membership",  # one row per core node (~19k x factor)
     "graph_bfs_hops",  # one row per reached node (~20k x factor)
+    "graph_sssp_cost",  # one row per reachable node (~20k x factor)
 }
 
 #: Queries stressed on a DERIVED corpus instead of the plain scaled one.
@@ -583,6 +594,7 @@ DIR_OVERRIDE = {
     "graph_pagerank_topk": "graphscale",
     "graph_kcore_membership": "graphscale",
     "graph_bfs_hops": "graphscale",
+    "graph_sssp_cost": "graphscale",
 }
 
 
