@@ -33,12 +33,58 @@ Two forms:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from seisdb_spark.plancheck import final_plan
+
+_LOG = logging.getLogger(__name__)
+_RELEASE_FAILED_ONCE = False
+
+#: Executed per-round plans of the LAST :func:`connected_components` run
+#: (one entry per propagation round), captured for the scale harness: the
+#: returned labeling's plan only shows a projection over the last
+#: checkpointed iterate — the neighbour-min + pointer-jump joins execute
+#: behind localCheckpoint boundaries during the loop, so a predicate that
+#: reads only the final plan would certify nothing about the supersteps
+#: that dominate the cost (the KCORE_ROUND_PLANS discipline).
+CC_ROUND_PLANS: list[str] = []
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Unpersist the checkpointed RDD behind a localCheckpoint DataFrame.
+
+    A long propagation/peel cascade otherwise holds every superseded
+    round's blocks for the query lifetime (r14 advice).  Safe ONLY for
+    checkpoints the caller created and will never read again: a
+    localCheckpointed RDD has no lineage to recompute from once its
+    blocks are dropped.
+
+    A py4j surface drift (``queryExecution().analyzed().rdd()`` moving)
+    would silently turn every release into a no-op and let long cascades
+    re-accumulate blocks — so the first failure logs loudly (once per
+    process; r15 advice), and ``tests/test_graph_scale_shapes.py`` pins
+    that persistent-RDD count actually shrinks across a peel."""
+    global _RELEASE_FAILED_ONCE
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # non-checkpoint input / py4j drift: leak, don't crash — the
+        # blocks die with the session either way.  But say so ONCE.
+        if not _RELEASE_FAILED_ONCE:
+            _RELEASE_FAILED_ONCE = True
+            _LOG.warning(
+                "release_checkpoint failed (py4j surface drift?) — "
+                "superseded checkpoint blocks will accumulate for the "
+                "session lifetime",
+                exc_info=True,
+            )
+
 
 _CC_SCHEMA = T.StructType(
     [
@@ -123,7 +169,14 @@ def connected_components(
     dst-only vertex would silently never be labeled).  Each round
     localCheckpoints the labeling — cutting the lineage that would
     otherwise grow 4x per round — and runs one limit-1 count as the
-    convergence probe."""
+    convergence probe.  Each round's executed plan is appended to
+    :data:`CC_ROUND_PLANS` for the scale harness (the final labeling's
+    plan cannot show the propagation joins), and the superseded previous
+    round's checkpointed blocks are released once the probe has consumed
+    them (the k-core discipline: driver state is one scalar + the
+    CURRENT labeling; a 50-round cascade must not hold 50 rounds of
+    blocks)."""
+    CC_ROUND_PLANS.clear()
     edges = undirect(pairs, src, dst).localCheckpoint(eager=True)
     m = (
         edges.select("src")
@@ -132,7 +185,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for i in range(1, max_rounds + 1):
-        nxt = _cc_round(m, edges).localCheckpoint(eager=True)
+        nxt_join = _cc_round(m, edges)
+        nxt = nxt_join.localCheckpoint(eager=False)
         changed = (
             nxt.join(
                 m.select(F.col("v").alias("pv"), F.col("l").alias("pl")),
@@ -142,8 +196,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        CC_ROUND_PLANS.append(final_plan(nxt_join))
+        release_checkpoint(m)  # probe consumed it; nxt is materialized
         m = nxt
         if changed == 0:
+            release_checkpoint(edges)  # the labeling no longer reads it
             return m.select("v", F.col("l").alias("component")), i
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 

@@ -235,7 +235,17 @@ DRIVER_WINDOW: list[str] = [
     # closure — in-window).  (r7-era slot history: dedup_keep_best had
     # replaced dedup_cluster_components, whose recursive-CTE oracle is
     # composed verbatim inside keep_best's.)
-    "zorder_layout_gate",
+    # round-16 rotation: governance-forced in (new oracle-bearing entries start in-window):
+    # graph_wcc_membership — distributed pointer-jumping connected
+    # components over the ship-date-windowed co-purchase graph (the
+    # documented 100 TB dedup-clustering path, functions/graph.py
+    # connected_components, previously toy-unit-tested only — r15
+    # verdict item #1; recursive-CTE closure oracle, CC_ROUND_PLANS
+    # captured per round) — in for zorder_layout_gate (green r11-r15,
+    # five hard rows, rotation-eligible; the layout family keeps
+    # streaming_zone_maps in-window and the Z-order pruning counts
+    # stay pytest-oracle-checked every round).
+    "graph_wcc_membership",
     # round-11 rotation (twentieth swap): streaming_gapfill — the
     # time-series class's scan-once-at-ingest form (21st oracle-bearing
     # streaming entry: per-microbatch (user, hour) count/max partials
@@ -247,7 +257,11 @@ DRIVER_WINDOW: list[str] = [
     # d1_first_occurrence_dedup, streaming_incremental_dedup and
     # curation_keep_set in-window, and the LSH-blocked Levenshtein
     # verify stays pytest-oracle-checked every round)
-    "streaming_gapfill",
+    # round-16 rotation: 1-green SQL-surface cohort (r15 verdict item #5: fewest career
+    # greens rotate in): correlated-subquery form — in for
+    # streaming_gapfill (green r11-r15; the gapfill family keeps
+    # timeseries_gapfill in-window, sharing the same oracle).
+    "above_segment_avg_customers",
     # round-15 rotation (governance-forced: new oracle-bearing entries
     # start in-window): graph_bfs_hops — multi-source BFS hop distance,
     # the graph family's FIFTH algorithm class (reachability/distance;
@@ -307,7 +321,11 @@ DRIVER_WINDOW: list[str] = [
     # oracle) in for ann_ivf_topk (green r8+r9+r10; the ANN family
     # keeps ann_signbucket_topk in-window and the IVF machinery stays
     # composed verbatim inside pq_recall_eval's oracle)
-    "streaming_quantile_rollup",
+    # round-16 rotation: 1-green SQL-surface cohort: EXCEPT distinct form — in for
+    # streaming_quantile_rollup (green r11-r15; the quantile-sketch
+    # family keeps hist_quantile_rollup AND quantile_exact_sketch_cert
+    # in-window).
+    "except_parts_never_shipped",
     # --- round-7 rotation: the retrieval pair + the never-windowed k-means
     # --- smoke, in place of knn_cosine_labeled / dedup_jaccard_pairs /
     # --- training_shard_manifest (each green r4+r5+r6, families covered) --
@@ -380,7 +398,10 @@ DRIVER_WINDOW: list[str] = [
     # and mrl_pq_adc_topk, with every encode/ADC CTE stack composed
     # verbatim inside their oracles; stated here so rotation decisions
     # reading these comments count coverage correctly)
-    "cm_sketch_gate",
+    # round-16 rotation: 1-green SQL-surface cohort: GROUPING SETS form — in for
+    # cm_sketch_gate (green r11-r15; the CMS family keeps
+    # streaming_cm_rollup in-window, which merges the same partials).
+    "grouping_sets_orders",
     # round-11 rotation: kmv_jaccard_gate — the KMV bottom-k set-
     # operation sketch (functions/kmv.py: pairwise source Jaccard /
     # intersection / union-distinct, the estimate HLL's union-only
@@ -389,7 +410,10 @@ DRIVER_WINDOW: list[str] = [
     # ivfpq_adc_topk, pq_recall_eval and mrl_pq_adc_topk in-window,
     # and the flat-ADC CTE stack stays composed verbatim inside
     # pq_recall_eval's oracle)
-    "kmv_jaccard_gate",
+    # round-16 rotation: 1-green SQL-surface cohort: INTERSECT form — in for
+    # kmv_jaccard_gate (green r11-r15; the KMV family keeps
+    # streaming_kmv_rollup in-window).
+    "intersect_repeat_customers",
     # round-11 rotation (ninth swap): hist_quantile_rollup — the
     # mergeable fixed-grid histogram quantile sketch (the relational
     # quantile form percentile_approx cannot express: persistable,
@@ -499,7 +523,13 @@ DRIVER_WINDOW: list[str] = [
     # keeps streaming_topk_rollup — the same approx_top_k machinery's
     # ingest form — and cm_sketch_gate in-window, and the gate stays
     # pytest-oracle-checked every round).
-    "twap_daily_value",
+    # round-16 rotation: 1-green SQL-surface cohort: LATERAL/explode form — in for
+    # twap_daily_value (green r12-r15, four hard rows; the temporal
+    # family keeps timeseries_gapfill, scd2_history_build,
+    # pointintime_balance_lookup, anomaly_trailing_zscore and
+    # window_frame_moving_sum in-window; TWAP keeps its scale-stress
+    # tier rows and pytest-oracle check).
+    "lateral_explode_words",
     # round-11 rotation (twenty-second swap): cohort_retention — the
     # cohort/retention product-analytics class (signup-month cohorts,
     # exact integer month-offset arithmetic — months_between() returns a
@@ -528,7 +558,10 @@ DRIVER_WINDOW: list[str] = [
     # repeated_passage_spans (green r6-r10; the passage-dedup
     # gaps-and-islands machinery stays pytest-oracle-checked and the
     # dedup family keeps d1 + curation_keep_set in-window)
-    "funnel_sessionized",
+    # round-16 rotation: 1-green SQL-surface cohort: PIVOT form — in for
+    # funnel_sessionized (green r11-r15; the funnel family keeps
+    # funnel_conversion_steps in-window).
+    "pivot_status_counts",
     # round-11 rotation (eighteenth swap): streaming_scd2_build — the
     # MERGE/upsert class's scan-once-at-ingest form (20th oracle-bearing
     # streaming entry: per-microbatch (cust, date) BIGINT-cents delta
@@ -572,7 +605,12 @@ DRIVER_WINDOW: list[str] = [
     # — in for pq_recall_eval (green r9+r10+r11, rotation-eligible per
     # the r11 verdict; the ANN family keeps mrl_pq_adc_topk in-window
     # and the recall-canary CTE stack stays pytest-oracle-checked).
-    "graph_pagerank_topk",
+    # round-16 rotation: 1-green SQL-surface cohort: non-equi range-band join — in for
+    # graph_pagerank_topk (green r12-r15, four hard rows; the graph
+    # family keeps triangle/kcore/bfs/sssp/wcc and
+    # streaming_pagerank_topk in-window, and PageRank keeps its
+    # graphscale tier rows x10/x100/x1000).
+    "range_join_value_bands",
     # round-11 rotation: streaming_topk_rollup — per-microbatch
     # approx_top_k_accumulate partials persisted to a sketch table,
     # combine-merged and gated like the batch heavy_hitters_gate (the
@@ -662,7 +700,10 @@ DRIVER_WINDOW: list[str] = [
     # second-longest-green entry; the streaming family keeps TEN other
     # in-window members and the incremental LSH-probe machinery stays
     # pytest-checked via its batch-twin oracle every round)
-    "cube_revenue",
+    # round-16 rotation: 1-green SQL-surface cohort: sliding-window counts — in for
+    # cube_revenue (green r11-r15; the grouping family's CUBE twin
+    # hands the slot to grouping_sets_orders, rotating in above).
+    "sliding_window_counts",
     # round-11 rotation (twelfth swap): streaming_lm_train — the LM's
     # train-on-ingest twin (17th oracle-bearing streaming entry:
     # per-microbatch bigram-count partials, addition-merged — split-
@@ -682,7 +723,11 @@ DRIVER_WINDOW: list[str] = [
     # oracle, and the streaming family keeps six oracle-bearing
     # members).  The sampling family regains an in-window rep
     # (stratified_sample rotated out in r8 family-covered).
-    "weighted_sample_wor",
+    # round-16 rotation: 1-green SQL-surface cohort: UNPIVOT/stack form — in for
+    # weighted_sample_wor (green r11-r15; the sampling family keeps
+    # streaming_weighted_sample in-window, which merges the same
+    # keyed-hash order).
+    "unpivot_part_metrics",
     # --- core §2 operators (one per family; twice-green siblings rotated out) -
     "p1_positional_projection",
     "j1_gather_join",

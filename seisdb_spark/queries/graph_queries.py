@@ -39,6 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from seisdb_spark.functions.graph import (
+    CC_ROUND_PLANS,  # noqa: F401  (re-exported: scale_stress reads round-
+    # plan lists via getattr(graph_queries, attr); the CC loop lives in
+    # functions/graph.py and mutates this list IN PLACE — clear/append,
+    # never rebind — so the alias stays live)
+    connected_components,
+    release_checkpoint,
+)
 from seisdb_spark.plancheck import final_plan, has_node
 from seisdb_spark.queries.registry import query
 from seisdb_spark.sources.tables import load_table
@@ -70,17 +78,9 @@ def round_plans_ok(plans: list[str]) -> bool:
     )
 
 
-def _release_checkpoint(df: DataFrame) -> None:
-    """Unpersist the checkpointed RDD behind a localCheckpoint DataFrame.
-
-    A long peel cascade otherwise holds every superseded round's blocks
-    for the query lifetime (r14 advice).  Safe ONLY for checkpoints this
-    module created and will never read again: a localCheckpointed RDD has
-    no lineage to recompute from once its blocks are dropped."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # non-checkpoint input / py4j surface drift: leak,
-        pass  # don't crash — the blocks die with the session either way
+# shared with functions/graph.py (the CC pointer-jump loop): one release
+# implementation, one loud-on-drift signal, one persistent-RDD-shrink test
+_release_checkpoint = release_checkpoint
 
 #: nano-rank scale: initial mass per node.
 PR_SCALE = 1_000_000_000
@@ -794,7 +794,11 @@ def sssp_cost(
         .select("node", F.lit(0).cast("bigint").alias("cost"))
         .localCheckpoint(eager=False)
     )
-    dist_owned = False
+    # the seed table is a checkpoint THIS function created — owned, so it
+    # is released as soon as round 1 materializes (r15 advice: the owned
+    # flag protects only the CALLER's input, and sssp's caller passes raw
+    # edges, never a checkpoint it needs back)
+    dist_owned = True
     for _ in range(max_edges):
         relax = sym.join(dist, sym.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
@@ -915,3 +919,114 @@ def graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return bfs_hops(copurchase_edges(li))
+
+
+# ---------------------------------------------------------------------------
+# Weakly-connected components (pointer-jumping label propagation)
+# ---------------------------------------------------------------------------
+#: edge window: only lineitems shipped BEFORE this date contribute
+#: co-purchase edges.  The cutoff picks the percolation-interesting regime
+#: the probe sweep found (the KCORE_K discipline): at sf0.01 the windowed
+#: graph has 1,713 nodes in 42 components (giant 1,624, eccentricity 13
+#: from its min node — a real multi-round pointer-jump cascade, observed
+#: 9 rounds); at sf0.1 it is 17,019 nodes / 386 components / ecc 17.  The
+#: FULL co-purchase graph is a single diameter-2 component at every SF —
+#: a valid exact answer but a vacuous driver row (every node would map to
+#: the global min part id) whose loop converges in 2 rounds.  Ship dates
+#: are untouched by the graphscale replica offsets (those shift only the
+#: id columns), so each disjoint replica carries this exact windowed
+#: subgraph and the membership table replicates as offset copies — the
+#: same invariance the BFS seed modulus and SSSP weight modulus rely on.
+WCC_CUTOFF = "1996-01-01"
+#: loud convergence bound for the driver query: pointer jumping needs
+#: O(log diameter) rounds (observed: 9 at sf0.01 for ecc 13; 24 is
+#: the ~2.5x margin discipline.  connected_components
+#: raises past it rather than returning a mid-propagation labeling.
+WCC_MAX_ROUNDS = 24
+
+
+def wcc_edges(li: DataFrame) -> DataFrame:
+    """Canonical (u < v) co-purchase edges restricted to the WCC ship-date
+    window — the same one-exchange pair derivation as
+    :func:`copurchase_edges`, with the date predicate pushed into the
+    parquet scan (it lands in PushedFilters: at 100 TB the window prunes
+    row groups before any shuffle)."""
+    return copurchase_edges(
+        li.where(F.col("l_shipdate") < F.lit(WCC_CUTOFF).cast("timestamp"))
+    )
+
+
+def _wcc_oracle() -> str:
+    # the closure as a recursive CTE (the dedup_cluster_components
+    # pattern): reach(v, l) enumerates every label reachable from v over
+    # the symmetrized edges; min per v is the component id.  Closure size
+    # is bounded by the sum of squared component sizes — ~2.6M pairs at
+    # the sf0.01 gate under the windowed graph (the full graph's single
+    # 2,000-node component would be the same 4M-row closure but a
+    # structureless answer; see WCC_CUTOFF).
+    return f"""
+        WITH RECURSIVE ps AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '{WCC_CUTOFF}'
+        ), e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM ps a
+            JOIN ps b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), und AS (
+            SELECT u AS src, v AS dst FROM e
+            UNION ALL
+            SELECT v, u FROM e
+        ), reach (v, l) AS (
+            SELECT src, src FROM und
+            UNION
+            SELECT u.src, r.l FROM und u JOIN reach r ON r.v = u.dst
+        )
+        SELECT CAST(v AS BIGINT) AS part_id,
+               CAST(min(l) AS BIGINT) AS component_id
+        FROM reach
+        GROUP BY v
+    """
+
+
+@query(
+    "graph_wcc_membership",
+    oracle=_wcc_oracle(),
+    doc="WEAKLY-CONNECTED COMPONENTS via distributed pointer jumping — "
+    "the at-scale form of the graph family's FIRST algorithm class "
+    "(connectivity), and the documented 100 TB dedup-clustering path: "
+    "functions/graph.py's cc_auto dispatches to exactly this "
+    "connected_components loop once a verified dup-pair list outgrows "
+    "one task (> CC_SINGLE_TASK_MAX_EDGES = 5M edges), while the "
+    "single-task union-find twin (cc_exact_lazy) carries the lazy "
+    "driver-query form (dedup_cluster_components).  This entry gives "
+    "the distributed loop its own hard driver row over the ship-date-"
+    f"windowed part co-purchase graph (edges before {WCC_CUTOFF} — the "
+    "percolation-interesting regime: 42 components / eccentricity 13 at "
+    "sf0.01, so the pointer-jump cascade is real, observed 9 rounds; "
+    "the full graph is one diameter-2 component, a structureless row).  "
+    "Engine shape: min-label propagation with POINTER JUMPING (label <- "
+    "label(label) doubles the propagation radius per round, O(log "
+    "diameter) rounds); each round is one dst-keyed neighbour-min "
+    "equi-join + aggregate and one label-keyed jump equi-join over the "
+    "checkpointed previous labeling, captured in CC_ROUND_PLANS for the "
+    "scale harness; superseded labelings are released (the k-core "
+    "discipline); driver state is one scalar (the changed-row probe).  "
+    "Component ids are min part ids — set-unique, independent of round "
+    "order — so the membership table value-hashes.  The oracle is the "
+    "same closure as a DuckDB recursive CTE (the dedup_cluster_"
+    "components pattern).  fixpoint=True: the loop runs at plan build — "
+    "bench/tier harnesses defeat the plan cache and price it honestly.",
+    bench=True,
+    fixpoint=True,
+)
+def graph_wcc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    labels, _rounds = connected_components(
+        wcc_edges(li), "u", "v", max_rounds=WCC_MAX_ROUNDS
+    )
+    return labels.select(
+        F.col("v").cast("bigint").alias("part_id"),
+        F.col("component").cast("bigint").alias("component_id"),
+    )

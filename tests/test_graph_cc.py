@@ -146,3 +146,88 @@ def test_dedup_cluster_query_is_closure_of_pairs(spark):
     }
     assert got == truth
     assert len(got) > 0
+
+def test_wcc_query_matches_union_find_and_is_multi_component(spark):
+    """graph_wcc_membership (the distributed pointer-jumping driver row)
+    must equal the pure-python union-find closure of the ship-date-
+    windowed co-purchase edges on the real sf0.01 corpus, and the window
+    must put the graph in the percolation-interesting regime (multiple
+    components — the full graph's single-component answer would make the
+    row structureless; see WCC_CUTOFF)."""
+    from seisdb_spark.queries.graph_queries import wcc_edges
+    from seisdb_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    pairs = [(int(r.u), int(r.v)) for r in wcc_edges(li).collect()]
+    truth = _truth_min_labels(pairs)
+
+    got = {
+        int(r.part_id): int(r.component_id)
+        for r in REGISTRY["graph_wcc_membership"].spark(spark, SF_DIR).collect()
+    }
+    assert got == truth
+    n_components = len(set(truth.values()))
+    assert n_components > 1, "window regressed to a single component"
+    assert len(truth) > 100
+
+
+def test_wcc_replica_invariant(spark):
+    """Value certification of the graphscale tier construction for WCC:
+    the membership table over N disjoint id-offset copies of the
+    sf0.001 graph must equal the factor-1 table with every replica's
+    rows mapped through the offset (ship dates are untouched by the
+    offsets, so each copy carries the exact windowed subgraph; min
+    labels shift by the offset because every replica's ids do)."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import wcc_edges
+    from seisdb_spark.sources.tables import load_table
+    from tests.conftest import SMOKE_SF_DIR
+
+    off = 10**7  # ID_OFFSET in tools/scale_stress.py
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+    reps = [
+        li.select(
+            (F.col("l_orderkey") + r * off).alias("l_orderkey"),
+            (F.col("l_partkey") + r * off).alias("l_partkey"),
+            "l_shipdate",
+        )
+        for r in range(3)
+    ]
+    li3 = reps[0].unionByName(reps[1]).unionByName(reps[2])
+
+    def membership(frame):
+        labels, _ = connected_components(wcc_edges(frame), "u", "v")
+        return {int(r.v): int(r.component) for r in labels.collect()}
+
+    base = membership(li)
+    assert len(base) > 0  # the sf0.001 window must not be empty
+    want = {v + r * off: c + r * off for r in range(3) for v, c in base.items()}
+    assert membership(li3) == want
+
+
+def test_release_checkpoint_drops_superseded_round_blocks(spark):
+    """The r14 memory fix must actually work: a multi-round pointer-jump
+    cascade localCheckpoints ~2 tables per round, and release_checkpoint
+    must unpersist every superseded one — a py4j surface drift would
+    silently turn it into a no-op (r15 advice), so this pins that the
+    persistent-RDD map does NOT grow with the round count."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+
+    # a 60-node chain: diameter 59 forces >= 5 pointer-jump rounds
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(59)])
+    labels, rounds = connected_components(pairs, "doc_a", "doc_b")
+    labels.collect()
+
+    after = jsc.getPersistentRDDs().size()
+    assert rounds >= 5
+    # held blocks must be O(1) — the final labeling only — never
+    # O(rounds) (each round creates a labeling checkpoint; edges and all
+    # superseded labelings are released inside the loop)
+    assert after - before <= 1, (
+        f"{after - before} checkpoints retained after a {rounds}-round "
+        "cascade — release_checkpoint is leaking (py4j drift?)"
+    )
