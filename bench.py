@@ -5,9 +5,20 @@ and print ONE JSON line with per-query and total wall-clock seconds.
 
 Each query is executed to completion via a count() action (full plan runs,
 nothing collected to the driver).  Per query: one cold pass (reported
-separately — JVM/codegen/Python-worker warmup), then N_WARM=5 timed passes
-whose MEDIAN is the reported number, so sub-second movements between rounds
-are signal rather than single-sample noise.
+separately — JVM/codegen/Python-worker warmup), then timed passes whose
+MEDIAN is the reported number, so sub-second movements between rounds are
+signal rather than single-sample noise.  Pass counts are per-class:
+N_WARM=5 for plan-cached queries, N_WARM_FIXPOINT=3 for driver-loop
+fixpoint queries (each pass rebuilds the whole loop, ~8-30 s at sf0.1; a
+median of 3 still rejects a stray GC pause and bounds the bench's wall
+clock).  Both counts are published on the contract line.
+
+The contract line also carries value_fixpoint / value_nonfixpoint
+subtotals: r15's honest-fixpoint repricing moved the headline 27.9 ->
+57.3 s with zero code-attributable regression, and reconstructing that
+split required BENCH_NOTES archaeology — the machine-readable split keeps
+cross-round regression detection alive across methodology changes (r15
+verdict item #2).
 """
 
 from __future__ import annotations
@@ -20,6 +31,7 @@ import sys
 import time
 
 N_WARM = 5
+N_WARM_FIXPOINT = 3
 
 
 def main() -> None:
@@ -43,8 +55,12 @@ def main() -> None:
             "metric": "headline_query_wall_clock",
             "value": 99999.9999,
             "unit": "sec",
+            "value_fixpoint": 99999.9999,
+            "value_nonfixpoint": 99999.9999,
             "n_queries": 99999,
+            "n_fixpoint": 99999,
             "n_warm": N_WARM,
+            "n_warm_fixpoint": N_WARM_FIXPOINT,
             "cold_total": 99999.9999,
             "sf": 99.999,
         }
@@ -93,12 +109,17 @@ def main() -> None:
         # clock while a median of 3 still rejects a stray GC pause —
         # their pass-to-pass variance is dominated by the loop itself,
         # not scheduler noise
-        for _ in range(3 if spec.fixpoint else N_WARM):
+        for _ in range(N_WARM_FIXPOINT if spec.fixpoint else N_WARM):
             samples.append(timed_pass(name, spec))
         per_query[name] = round(statistics.median(samples), 4)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
+    fixpoint_names = {n for n, s in bench_specs.items() if s.fixpoint}
+    total_fix = round(
+        sum(v for n, v in per_query.items() if n in fixpoint_names), 4
+    )
+    total_nonfix = round(total - total_fix, 4)
     # Two lines, detail first, SCALAR contract line LAST: the driver keeps
     # only the tail (~2000 chars) of this process's output, and r11-r13
     # proved any line embedding the per-query map (~2.3 KB for 60+
@@ -123,8 +144,12 @@ def main() -> None:
             "metric": "headline_query_wall_clock",
             "value": total,
             "unit": "sec",
+            "value_fixpoint": total_fix,
+            "value_nonfixpoint": total_nonfix,
             "n_queries": len(per_query),
+            "n_fixpoint": len(fixpoint_names),
             "n_warm": N_WARM,
+            "n_warm_fixpoint": N_WARM_FIXPOINT,
             "cold_total": round(sum(cold.values()), 4),
             "sf": sf,
         }

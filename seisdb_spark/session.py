@@ -46,4 +46,11 @@ def get_spark(app_name: str = "seisdb-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # harness-protocol overrides (the x1000 tier attempts escalate heap /
+    # thread-count / spill codec without forking this factory):
+    # comma-separated key=value pairs, applied last so they win.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(","))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k, v)
     return builder.getOrCreate()
