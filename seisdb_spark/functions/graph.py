@@ -143,7 +143,14 @@ def _cc_round(m: DataFrame, edges: DataFrame) -> DataFrame:
 
     ``m`` is the current labeling (v, l); ``edges`` is symmetric.  Labels
     are always existing vertex ids (they start as vertex ids and only ever
-    copy), so the pointer-jump join is inner."""
+    copy), so the pointer-jump join is inner.
+
+    The jump join references the post-min labeling ``m1`` on BOTH sides
+    (probe + lookup).  That is NOT a double computation: Catalyst's
+    ReuseExchange rule deduplicates the identical exchange subtrees, so
+    the neighbour-min aggregate executes once per round and the second
+    reference reads the reused shuffle/broadcast (verified in the
+    captured round plans — ``ReusedExchange`` over the m1 subtree)."""
     nb = (
         edges.join(m.select(F.col("v").alias("dst"), "l"), "dst")
         .groupBy("src")

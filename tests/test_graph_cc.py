@@ -231,3 +231,30 @@ def test_release_checkpoint_drops_superseded_round_blocks(spark):
         f"{after - before} checkpoints retained after a {rounds}-round "
         "cascade — release_checkpoint is leaking (py4j drift?)"
     )
+
+
+def test_wcc_window_predicate_reaches_the_parquet_scan(spark):
+    """The WCC ship-date window must land in the FileScan (DataFilters +
+    pruned ReadSchema), not evaluate post-scan: at 100 TB the window
+    prunes row groups before any shuffle, and a regression here would
+    silently read the full lineitem into the pair expansion.  Asserted on
+    the pre-checkpoint subtree (wcc_edges returns a localCheckpoint whose
+    own plan is just a Scan ExistingRDD)."""
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.queries.graph_queries import WCC_CUTOFF
+    from seisdb_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    flt = li.where(
+        F.col("l_shipdate") < F.lit(WCC_CUTOFF).cast("timestamp")
+    ).select("l_orderkey", "l_partkey")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert scan, "no FileScan in the windowed-edge subtree"
+    assert "l_shipdate" in scan[0] and "DataFilters: [" in scan[0] and (
+        "1996-01-01" in scan[0]
+    ), f"date predicate did not reach the scan: {scan[0][:200]}"
+    # column pruning: the scan must read only the 3 needed columns
+    assert "l_extendedprice" not in scan[0] and "l_comment" not in scan[0]
