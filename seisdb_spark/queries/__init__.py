@@ -340,7 +340,16 @@ DRIVER_WINDOW: list[str] = [
     # family keeps pq_recall_eval and mrl_pq_adc_topk in-window, and
     # the BM25 CTE stack stays composed verbatim inside
     # hybrid_rrf_topk's pytest-checked oracle)
-    "streaming_cohort_retention",
+    # round-16 rotation (governance-forced in, second wave):
+    # streaming_wcc_membership — dedup clustering on ingest, the graph
+    # family's second scan-once-at-ingest form (windowed distinct
+    # (order, part) observation log; read-side compaction re-runs the
+    # SAME copurchase_edges + connected_components stages, so the twin
+    # carries the batch recursive-CTE oracle verbatim) — in for
+    # streaming_cohort_retention (green r11-r15, five hard rows,
+    # rotation-eligible; the cohort family keeps cohort_retention
+    # in-window, which shares the observation-log machinery).
+    "streaming_wcc_membership",
     # round-10 rotation: hll_sketch_rollup — mergeable DataSketches HLL
     # partials union-merged per lang with a hard +-5% gate vs exact (the
     # scan-once-merge-forever sketch-table shape; joins

@@ -945,12 +945,30 @@ WCC_CUTOFF = "1996-01-01"
 WCC_MAX_ROUNDS = 24
 
 
+def wcc_obs(li: DataFrame) -> DataFrame:
+    """Windowed DISTINCT (l_orderkey, l_partkey) observations — the
+    per-microbatch compaction stage of the streaming WCC twin
+    (``streaming_wcc_membership``): the window filter is row-local and
+    distinct-of-a-union equals distinct-of-union-of-distincts, so the
+    merged log is split-invariant by construction even when one order's
+    lineitems arrive across microbatches (``copurchase_edges`` re-dedups
+    via collect_set on the read side).  The batch path does NOT route
+    through this stage: collect_set subsumes the distinct, and the extra
+    (order, part)-keyed exchange would double the batch edge
+    derivation's shuffle count for no value change."""
+    return (
+        li.where(F.col("l_shipdate") < F.lit(WCC_CUTOFF).cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
 def wcc_edges(li: DataFrame) -> DataFrame:
     """Canonical (u < v) co-purchase edges restricted to the WCC ship-date
     window — the same one-exchange pair derivation as
     :func:`copurchase_edges`, with the date predicate pushed into the
-    parquet scan (it lands in PushedFilters: at 100 TB the window prunes
-    row groups before any shuffle)."""
+    parquet scan (it lands in the FileScan's DataFilters: at 100 TB the
+    window prunes row groups before any shuffle; pytest-pinned)."""
     return copurchase_edges(
         li.where(F.col("l_shipdate") < F.lit(WCC_CUTOFF).cast("timestamp"))
     )

@@ -1670,3 +1670,60 @@ def streaming_pagerank_topk(
 # distinct-pair edge partials re-distinct to the batch edge set exactly,
 # and the BIGINT supersteps are a deterministic compaction of that set
 _share_oracle("streaming_pagerank_topk", "graph_pagerank_topk")
+
+
+@query(
+    "streaming_wcc_membership",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING WCC EDGE-OBSERVATION MAINTENANCE (27th oracle-bearing "
+    "streaming entry — dedup clustering on ingest, the graph family's "
+    "second scan-once-at-ingest form): each arriving lineitem microbatch "
+    "is compacted to its windowed DISTINCT (order, part) observations "
+    "(graph_queries.wcc_obs; the ship-date filter is row-local) and "
+    "appended to a persisted observation log (batch_id-derived overwrite "
+    "paths — idempotent under checkpoint replays); the canonical edge "
+    "set and the pointer-jumping component labeling are then compacted "
+    "from the MERGED log by the SAME copurchase_edges / "
+    "connected_components stages the batch query uses.  Split-invariance "
+    "is structural: an order's lineitems may arrive across microbatches, "
+    "but distinct-of-a-union equals distinct-of-union-of-distincts and "
+    "collect_set re-dedups the merged log per order, so batch boundaries "
+    "provably cannot change a single edge or component — the oracle is "
+    "the batch query's recursive-CTE SQL verbatim.  The pointer-jump "
+    "fixpoint itself is NOT split-computable (labels propagate along "
+    "paths that cross batches) — which is exactly why the streamed state "
+    "is the OBSERVATION log (kilobyte distinct-pair partials per batch), "
+    "never the labels: the propagation is a deterministic compaction any "
+    "consumer re-runs from the merged log — the funnel/gap-fill/PageRank "
+    "observation-log pattern applied to connectivity.",
+)
+def streaming_wcc_membership(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from seisdb_spark.functions.graph import connected_components
+    from seisdb_spark.queries.graph_queries import (
+        WCC_MAX_ROUNDS,
+        copurchase_edges,
+        wcc_obs,
+    )
+    from seisdb_spark.streaming import read_lineitem_stream
+
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "wcc", "obslog",
+        read_lineitem_stream, wcc_obs,
+    )
+    labels, _rounds = connected_components(
+        copurchase_edges(merged), "u", "v", max_rounds=WCC_MAX_ROUNDS
+    )
+    return labels.select(
+        F.col("v").cast("bigint").alias("part_id"),
+        F.col("component").cast("bigint").alias("component_id"),
+    )
+
+
+# windowed distinct-pair observation partials re-dedup to the batch edge
+# set exactly, and the pointer-jump labeling is a deterministic compaction
+# of that set (min labels are visit-order-independent)
+_share_oracle("streaming_wcc_membership", "graph_wcc_membership")

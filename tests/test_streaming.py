@@ -999,3 +999,37 @@ def test_pagerank_stream_split_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(os.listdir(os.path.join(out, "edgelog"))) == 3
+
+
+def test_wcc_stream_split_matches_batch(spark, tmp_path):
+    """The streamed WCC over lineitem split into 3 files (3 genuine
+    microbatches) must produce the SAME component membership as the
+    batch query over the unsplit table: per-batch windowed distinct
+    (order, part) observations re-dedup to the batch edge set exactly
+    (an order's parts scattered across batches is the case that
+    matters — the l_orderkey % 3 split guarantees many), and the
+    pointer-jump labeling is a deterministic compaction of that set."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_wcc_membership
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "lineitem").toPandas()
+    pdf["l_shipdate"] = pdf.l_shipdate.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.l_orderkey % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/lineitem.parquet", index=False)
+
+    out = str(tmp_path / "wcc_stream")
+    got = _sorted(
+        streaming_wcc_membership(spark, src + "/arrival*", out_dir=out).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["graph_wcc_membership"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0  # the sf0.001 window must be non-empty
+    assert len(os.listdir(os.path.join(out, "obslog"))) == 3
