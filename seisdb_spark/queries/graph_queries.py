@@ -746,11 +746,13 @@ def _bfs_oracle() -> str:
 #: carries the SAME weights and the cost table replicates exactly — the
 #: same invariance the seed modulus relies on.
 SSSP_WEIGHT_MOD = 8
-#: relaxation rounds: the engine runs EXACTLY this many (min-plus
-#: relaxation is monotone non-increasing, so extra rounds past
-#: convergence are no-ops on the values) and the oracle unrolls the same
-#: ladder — "minimum path cost from any seed using <= SSSP_MAX_EDGES
-#: edges" is a total semantics, no convergence guard needed.
+#: relaxation rounds: the engine runs UP TO this many, early-exiting at
+#: the observed fixpoint (min-plus relaxation is monotone non-increasing,
+#: so the skipped rounds are no-ops on the values — a pure optimization,
+#: observed convergence at round 4 of 8 on the driver corpora); the
+#: oracle unrolls the FULL ladder — "minimum path cost from any seed
+#: using <= SSSP_MAX_EDGES edges" is a total semantics either way, no
+#: convergence guard needed.
 SSSP_MAX_EDGES = 8
 SSSP_ROUND_PLANS: list[str] = []
 
@@ -775,9 +777,13 @@ def sssp_cost(
     against the previous cost table + ONE min-combiner aggregate —
     map-side partials collapse the per-node candidate set before the
     shuffle, the textbook distributed Bellman-Ford superstep.  Driver
-    state is one scalar (the materialization count).  Exact BIGINT
-    min-plus arithmetic (costs <= max_edges * 8), so the table
-    value-hashes across engines."""
+    state is two scalars (the (row count, cost sum) convergence
+    certificate).  The loop early-exits at the observed fixpoint (see
+    SSSP_MAX_EDGES — a pure optimization; the pinned max_edges=1 budget
+    cap still runs exactly one round because the exit can only trigger
+    AFTER a completed, value-identical round).  Exact BIGINT min-plus
+    arithmetic (costs <= max_edges * 8), so the table value-hashes
+    across engines."""
     SSSP_ROUND_PLANS.clear()
     w = (F.lit(1) + (F.col("u") + F.col("v")) % SSSP_WEIGHT_MOD).cast("bigint")
     sym = edges.select(
@@ -799,6 +805,7 @@ def sssp_cost(
     # flag protects only the CALLER's input, and sssp's caller passes raw
     # edges, never a checkpoint it needs back)
     dist_owned = True
+    prev_cert = None
     for _ in range(max_edges):
         relax = sym.join(dist, sym.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
@@ -810,11 +817,28 @@ def sssp_cost(
             .agg(F.min("cost").alias("cost"))
         )
         new = new_join.localCheckpoint(eager=False)
-        new.count()  # materialize: next round reads blocks, not lineage
+        # one aggregate action materializes the checkpoint AND yields the
+        # convergence certificate: `new` is a node-superset of dist by
+        # construction (dist rows pass through the min-combiner) and
+        # min-plus costs only ever DECREASE, so (row count, exact-BIGINT
+        # cost sum) is unchanged iff the table is unchanged — no compare
+        # join needed, and the early exit is a PURE optimization (every
+        # skipped round is a value no-op; the result still equals the
+        # oracle's full unrolled ladder — the BFS empty-frontier
+        # discipline; observed: fixpoint at round ~4 of 8 at driver SFs,
+        # halving the honest loop price)
+        cert = tuple(
+            new.agg(
+                F.count(F.lit(1)), F.sum("cost").cast("bigint")
+            ).first()
+        )
         SSSP_ROUND_PLANS.append(final_plan(new_join))
         if dist_owned:
             _release_checkpoint(dist)
         dist, dist_owned = new, True
+        if cert == prev_cert:
+            break
+        prev_cert = cert
     return dist.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("cost").alias("min_cost"),
@@ -869,15 +893,18 @@ def _sssp_oracle() -> str:
     f"most {SSSP_MAX_EDGES} edges, weights 1 + (u + v) % "
     f"{SSSP_WEIGHT_MOD} (the modulus divides the graphscale replica "
     "offset, so the cost table replicates exactly under the derived "
-    "corpus).  Engine shape: exactly max_edges relaxation supersteps — "
+    "corpus).  Engine shape: up to max_edges relaxation supersteps with "
+    "early exit at the observed fixpoint (pure optimization — min-plus "
+    "is monotone, skipped rounds are value no-ops; pytest pins that the "
+    "exit engages AND that the result still equals the full ladder) — "
     "per round ONE src-keyed equi-join of the weighted symmetric edge "
     "projection against the checkpointed previous cost table + ONE "
     "min-combiner aggregate (map-side partials collapse candidates "
     "before the shuffle); superseded cost tables are released (the "
-    "k-core discipline).  The FIXED round count makes the semantics "
-    "total: min-plus relaxation is monotone, extra rounds past "
-    "convergence are value no-ops, and the oracle unrolls the same "
-    "ladder — no convergence guard needed.  Exact BIGINT min-plus "
+    "k-core discipline).  The BOUNDED round count keeps the semantics "
+    "total: the oracle unrolls the full ladder and the engine stops at "
+    "min(fixpoint, max_edges) — identical values either way, no "
+    "convergence guard needed.  Exact BIGINT min-plus "
     "(costs <= 64), so the table value-hashes.  fixpoint=True: the "
     "loop runs at plan build — bench/tier harnesses defeat the plan "
     "cache and price it honestly.",

@@ -877,3 +877,42 @@ def test_sssp_replica_invariant(spark):
         for r in sssp_cost(copurchase_edges(li3)).collect()
     }
     assert got == want
+
+
+def test_sssp_early_exit_engages_and_preserves_values(spark):
+    """The fixpoint early exit must (a) actually engage — the sf0.01
+    co-purchase costs converge by round ~4 of SSSP_MAX_EDGES=8, so
+    running all 8 would mean the optimization silently regressed — and
+    (b) never fire before a true fixpoint: on a 7-node path graph the
+    farthest node's cost only appears in round 7, so with max_edges=8
+    the loop must run at least 7 rounds and still produce the exact
+    per-hop prefix sums."""
+    from seisdb_spark.queries import graph_queries as gq
+    from seisdb_spark.queries.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    spark.__dict__.get("_seisdb_plan_cache", {}).pop(
+        ("graph_sssp_cost", SF_DIR), None
+    )
+    REGISTRY["graph_sssp_cost"].spark(spark, SF_DIR)
+    assert 0 < len(gq.SSSP_ROUND_PLANS) < gq.SSSP_MAX_EDGES, (
+        f"early exit did not engage: {len(gq.SSSP_ROUND_PLANS)} rounds"
+    )
+
+    # path 0-1-2-...-7, seed node 0 (seed_mod large so only 0 qualifies);
+    # node k's cost first materializes in round k — a premature exit
+    # would leave the tail unlabelled or stale
+    edges = spark.createDataFrame(
+        [{"u": i, "v": i + 1} for i in range(7)], "u bigint, v bigint"
+    )
+    got = {
+        int(r.part_id): int(r.min_cost)
+        for r in gq.sssp_cost(edges, seed_mod=1000, max_edges=8).collect()
+    }
+    w = lambda a, b: 1 + (a + b) % gq.SSSP_WEIGHT_MOD
+    want, c = {0: 0}, 0
+    for i in range(7):
+        c += w(i, i + 1)
+        want[i + 1] = c
+    assert got == want
+    assert len(gq.SSSP_ROUND_PLANS) >= 7  # no exit before the true fixpoint
