@@ -209,6 +209,12 @@ def connected_components(
         if changed == 0:
             release_checkpoint(edges)  # the labeling no longer reads it
             return m.select("v", F.col("l").alias("component")), i
+    # non-convergence: nothing useful survives the raise, so release the
+    # symmetrized edge set AND the last labeling before failing — the
+    # convergence path releases edges but this path otherwise leaked both
+    # for the session lifetime (r16 advice).
+    release_checkpoint(edges)
+    release_checkpoint(m)
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 
 

@@ -1714,9 +1714,15 @@ def streaming_wcc_membership(
         spark, sf_dir, out_dir, "wcc", "obslog",
         read_lineitem_stream, wcc_obs,
     )
+    e = copurchase_edges(merged)
     labels, _rounds = connected_components(
-        copurchase_edges(merged), "u", "v", max_rounds=WCC_MAX_ROUNDS
+        e, "u", "v", max_rounds=WCC_MAX_ROUNDS
     )
+    # dead once the loop returns (the labeling reads only its own final
+    # checkpoint) — the batch twin's r16-advice release, mirrored
+    from seisdb_spark.functions.graph import release_checkpoint
+
+    release_checkpoint(e)
     return labels.select(
         F.col("v").cast("bigint").alias("part_id"),
         F.col("component").cast("bigint").alias("component_id"),

@@ -48,9 +48,18 @@ def get_spark(app_name: str = "seisdb-spark", shuffle_partitions: int | None = N
     )
     # harness-protocol overrides (the x1000 tier attempts escalate heap /
     # thread-count / spill codec without forking this factory):
-    # comma-separated key=value pairs, applied last so they win.
+    # comma-separated key=value pairs, applied last so they win.  The
+    # comma is the pair separator, so values containing commas cannot be
+    # expressed through this channel.  A token without '=' is a typo'd
+    # or truncated override — raise rather than silently setting the key
+    # to "" and corrupting the session config (r16 advice).
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in filter(None, (p.strip() for p in extra.split(","))):
-        k, _, v = pair.partition("=")
+        k, eq, v = pair.partition("=")
+        if not eq:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF token {pair!r} has no '=' — "
+                "expected comma-separated key=value pairs"
+            )
         builder = builder.config(k, v)
     return builder.getOrCreate()

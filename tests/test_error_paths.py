@@ -148,3 +148,15 @@ def test_schema_drift_tripwire_all_tables(spark, tmp_path):
 
     for t in TABLES:
         load_table(spark, SMOKE_SF_DIR, t)
+
+
+def test_extra_conf_token_without_equals_raises(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF tokens without '=' are typo'd or truncated
+    overrides: before the r16 fix they silently became config(key, "")
+    and corrupted the session config; now they raise before any session
+    is built (well-formed pairs and a trailing comma still parse)."""
+    from seisdb_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", "spark.foo.bar")
+    with pytest.raises(ValueError, match="no '='"):
+        get_spark(app_name="extra-conf-probe")

@@ -258,3 +258,29 @@ def test_wcc_window_predicate_reaches_the_parquet_scan(spark):
     ), f"date predicate did not reach the scan: {scan[0][:200]}"
     # column pruning: the scan must read only the 3 needed columns
     assert "l_extendedprice" not in scan[0] and "l_comment" not in scan[0]
+
+
+def test_nonconvergence_releases_edges_and_labeling(spark):
+    """The non-convergence RuntimeError path must release the symmetrized
+    edge checkpoint AND the last labeling before raising — before the r16
+    fix the error path leaked both for the session lifetime (only the
+    convergence path released edges)."""
+    import pytest
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+
+    # a 60-node chain needs >= 5 pointer-jump rounds; cap at 2 to force
+    # the non-convergence path
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(59)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "doc_a", "doc_b", max_rounds=2)
+
+    after = jsc.getPersistentRDDs().size()
+    # <= 0, not == 0: the async ContextCleaner may reclaim a PRIOR test's
+    # RDD between the two samples, making the delta negative — the pin is
+    # that this cascade adds nothing
+    assert after - before <= 0, (
+        f"{after - before} checkpoints retained after a failed cascade — "
+        "the error path is leaking"
+    )
