@@ -33,6 +33,23 @@ import time
 N_WARM = 5
 N_WARM_FIXPOINT = 3
 
+#: Same-capture normalization controls (r16 verdict item #1): the sf0.1
+#: bench box oscillates 1.25-2x intra-day on identical code, so raw
+#: cross-round per-query deltas needed a three-capture adjudication
+#: protocol.  These three are the r15-adjudication controls — cheap,
+#: plan-cached, shuffle-light queries spanning the three table families
+#: (lineitem agg, broadcast gather join, documents text scan) whose only
+#: plausible movers are the MACHINE.  Every capture publishes
+#: control_median_sec (their median) on the contract line and a
+#: queries_norm dict (per-query seconds / control median) on the detail
+#: line: a query whose NORMALIZED ratio moves >1.3x across rounds moved
+#: against the machine, no archaeology needed.
+CONTROLS = (
+    "tpch_q1_pricing_summary",
+    "j1_gather_join",
+    "token_count_by_lang",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +79,7 @@ def main() -> None:
             "n_warm": N_WARM,
             "n_warm_fixpoint": N_WARM_FIXPOINT,
             "cold_total": 99999.9999,
+            "control_median_sec": 99999.9999,
             "sf": 99.999,
         }
     )
@@ -115,6 +133,18 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
+    # the bench registry must actually carry all three controls — a
+    # rename/deregistration would silently break every normalized ratio
+    missing_controls = [c for c in CONTROLS if c not in per_query]
+    if missing_controls:
+        raise RuntimeError(
+            f"normalization controls missing from the bench set: "
+            f"{missing_controls} — update CONTROLS alongside the registry"
+        )
+    control_median = statistics.median(per_query[c] for c in CONTROLS)
+    queries_norm = {
+        n: round(v / control_median, 3) for n, v in per_query.items()
+    }
     fixpoint_names = {n for n, s in bench_specs.items() if s.fixpoint}
     total_fix = round(
         sum(v for n, v in per_query.items() if n in fixpoint_names), 4
@@ -136,6 +166,8 @@ def main() -> None:
                 "queries": per_query,
                 "query_min_max": spread,
                 "cold_queries": cold,
+                "queries_norm": queries_norm,
+                "controls": list(CONTROLS),
             }
         )
     )
@@ -151,6 +183,7 @@ def main() -> None:
             "n_warm": N_WARM,
             "n_warm_fixpoint": N_WARM_FIXPOINT,
             "cold_total": round(sum(cold.values()), 4),
+            "control_median_sec": round(control_median, 4),
             "sf": sf,
         }
     )
