@@ -177,9 +177,10 @@ round):
 * near-duplicate §2 twins — ``d1_running_max_dedup``, ``e1_quantize``,
   ``r1_series_assembly``, ``r2_canonical_flatten`` — their siblings verify
   the same operator;
-* ``token_count_by_lang``, ``text_stats``, ``bpe_token_estimate``,
-  ``lang_id_ngram``, ``grouping_sets_orders`` — family-covered
-  (text family and the five-member set-op family), multi-round green;
+* ``text_stats``, ``bpe_token_estimate``, ``lang_id_ngram`` —
+  family-covered (text family), multi-round green
+  (``token_count_by_lang`` and ``grouping_sets_orders`` rotated back IN
+  in r17/r16 respectively for their third greens);
 * rows-only pipeline variants the golden tests own — ``e2_zlib_blob``,
   ``specfem_strain_scan``, ``sgt_roundtrip_decode``.
 """
@@ -221,7 +222,20 @@ DRIVER_WINDOW: list[str] = [
     # rows, rotation-eligible per the r13 verdict; the quantize family's
     # int4 transform stays pytest-oracle-checked every round and the
     # streaming family keeps 17+ in-window members).
-    "graph_triangle_counts",
+    # round-17 rotation (governance-forced in: new oracle-bearing entries
+    # start in-window): streaming_triangle_counts — the triangle census's
+    # scan-once-at-ingest form (28th oracle-bearing streaming entry,
+    # closing the last graph class with no streaming twin: per-microbatch
+    # distinct (order, part) observations from copurchase_obs, appended
+    # to a persisted observation log; distinct-of-union == distinct-of-
+    # union-of-distincts, so the merged log re-dedups to the batch edge
+    # set exactly and the twin shares graph_triangle_counts' textbook
+    # 3-way-self-join oracle verbatim; 3-way order-scatter split pytest)
+    # — in for graph_triangle_counts (green r14-r16, thrice-green
+    # rotation-eligible; the oriented adjacency-intersection census
+    # stages run verbatim inside THIS twin's driver row every round, and
+    # the batch entry stays pytest-oracle-checked + plan-asserted).
+    "streaming_triangle_counts",
     # round-11 rotation (fourteenth swap — forced by the cumulative-
     # coverage governance test: new oracle-bearing entries start
     # in-window): zorder_layout_gate — the storage-layout / data-
@@ -299,7 +313,18 @@ DRIVER_WINDOW: list[str] = [
     # executions r12+r13, out per the one-rows-only-round precedent; the
     # learned-packing invariants stay pytest-pinned and its
     # learned_token_counts stage stays pytest-checked every round).
-    "streaming_pagerank_topk",
+    # round-17 rotation (fewest-career-greens cohort, r16 verdict item
+    # #3): tpch_q1_pricing_summary — the multi-aggregate pricing-summary
+    # scan (career greens r1+r2 only) — back in for its third green, in
+    # for streaming_pagerank_topk (green r14-r16, thrice-green
+    # rotation-eligible; the graph-streaming family keeps
+    # streaming_wcc_membership AND the new streaming_triangle_counts
+    # in-window, and the PageRank edge-log machinery stays pytest-pinned
+    # by the 3-way split test every round).  Bonus: this query is now a
+    # bench NORMALIZATION CONTROL (bench.py CONTROLS, r16 verdict item
+    # #1) — its in-window row revalidates the control's values each
+    # round.
+    "tpch_q1_pricing_summary",
     # round-15 rotation (late — governance-forced: new oracle-bearing
     # entries start in-window): graph_sssp_cost — bounded Bellman-Ford
     # weighted shortest-path cost, the graph family's SIXTH algorithm
@@ -368,7 +393,17 @@ DRIVER_WINDOW: list[str] = [
     # hist_quantile_rollup, THIS cert, and all four streaming sketch
     # twins — including streaming_hll_rollup, the HLL machinery's
     # ingest form — in-window).
-    "quantile_exact_sketch_cert",
+    # round-17 rotation (fewest-career-greens cohort, cont.):
+    # token_count_by_lang — whitespace+BPE-ish-regex token counting by
+    # language (career greens r1+r2 only; previously held out as
+    # "family-covered") — back in for its third green, in for
+    # quantile_exact_sketch_cert (green r14-r16, thrice-green
+    # rotation-eligible; the sketch family keeps hist_quantile_rollup
+    # and all three streaming sketch rollups in-window, and the
+    # exact-vs-sketch certification stays pytest-oracle-checked every
+    # round).  Bonus: this query is now a bench NORMALIZATION CONTROL
+    # (bench.py CONTROLS) — its in-window row revalidates the control.
+    "token_count_by_lang",
     # --- round-8 rotation: the vector-store codec surface (r7 verdict item
     # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
     # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty
@@ -488,7 +523,15 @@ DRIVER_WINDOW: list[str] = [
     # pytest-oracle-checked every round).  (r12-era slot history:
     # window_range_trailing_day had replaced salted_skew_agg, green
     # r4-r11.)
-    "window_frame_moving_sum",
+    # round-17 rotation (fewest-career-greens cohort, cont.):
+    # tumbling_window_counts — the fixed-window event-time aggregate
+    # (career greens r1+r2 only) — back in for its third green, in for
+    # window_frame_moving_sum (green r14-r16, thrice-green rotation-
+    # eligible; the frame family keeps sliding_window_counts AND
+    # anomaly_trailing_zscore — the same trailing-frame machinery —
+    # in-window, and the ROWS-frame moving sum stays pytest-oracle-
+    # checked every round).
+    "tumbling_window_counts",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built
     # filter, broadcast 1-row dense word array, exact verify of bloom
@@ -555,7 +598,14 @@ DRIVER_WINDOW: list[str] = [
     # streaming_ohlc_bars in-window, which carries the batch query's
     # SQL verbatim over the same ohlc_partials stage).  (r12-era slot
     # history: ohlc_time_bars had replaced multimodal_decode_features.)
-    "outer_join_nation_activity",
+    # round-17 rotation (fewest-career-greens cohort, cont.):
+    # multi_join_revenue_by_nation — the 4-table broadcast-dim join
+    # chain (career greens r1+r2 only) — back in for its third green,
+    # in for outer_join_nation_activity (green r2+r15+r16, thrice-green
+    # rotation-eligible; the join surface keeps j1_gather_join AND this
+    # incoming multi-join rep in-window, and the outer-join NULL
+    # semantics stay pytest-oracle-checked every round).
+    "multi_join_revenue_by_nation",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
@@ -791,7 +841,14 @@ DRIVER_WINDOW: list[str] = [
     # member in-window and NTILE's ceil-first bucket rule stays
     # pytest-oracle-checked every round).  (r12-era slot history:
     # ntile_price_deciles had replaced pii_redaction, green r7-r11.)
-    "rank_distribution_customers",
+    # round-17 rotation (fewest-career-greens cohort, cont.):
+    # topk_orders_per_customer — per-group top-k via ranked window +
+    # filter (career greens r1+r2 only) — back in for its third green,
+    # in for rank_distribution_customers (green r2+r15+r16, thrice-green
+    # rotation-eligible; the ranking family keeps THIS per-group top-k
+    # rep in-window, and rank/dense_rank plus the TakeOrderedAndProject
+    # plan shape stay pytest-asserted every round).
+    "topk_orders_per_customer",
 ]
 
 

@@ -274,6 +274,21 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_obs(li: DataFrame) -> DataFrame:
+    """DISTINCT (l_orderkey, l_partkey) observations over the FULL
+    lineitem — the per-microbatch compaction stage of the streaming
+    triangle twin (``streaming_triangle_counts``), the unwindowed sibling
+    of :func:`wcc_obs`: distinct-of-a-union equals distinct-of-union-of-
+    distincts, so the merged observation log is split-invariant by
+    construction even when one order's lineitems arrive across
+    microbatches (``copurchase_edges`` re-dedups via collect_set on the
+    read side).  The batch census does NOT route through this stage:
+    collect_set subsumes the distinct, and the extra (order, part)-keyed
+    exchange would double the batch edge derivation's shuffle count for
+    no value change."""
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
 def _tri_oracle() -> str:
     return f"""
         WITH ps AS (

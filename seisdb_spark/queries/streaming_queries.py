@@ -1733,3 +1733,53 @@ def streaming_wcc_membership(
 # set exactly, and the pointer-jump labeling is a deterministic compaction
 # of that set (min labels are visit-order-independent)
 _share_oracle("streaming_wcc_membership", "graph_wcc_membership")
+
+
+@query(
+    "streaming_triangle_counts",
+    oracle=None,  # set below: shares the batch query's SQL
+    doc="STREAMING TRIANGLE-CENSUS EDGE MAINTENANCE (28th oracle-bearing "
+    "streaming entry — the graph family's third scan-once-at-ingest "
+    "form, closing the last graph class with no streaming twin): each "
+    "arriving lineitem microbatch is compacted to its DISTINCT "
+    "(order, part) observations (graph_queries.copurchase_obs — the "
+    "unwindowed sibling of the WCC twin's stage) and appended to a "
+    "persisted observation log (batch_id-derived overwrite paths — "
+    "idempotent under checkpoint replays); the canonical edge set, the "
+    "degree orientation, and the adjacency-intersection census are then "
+    "compacted from the MERGED log by the SAME copurchase_edges / "
+    "triangle_census stages the batch query uses.  Split-invariance is "
+    "structural: an order's lineitems may arrive across microbatches, "
+    "but distinct-of-a-union equals distinct-of-union-of-distincts and "
+    "collect_set re-dedups the merged log per order, so batch "
+    "boundaries provably cannot change a single edge, degree, or "
+    "triangle — the oracle is the batch query's textbook 3-way-self-"
+    "join SQL verbatim.  The census itself is NOT split-computable (a "
+    "triangle's three edges can arrive in three different batches) — "
+    "which is exactly why the streamed state is the OBSERVATION log "
+    "(kilobyte distinct-pair partials per batch), never triangle "
+    "counts: the census is a deterministic compaction any consumer "
+    "re-runs from the merged log — the PageRank/WCC observation-log "
+    "pattern applied to local structure.",
+)
+def streaming_triangle_counts(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    from seisdb_spark.queries.graph_queries import (
+        copurchase_edges,
+        copurchase_obs,
+        triangle_census,
+    )
+    from seisdb_spark.streaming import read_lineitem_stream
+
+    merged = _ingest_log(
+        spark, sf_dir, out_dir, "tri", "obslog",
+        read_lineitem_stream, copurchase_obs,
+    )
+    return triangle_census(copurchase_edges(merged))
+
+
+# distinct-pair observation partials re-dedup to the batch edge set
+# exactly, and the oriented adjacency-intersection census is a
+# deterministic compaction of that set (exact integer counts)
+_share_oracle("streaming_triangle_counts", "graph_triangle_counts")

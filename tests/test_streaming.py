@@ -1033,3 +1033,43 @@ def test_wcc_stream_split_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0  # the sf0.001 window must be non-empty
     assert len(os.listdir(os.path.join(out, "obslog"))) == 3
+
+
+def test_triangle_stream_split_matches_batch(spark, tmp_path):
+    """The streamed triangle census over lineitem split into 3 files (3
+    genuine microbatches) must produce the SAME top-k census as the batch
+    query over the unsplit table: per-batch distinct (order, part)
+    observations re-dedup to the batch edge set exactly (a triangle whose
+    three edges derive from orders in three different microbatches is the
+    case that matters — the l_orderkey % 3 split guarantees many), and
+    the oriented adjacency-intersection census is a deterministic
+    compaction of that set."""
+    import os
+
+    from seisdb_spark.queries.streaming_queries import streaming_triangle_counts
+    from seisdb_spark.sources.tables import load_table
+
+    src = str(tmp_path / "sf_split")
+    os.makedirs(src)
+    pdf = load_table(spark, SMOKE_SF_DIR, "lineitem").toPandas()
+    pdf["l_shipdate"] = pdf.l_shipdate.astype("datetime64[us]")
+    for i in range(3):
+        part = pdf[pdf.l_orderkey % 3 == i]
+        os.makedirs(f"{src}/arrival{i}")
+        part.to_parquet(f"{src}/arrival{i}/lineitem.parquet", index=False)
+    # the split must actually scatter some part across batches
+    assert (pdf.groupby("l_partkey").l_orderkey.apply(
+        lambda k: (k % 3).nunique()) > 1).any()
+
+    out = str(tmp_path / "tri_stream")
+    got = _sorted(
+        streaming_triangle_counts(
+            spark, src + "/arrival*", out_dir=out
+        ).toPandas()
+    )
+    want = _sorted(
+        REGISTRY["graph_triangle_counts"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want.tri_count > 0).any()  # the census must see real triangles
+    assert len(os.listdir(os.path.join(out, "obslog"))) == 3
