@@ -64,6 +64,16 @@ def main() -> None:
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
 
+    # Pre-flight (the contract-line-probe discipline): a control renamed
+    # out of the bench set must fail in milliseconds, not after the
+    # multi-minute timing loop whose results a late raise would discard.
+    missing_controls = [c for c in CONTROLS if c not in bench_specs]
+    if missing_controls:
+        raise RuntimeError(
+            f"normalization controls missing from the bench set: "
+            f"{missing_controls} — update CONTROLS alongside the registry"
+        )
+
     # Validate the projected contract-line length BEFORE the ~2-minute
     # timing loop (worst-case field widths): failing after the run would
     # discard its results (r14 advice — and a bare assert strips under -O).
@@ -133,14 +143,6 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(per_query.values()), 4)
-    # the bench registry must actually carry all three controls — a
-    # rename/deregistration would silently break every normalized ratio
-    missing_controls = [c for c in CONTROLS if c not in per_query]
-    if missing_controls:
-        raise RuntimeError(
-            f"normalization controls missing from the bench set: "
-            f"{missing_controls} — update CONTROLS alongside the registry"
-        )
     control_median = statistics.median(per_query[c] for c in CONTROLS)
     queries_norm = {
         n: round(v / control_median, 3) for n, v in per_query.items()

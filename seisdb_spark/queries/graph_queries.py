@@ -48,7 +48,7 @@ from seisdb_spark.functions.graph import (
     release_checkpoint,
 )
 from seisdb_spark.plancheck import final_plan, has_node
-from seisdb_spark.queries.registry import query
+from seisdb_spark.queries.registry import query, register_session_checkpoint
 from seisdb_spark.sources.tables import load_table
 
 #: Executed per-round plans of the LAST driver-loop run (one entry per
@@ -148,8 +148,9 @@ def pagerank_edges(pairs: DataFrame) -> DataFrame:
     'persist the edges, shuffle only ranks' shape every production
     PageRank uses.  (Under the registry plan cache the checkpoint then
     lives for the session — acceptable for the query-at-a-time harness
-    and a few MB at driver scale; a long-lived multi-graph service would
-    add an unpersist hook like ext_sketch's eager-checkpoint cleanup.)
+    and a few MB at driver scale; a long-lived multi-graph service calls
+    registry.clear_plan_cache, which evicts the plans and releases the
+    checkpoints registered below — the r16 watch item's hook.)
     """
     pairs = pagerank_pairs(pairs)
     fwd = pairs.select(
@@ -166,9 +167,11 @@ def pagerank_edges(pairs: DataFrame) -> DataFrame:
     )
     # out-degree via a src-partitioned window: the per-iteration rank join
     # then lands on already-co-located keys instead of adding a deg join.
-    return edges.withColumn(
+    cp = edges.withColumn(
         "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).localCheckpoint(eager=False)
+    register_session_checkpoint(cp)
+    return cp
 
 
 def pagerank_topk(edges_deg: DataFrame) -> DataFrame:
@@ -264,7 +267,7 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         .select("u", F.explode("ps").alias("v"))
         .where(F.col("u") < F.col("v"))
     )
-    return (
+    cp = (
         pairs.select(
             F.col("u").cast("bigint").alias("u"),
             F.col("v").cast("bigint").alias("v"),
@@ -272,6 +275,12 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # tracked so clear_plan_cache can release it: the triangle census's
+    # CACHED plan reads this checkpoint on every execution (loop queries
+    # release their copy at build time instead — double-release of an
+    # already-unpersisted RDD is a no-op, so both disciplines coexist)
+    register_session_checkpoint(cp)
+    return cp
 
 
 def copurchase_obs(li: DataFrame) -> DataFrame:
@@ -929,13 +938,15 @@ def _sssp_oracle() -> str:
 def graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = copurchase_edges(li)
-    out = sssp_cost(e)
     # the returned cost table is the loop's final-round checkpoint (the
     # seed table and every superseded round are already released inside
     # sssp_cost), so the co-purchase checkpoint is dead once the loop
-    # returns — same per-bench-pass leak as the WCC entry (r16 advice).
-    _release_checkpoint(e)
-    return out
+    # exits — same per-bench-pass leak as the WCC entry (r16 advice);
+    # finally so a mid-loop failure cannot skip the release.
+    try:
+        return sssp_cost(e)
+    finally:
+        _release_checkpoint(e)
 
 
 @query(
@@ -968,13 +979,15 @@ def graph_sssp_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = copurchase_edges(li)
-    out = bfs_hops(e)
     # the returned hop table is a union of the loop's OWN checkpoints
     # (seeds + per-hop frontiers, all materialized by the round actions),
-    # so the co-purchase checkpoint is dead once the expansion returns —
-    # same per-bench-pass leak as the WCC entry (r16 advice).
-    _release_checkpoint(e)
-    return out
+    # so the co-purchase checkpoint is dead once the expansion exits —
+    # same per-bench-pass leak as the WCC entry (r16 advice); finally so
+    # a mid-loop failure cannot skip the release.
+    try:
+        return bfs_hops(e)
+    finally:
+        _release_checkpoint(e)
 
 
 # ---------------------------------------------------------------------------
@@ -1004,18 +1017,13 @@ WCC_MAX_ROUNDS = 24
 def wcc_obs(li: DataFrame) -> DataFrame:
     """Windowed DISTINCT (l_orderkey, l_partkey) observations — the
     per-microbatch compaction stage of the streaming WCC twin
-    (``streaming_wcc_membership``): the window filter is row-local and
-    distinct-of-a-union equals distinct-of-union-of-distincts, so the
-    merged log is split-invariant by construction even when one order's
-    lineitems arrive across microbatches (``copurchase_edges`` re-dedups
-    via collect_set on the read side).  The batch path does NOT route
-    through this stage: collect_set subsumes the distinct, and the extra
-    (order, part)-keyed exchange would double the batch edge
-    derivation's shuffle count for no value change."""
-    return (
+    (``streaming_wcc_membership``): :func:`copurchase_obs` restricted to
+    the WCC ship-date window (the filter is row-local, so the
+    split-invariance argument documented there carries over verbatim) —
+    the same delegation shape as :func:`wcc_edges` over
+    :func:`copurchase_edges`."""
+    return copurchase_obs(
         li.where(F.col("l_shipdate") < F.lit(WCC_CUTOFF).cast("timestamp"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
     )
 
 
@@ -1098,16 +1106,20 @@ def _wcc_oracle() -> str:
 def graph_wcc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e = wcc_edges(li)
-    labels, _rounds = connected_components(
-        e, "u", "v", max_rounds=WCC_MAX_ROUNDS
-    )
     # the returned labeling reads only its own final-round checkpoint
     # (connected_components symmetrizes into — and releases — its own
     # edge copy), so the windowed co-purchase checkpoint this call built
-    # is dead here; without the release each fixpoint bench pass (plan
-    # cache defeated) retained one edge-set RDD for the session (r16
-    # advice).
-    _release_checkpoint(e)
+    # is dead once the loop exits; without the release each fixpoint
+    # bench pass (plan cache defeated) retained one edge-set RDD for the
+    # session (r16 advice).  finally: the non-convergence RuntimeError
+    # must not skip it — that would re-create the leak on exactly the
+    # error path the loop itself releases its own copies on.
+    try:
+        labels, _rounds = connected_components(
+            e, "u", "v", max_rounds=WCC_MAX_ROUNDS
+        )
+    finally:
+        _release_checkpoint(e)
     return labels.select(
         F.col("v").cast("bigint").alias("part_id"),
         F.col("component").cast("bigint").alias("component_id"),

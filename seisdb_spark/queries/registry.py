@@ -91,3 +91,33 @@ def query(
         return fn
 
     return deco
+
+
+def register_session_checkpoint(df: DataFrame) -> None:
+    """Track a lazy localCheckpoint that a cached query plan will hold for
+    the session (pagerank_edges / copurchase_edges: the 'persist the
+    edges, shuffle only ranks' side of every superstep), so
+    :func:`clear_plan_cache` can release its blocks when the plans are
+    evicted.  The list lives ON the session object for the same
+    cycle-collection reason as the plan cache itself."""
+    df.sparkSession.__dict__.setdefault(
+        "_seisdb_session_checkpoints", []
+    ).append(df)
+
+
+def clear_plan_cache(spark: SparkSession) -> int:
+    """Evict every cached query plan AND release the session-lifetime edge
+    checkpoints those plans hold — the unpersist hook a long-lived
+    multi-graph service needs (a query-at-a-time harness never does: the
+    checkpoints are a few MB and die with the session).  Returns the
+    number of evicted plans.  Safe ordering: the plans are dropped FIRST,
+    so nothing can re-execute a plan whose checkpoint blocks are gone
+    (lazy localCheckpoints have no lineage to recompute from); re-invoking
+    a registry query afterwards rebuilds plan and checkpoint from
+    scratch."""
+    from seisdb_spark.functions.graph import release_checkpoint
+
+    evicted = len(spark.__dict__.pop("_seisdb_plan_cache", {}))
+    for df in spark.__dict__.pop("_seisdb_session_checkpoints", []):
+        release_checkpoint(df)
+    return evicted

@@ -1702,7 +1702,10 @@ def streaming_wcc_membership(
 ) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from seisdb_spark.functions.graph import connected_components
+    from seisdb_spark.functions.graph import (
+        connected_components,
+        release_checkpoint,
+    )
     from seisdb_spark.queries.graph_queries import (
         WCC_MAX_ROUNDS,
         copurchase_edges,
@@ -1715,14 +1718,15 @@ def streaming_wcc_membership(
         read_lineitem_stream, wcc_obs,
     )
     e = copurchase_edges(merged)
-    labels, _rounds = connected_components(
-        e, "u", "v", max_rounds=WCC_MAX_ROUNDS
-    )
-    # dead once the loop returns (the labeling reads only its own final
-    # checkpoint) — the batch twin's r16-advice release, mirrored
-    from seisdb_spark.functions.graph import release_checkpoint
-
-    release_checkpoint(e)
+    # dead once the loop exits (the labeling reads only its own final
+    # checkpoint) — the batch twin's r16-advice release, mirrored;
+    # finally so non-convergence cannot skip it
+    try:
+        labels, _rounds = connected_components(
+            e, "u", "v", max_rounds=WCC_MAX_ROUNDS
+        )
+    finally:
+        release_checkpoint(e)
     return labels.select(
         F.col("v").cast("bigint").alias("part_id"),
         F.col("component").cast("bigint").alias("component_id"),

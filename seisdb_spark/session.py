@@ -56,10 +56,14 @@ def get_spark(app_name: str = "seisdb-spark", shuffle_partitions: int | None = N
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in filter(None, (p.strip() for p in extra.split(","))):
         k, eq, v = pair.partition("=")
-        if not eq:
+        k = k.strip()
+        if not eq or not k:
             raise ValueError(
-                f"SPARK_GRAFT_EXTRA_CONF token {pair!r} has no '=' — "
-                "expected comma-separated key=value pairs"
+                f"SPARK_GRAFT_EXTRA_CONF token {pair!r} is not a "
+                "key=value pair with a non-empty key — expected "
+                "comma-separated key=value pairs"
             )
-        builder = builder.config(k, v)
+        # strip around '=': 'k = v' would otherwise set the inert key
+        # 'k ' (trailing space) and the override silently not apply
+        builder = builder.config(k, v.strip())
     return builder.getOrCreate()

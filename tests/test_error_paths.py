@@ -150,13 +150,58 @@ def test_schema_drift_tripwire_all_tables(spark, tmp_path):
         load_table(spark, SMOKE_SF_DIR, t)
 
 
-def test_extra_conf_token_without_equals_raises(monkeypatch):
-    """SPARK_GRAFT_EXTRA_CONF tokens without '=' are typo'd or truncated
-    overrides: before the r16 fix they silently became config(key, "")
-    and corrupted the session config; now they raise before any session
-    is built (well-formed pairs and a trailing comma still parse)."""
+def test_extra_conf_malformed_tokens_raise(monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF tokens without '=' (or with an empty key —
+    a truncated 'key=' template) are typo'd or truncated overrides:
+    before the r16 fix they silently became config(key, "") /
+    config("", value) and corrupted the session config; now they raise
+    before any session is built (well-formed pairs and a trailing comma
+    still parse)."""
     from seisdb_spark.session import get_spark
 
-    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", "spark.foo.bar")
-    with pytest.raises(ValueError, match="no '='"):
-        get_spark(app_name="extra-conf-probe")
+    for bad in ("spark.foo.bar", "=true", "  =true"):
+        monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", bad)
+        with pytest.raises(ValueError, match="key=value"):
+            get_spark(app_name="extra-conf-probe")
+
+
+def test_clear_plan_cache_releases_session_checkpoints(spark):
+    """clear_plan_cache is the long-lived-service unpersist hook (r16
+    watch item): it must evict every cached plan, release the
+    session-lifetime edge checkpoints those plans hold (pagerank_edges /
+    copurchase_edges), and leave the registry fully functional — a
+    re-invoked query rebuilds plan and checkpoint from scratch and
+    returns identical values."""
+    import pandas as pd
+
+    from seisdb_spark.queries.registry import REGISTRY, clear_plan_cache
+    from tests.conftest import SMOKE_SF_DIR
+
+    def run():
+        return (
+            REGISTRY["graph_pagerank_topk"]
+            .spark(spark, SMOKE_SF_DIR)
+            .toPandas()
+            .sort_values(["node_id"])
+            .reset_index(drop=True)
+        )
+
+    want = run()
+    jsc = spark.sparkContext._jsc
+    held = jsc.getPersistentRDDs().size()
+    assert held >= 1  # the pagerank edge checkpoint is materialized
+    assert (
+        len(spark.__dict__.get("_seisdb_session_checkpoints", [])) >= 1
+    ), "pagerank_edges did not register its session checkpoint"
+
+    evicted = clear_plan_cache(spark)
+    assert evicted >= 1
+    assert jsc.getPersistentRDDs().size() < held, (
+        "clear_plan_cache did not release the edge checkpoint blocks"
+    )
+    assert "_seisdb_plan_cache" not in spark.__dict__
+    assert "_seisdb_session_checkpoints" not in spark.__dict__
+
+    # the evicted plan must NOT be reachable anymore (re-executing it
+    # would read released checkpoint blocks); re-invocation rebuilds
+    pd.testing.assert_frame_equal(run(), want)
