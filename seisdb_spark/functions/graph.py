@@ -175,14 +175,31 @@ def connected_components(
     initial labeling is built from ``src`` — without symmetrization a
     dst-only vertex would silently never be labeled).  Each round
     localCheckpoints the labeling — cutting the lineage that would
-    otherwise grow 4x per round — and runs one limit-1 count as the
-    convergence probe.  Each round's executed plan is appended to
-    :data:`CC_ROUND_PLANS` for the scale harness (the final labeling's
-    plan cannot show the propagation joins), and the superseded previous
-    round's checkpointed blocks are released once the probe has consumed
-    them (the k-core discipline: driver state is one scalar + the
-    CURRENT labeling; a 50-round cascade must not hold 50 rounds of
-    blocks)."""
+    otherwise grow 4x per round.
+
+    Convergence probe — the sssp certificate discipline: per-vertex
+    labels are monotone NON-INCREASING across rounds (neighbour-min
+    takes ``least``; the pointer jump maps l to m1's label for vertex l,
+    itself <= l) over a CONSTANT vertex set (every label is an existing
+    vertex id, so the jump's inner join drops nothing), so the
+    (row count, BIGINT label sum) pair is unchanged iff NO label
+    changed — and it comes from the SAME aggregate action that
+    materializes the round's checkpoint.  This replaces the earlier
+    nxt-join-previous probe, saving one |V|-row equi-join (two
+    exchanges) per round.  Overflow headroom (the PageRank discipline):
+    Spark's non-ANSI BIGINT sum wraps mod 2^64, and a wrap can only
+    fake convergence if one round's TOTAL label decrease is an exact
+    positive multiple of 2^64 — impossible while |V| * max(vertex id)
+    < 2^64 (the x1000 tier is ~2.6e10 ids * 2.6e7 vertices ~ 7e17;
+    re-derive before trusting ids near 2^63 at web scale).
+
+    Each round's executed plan is appended to :data:`CC_ROUND_PLANS`
+    for the scale harness (the final labeling's plan cannot show the
+    propagation joins), and the superseded previous round's
+    checkpointed blocks are released once the round's aggregate has
+    materialized its successor (the k-core discipline: driver state is
+    one (count, sum) pair + the CURRENT labeling; a 50-round cascade
+    must not hold 50 rounds of blocks)."""
     CC_ROUND_PLANS.clear()
     edges = undirect(pairs, src, dst).localCheckpoint(eager=True)
     m = (
@@ -191,24 +208,22 @@ def connected_components(
         .select(F.col("src").alias("v"), F.col("src").alias("l"))
         .localCheckpoint(eager=True)
     )
+    prev_cert = tuple(
+        m.agg(F.count(F.lit(1)), F.sum("l").cast("bigint")).first()
+    )
     for i in range(1, max_rounds + 1):
         nxt_join = _cc_round(m, edges)
         nxt = nxt_join.localCheckpoint(eager=False)
-        changed = (
-            nxt.join(
-                m.select(F.col("v").alias("pv"), F.col("l").alias("pl")),
-                F.col("v") == F.col("pv"),
-            )
-            .filter(F.col("l") != F.col("pl"))
-            .limit(1)
-            .count()
+        cert = tuple(
+            nxt.agg(F.count(F.lit(1)), F.sum("l").cast("bigint")).first()
         )
         CC_ROUND_PLANS.append(final_plan(nxt_join))
-        release_checkpoint(m)  # probe consumed it; nxt is materialized
+        release_checkpoint(m)  # the aggregate materialized nxt
         m = nxt
-        if changed == 0:
+        if cert == prev_cert:
             release_checkpoint(edges)  # the labeling no longer reads it
             return m.select("v", F.col("l").alias("component")), i
+        prev_cert = cert
     # non-convergence: nothing useful survives the raise, so release the
     # symmetrized edge set AND the last labeling before failing — the
     # convergence path releases edges but this path otherwise leaked both
