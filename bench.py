@@ -19,6 +19,16 @@ subtotals: r15's honest-fixpoint repricing moved the headline 27.9 ->
 split required BENCH_NOTES archaeology — the machine-readable split keeps
 cross-round regression detection alive across methodology changes (r15
 verdict item #2).
+
+Soft regression gate (r17 verdict item #4): ``--prev BENCH_LOCAL_rN.json``
+compares THIS capture's control-normalized ratios against a previous
+capture's and prints a "normcheck" line listing every query whose
+normalized ratio moved more than NORM_FLAG_RATIO in either direction —
+the BENCH_NOTES adjudication arithmetic as one flagged list.  Movement
+against the CONTROLS is machine-independent by construction, so a flagged
+query moved against the code (or its data), not the box.  Soft: the gate
+prints and exits 0 — adjudication (same-day A/B per the mover discipline)
+stays a human step.
 """
 
 from __future__ import annotations
@@ -32,6 +42,13 @@ import time
 
 N_WARM = 5
 N_WARM_FIXPOINT = 3
+
+#: --prev flag threshold: normalized ratio movement beyond this (either
+#: direction — an unexplained speedup is a data/plan change too) is
+#: flagged.  1.5x, not the BENCH_NOTES 1.3x adjudication band: the gate
+#: flags what DEMANDS an A/B, the notes still narrate the 1.3-1.5x gray
+#: zone.
+NORM_FLAG_RATIO = 1.5
 
 #: Same-capture normalization controls (r16 verdict item #1): the sf0.1
 #: bench box oscillates 1.25-2x intra-day on identical code, so raw
@@ -51,7 +68,32 @@ CONTROLS = (
 )
 
 
+def _load_prev_norm(path: str) -> dict[str, float]:
+    """Previous capture's control-normalized ratios — read queries_norm
+    directly, or reconstruct from queries/control_median_sec for captures
+    predating the r17 normalization contract."""
+    with open(path) as fh:
+        prev = json.load(fh)
+    if "queries_norm" in prev:
+        return {n: float(v) for n, v in prev["queries_norm"].items()}
+    ctrl = prev.get("control_median_sec")
+    if not ctrl and "queries" in prev:
+        ctrls = [prev["queries"][c] for c in CONTROLS if c in prev["queries"]]
+        ctrl = statistics.median(ctrls) if ctrls else None
+    if not ctrl:
+        raise RuntimeError(
+            f"--prev {path}: no queries_norm and no way to reconstruct a "
+            "control median — pre-r15 captures are not comparable"
+        )
+    return {n: float(v) / ctrl for n, v in prev.get("queries", {}).items()}
+
+
 def main() -> None:
+    prev_path = None
+    if "--prev" in sys.argv:
+        prev_path = sys.argv[sys.argv.index("--prev") + 1]
+        prev_norm = _load_prev_norm(prev_path)  # fail BEFORE the timing loop
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -161,6 +203,33 @@ def main() -> None:
     # the final line is scalars only (~165 bytes today; asserted < 500
     # below so a future field addition cannot silently regrow it toward
     # the ~2000-char tail-capture limit).
+    if prev_path is not None:
+        # Soft gate line FIRST (the driver tail-keeps the last lines):
+        # per-query normalized movement vs the --prev capture, flagged
+        # beyond NORM_FLAG_RATIO either way.  Exits 0 regardless — the
+        # mover discipline's same-day A/B stays a human decision.
+        movers = {}
+        for n, cur in queries_norm.items():
+            old = prev_norm.get(n)
+            if not old:
+                continue
+            ratio = cur / old
+            if ratio > NORM_FLAG_RATIO or ratio < 1.0 / NORM_FLAG_RATIO:
+                movers[n] = {
+                    "norm_prev": round(old, 3),
+                    "norm_now": round(cur, 3),
+                    "ratio": round(ratio, 3),
+                }
+        print(
+            json.dumps(
+                {
+                    "normcheck": os.path.basename(prev_path),
+                    "flag_ratio": NORM_FLAG_RATIO,
+                    "n_compared": sum(1 for n in queries_norm if n in prev_norm),
+                    "flagged": movers,
+                }
+            )
+        )
     print(
         json.dumps(
             {

@@ -69,8 +69,26 @@ def release_checkpoint(df: DataFrame) -> None:
     would silently turn every release into a no-op and let long cascades
     re-accumulate blocks — so the first failure logs loudly (once per
     process; r15 advice), and ``tests/test_graph_scale_shapes.py`` pins
-    that persistent-RDD count actually shrinks across a peel."""
+    that persistent-RDD count actually shrinks across a peel.
+
+    Releasing also DEREGISTERS the df from the session-lifetime
+    checkpoint list (``register_session_checkpoint``) when present:
+    loop callers (sssp/bfs/wcc and the streaming twins) release their
+    copurchase_edges copy at build time, and without the removal each
+    fixpoint bench pass appended one dead DataFrame ref that only
+    ``clear_plan_cache`` would prune — unbounded list growth in a
+    long-lived service running loop queries between hook calls (r17
+    advice)."""
     global _RELEASE_FAILED_ONCE
+    try:
+        lst = df.sparkSession.__dict__.get("_seisdb_session_checkpoints")
+        if lst is not None:
+            for i, tracked in enumerate(lst):
+                if tracked is df:
+                    del lst[i]
+                    break
+    except Exception:
+        pass  # deregistration is best-effort; the unpersist below is the point
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -187,11 +205,21 @@ def connected_components(
     materializes the round's checkpoint.  This replaces the earlier
     nxt-join-previous probe, saving one |V|-row equi-join (two
     exchanges) per round.  Overflow headroom (the PageRank discipline):
-    Spark's non-ANSI BIGINT sum wraps mod 2^64, and a wrap can only
-    fake convergence if one round's TOTAL label decrease is an exact
-    positive multiple of 2^64 — impossible while |V| * max(vertex id)
-    < 2^64 (the x1000 tier is ~2.6e10 ids * 2.6e7 vertices ~ 7e17;
-    re-derive before trusting ids near 2^63 at web scale).
+    under ANSI mode (the Spark 4 default) an overflowing BIGINT sum
+    raises mid-loop; under non-ANSI it wraps mod 2^64, and a wrap could
+    fake convergence only if one round's TOTAL label decrease were an
+    exact positive multiple of 2^64 — impossible while |V| * max(vertex
+    id) < 2^64 (the x1000 tier is ~2.6e10 ids * 2.6e7 vertices ~ 7e17).
+    The precondition is GUARDED at runtime, not just documented (r17
+    advice): the seed aggregate takes try_sum (NULL, never a raise, on
+    overflow) plus max(l) — the max VERTEX id, since labels only
+    decrease — and the loop refuses to run when |V| * max_id >= 2^63
+    (the conservative signed bound), converting both failure modes
+    (ANSI mid-loop raise, non-ANSI silent wrap) into one principled
+    early refusal; densely re-map vertex ids first (zipWithIndex /
+    hash-rank) at that scale.  Past the guard, every round's sum is
+    bounded by the seed sum (labels are non-increasing), so the plain
+    F.sum in the loop can neither raise nor wrap.
 
     Each round's executed plan is appended to :data:`CC_ROUND_PLANS`
     for the scale harness (the final labeling's plan cannot show the
@@ -208,9 +236,24 @@ def connected_components(
         .select(F.col("src").alias("v"), F.col("src").alias("l"))
         .localCheckpoint(eager=True)
     )
-    prev_cert = tuple(
-        m.agg(F.count(F.lit(1)), F.sum("l").cast("bigint")).first()
-    )
+    seed = m.agg(
+        F.count(F.lit(1)),
+        F.try_sum("l").cast("bigint"),  # NULL (not an ANSI raise) on overflow
+        F.max("l").cast("bigint"),
+    ).first()
+    prev_cert = (seed[0], seed[1])
+    n_vertices, max_id = int(seed[0] or 0), int(seed[2] or 0)
+    if n_vertices * max_id >= 2**63:
+        # the (count, label-sum) certificate is only wrap-sound while the
+        # true label sums stay representable; refuse rather than risk a
+        # silently faked convergence on a future huge-id tier (r17 advice)
+        release_checkpoint(edges)
+        release_checkpoint(m)
+        raise ValueError(
+            "connected_components certificate precondition violated: "
+            f"|V| ({n_vertices}) * max vertex id ({max_id}) >= 2^63 — "
+            "densely re-map vertex ids before clustering at this scale"
+        )
     for i in range(1, max_rounds + 1):
         nxt_join = _cc_round(m, edges)
         nxt = nxt_join.localCheckpoint(eager=False)

@@ -324,7 +324,16 @@ DRIVER_WINDOW: list[str] = [
     # bench NORMALIZATION CONTROL (bench.py CONTROLS, r16 verdict item
     # #1) — its in-window row revalidates the control's values each
     # round.
-    "tpch_q1_pricing_summary",
+    # round-18 rotation (fewest-career-greens cohort, r17 verdict item
+    # #2): rollup_revenue — the ROLLUP grouping form (career greens
+    # r1+r2 only) — back in for its third green, in for
+    # tpch_q1_pricing_summary (green r1+r2+r17, thrice-green rotation-
+    # eligible; the full-scan multi-aggregate family keeps THIS ROLLUP
+    # rep plus grouping_sets_orders in-window, and Q1 stays a bench
+    # NORMALIZATION CONTROL — the bench pre-flight enforces bench
+    # membership independent of window membership — plus pytest-oracle-
+    # checked every round).
+    "rollup_revenue",
     # round-15 rotation (late — governance-forced: new oracle-bearing
     # entries start in-window): graph_sssp_cost — bounded Bellman-Ford
     # weighted shortest-path cost, the graph family's SIXTH algorithm
@@ -403,7 +412,15 @@ DRIVER_WINDOW: list[str] = [
     # exact-vs-sketch certification stays pytest-oracle-checked every
     # round).  Bonus: this query is now a bench NORMALIZATION CONTROL
     # (bench.py CONTROLS) — its in-window row revalidates the control.
-    "token_count_by_lang",
+    # round-18 rotation (fewest-career-greens cohort, cont.):
+    # json_props_extract — the JSON scalar-function surface (career
+    # greens r1+r2 only) — back in for its third green, in for
+    # token_count_by_lang (green r1+r2+r17, thrice-green rotation-
+    # eligible; the text family keeps lateral_explode_words plus the
+    # trained-LM pair in-window, and the token counter stays a bench
+    # NORMALIZATION CONTROL — pre-flight-enforced — and pytest-oracle-
+    # checked every round).
+    "json_props_extract",
     # --- round-8 rotation: the vector-store codec surface (r7 verdict item
     # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
     # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty
@@ -531,7 +548,14 @@ DRIVER_WINDOW: list[str] = [
     # anomaly_trailing_zscore — the same trailing-frame machinery —
     # in-window, and the ROWS-frame moving sum stays pytest-oracle-
     # checked every round).
-    "tumbling_window_counts",
+    # round-18 rotation (fewest-career-greens cohort, cont.):
+    # date_monthly_revenue — the date/timestamp scalar surface (trunc/
+    # extract monthly rollup; career greens r1+r2 only) — back in for
+    # its third green, in for tumbling_window_counts (green r1+r2+r17,
+    # thrice-green rotation-eligible; the event-time window family keeps
+    # sliding_window_counts AND streaming_ohlc_bars in-window, and the
+    # tumbling aggregate stays pytest-oracle-checked every round).
+    "date_monthly_revenue",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built
     # filter, broadcast 1-row dense word array, exact verify of bloom
@@ -605,7 +629,19 @@ DRIVER_WINDOW: list[str] = [
     # rotation-eligible; the join surface keeps j1_gather_join AND this
     # incoming multi-join rep in-window, and the outer-join NULL
     # semantics stay pytest-oracle-checked every round).
-    "multi_join_revenue_by_nation",
+    # round-18 rotation (fewest-career-greens cohort, cont.):
+    # lang_id_ngram — the language-ID n-gram heuristic (§2.11 mandated
+    # text analysis; career greens r3+r4 only) — back in for its third
+    # green, in for multi_join_revenue_by_nation (green r1+r2+r17,
+    # thrice-green rotation-eligible; the join surface keeps
+    # j1_gather_join, range_join_value_bands and pointintime_balance_
+    # lookup in-window, and the 4-table broadcast-dim chain stays
+    # pytest-oracle-checked plus plan-asserted every round).  NOT chosen
+    # despite fewer/equal greens: setop_customers_without_orders — its
+    # two career greens are 0-row==0-row matches (the synthetic corpus
+    # gives every customer an order), so its driver row is vacuous at
+    # every tested SF; it stays pytest-oracle-checked out-of-window.
+    "lang_id_ngram",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
@@ -848,7 +884,17 @@ DRIVER_WINDOW: list[str] = [
     # rotation-eligible; the ranking family keeps THIS per-group top-k
     # rep in-window, and rank/dense_rank plus the TakeOrderedAndProject
     # plan shape stay pytest-asserted every round).
-    "topk_orders_per_customer",
+    # round-18 rotation (fewest-career-greens cohort, cont.):
+    # e1_quantize_codes — the §2.7 E1 truncating-quantize array form
+    # (career greens r2+r3 only — the quantize family's last hard row
+    # was r3) — back in for its third green, in for
+    # topk_orders_per_customer (green r1+r2+r17, thrice-green rotation-
+    # eligible; the ranked-window machinery stays in-window via
+    # embedding_dim_quantiles' row_number profile and scd2_history_
+    # build's version/lead windows, the TakeOrderedAndProject plan shape
+    # stays pytest-asserted, and the per-group top-k stays pytest-
+    # oracle-checked every round).
+    "e1_quantize_codes",
 ]
 
 

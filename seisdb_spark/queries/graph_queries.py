@@ -1094,7 +1094,11 @@ def _wcc_oracle() -> str:
     "equi-join + aggregate and one label-keyed jump equi-join over the "
     "checkpointed previous labeling, captured in CC_ROUND_PLANS for the "
     "scale harness; superseded labelings are released (the k-core "
-    "discipline); driver state is one scalar (the changed-row probe).  "
+    "discipline); driver state is one (count, label-sum) certificate "
+    "pair read off the SAME aggregate that materializes the round's "
+    "checkpoint — labels are monotone non-increasing over a constant "
+    "vertex set, so an unchanged pair IS the fixpoint, with no extra "
+    "probe join (functions/graph.py connected_components, r17).  "
     "Component ids are min part ids — set-unique, independent of round "
     "order — so the membership table value-hashes.  The oracle is the "
     "same closure as a DuckDB recursive CTE (the dedup_cluster_"

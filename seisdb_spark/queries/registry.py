@@ -111,10 +111,19 @@ def clear_plan_cache(spark: SparkSession) -> int:
     multi-graph service needs (a query-at-a-time harness never does: the
     checkpoints are a few MB and die with the session).  Returns the
     number of evicted plans.  Safe ordering: the plans are dropped FIRST,
-    so nothing can re-execute a plan whose checkpoint blocks are gone
-    (lazy localCheckpoints have no lineage to recompute from); re-invoking
-    a registry query afterwards rebuilds plan and checkpoint from
-    scratch."""
+    so the REGISTRY can never hand out a plan whose checkpoint blocks are
+    gone (lazy localCheckpoints have no lineage to recompute from);
+    re-invoking a registry query afterwards rebuilds plan and checkpoint
+    from scratch.
+
+    INVALIDATION CONTRACT (r17 advice): DataFrames a caller obtained from
+    the registry BEFORE the clear are invalidated by it — the hook cannot
+    reach references it does not hold, so re-executing such a DataFrame
+    fails on the released checkpoint blocks (no lineage to recompute
+    from).  A long-lived service must treat this hook as a generation
+    boundary: call it only when no pre-clear DataFrame will be executed
+    again, and re-obtain every query result from the registry
+    afterwards."""
     from seisdb_spark.functions.graph import release_checkpoint
 
     evicted = len(spark.__dict__.pop("_seisdb_plan_cache", {}))

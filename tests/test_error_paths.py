@@ -205,3 +205,46 @@ def test_clear_plan_cache_releases_session_checkpoints(spark):
     # the evicted plan must NOT be reachable anymore (re-executing it
     # would read released checkpoint blocks); re-invocation rebuilds
     pd.testing.assert_frame_equal(run(), want)
+
+
+def test_release_checkpoint_deregisters_session_list(spark):
+    """Loop queries (sssp/bfs/wcc and the streaming graph twins) release
+    their copurchase_edges checkpoint at build time; before the r17-advice
+    fix the build-time registration stayed in the session-lifetime list, so
+    each plan-cache-defeated bench pass appended one dead DataFrame ref
+    that only clear_plan_cache would prune.  release_checkpoint must now
+    deregister the df, so the list does not grow across fixpoint passes."""
+    from seisdb_spark.functions.graph import release_checkpoint
+    from seisdb_spark.queries.registry import (
+        REGISTRY,
+        register_session_checkpoint,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    # direct contract: register then release removes the exact entry
+    df = spark.range(3).localCheckpoint(eager=True)
+    register_session_checkpoint(df)
+    lst = spark.__dict__["_seisdb_session_checkpoints"]
+    assert any(d is df for d in lst)
+    release_checkpoint(df)
+    assert not any(d is df for d in lst), (
+        "release_checkpoint left the released df registered for the "
+        "session lifetime"
+    )
+
+    # end-to-end: two plan-cache-defeated passes of a fixpoint loop query
+    # (the bench protocol) must not grow the session list
+    def defeated_pass():
+        REGISTRY["graph_sssp_cost"].spark(spark, SMOKE_SF_DIR).count()
+        spark.__dict__.get("_seisdb_plan_cache", {}).pop(
+            ("graph_sssp_cost", SMOKE_SF_DIR), None
+        )
+
+    defeated_pass()
+    n_after_first = len(spark.__dict__.get("_seisdb_session_checkpoints", []))
+    defeated_pass()
+    n_after_second = len(spark.__dict__.get("_seisdb_session_checkpoints", []))
+    assert n_after_second == n_after_first, (
+        f"session checkpoint list grew {n_after_first} -> {n_after_second} "
+        "across fixpoint bench passes (dead refs accumulating)"
+    )

@@ -284,3 +284,33 @@ def test_nonconvergence_releases_edges_and_labeling(spark):
         f"{after - before} checkpoints retained after a failed cascade — "
         "the error path is leaking"
     )
+
+
+def test_cc_certificate_overflow_precondition_guard(spark):
+    """The (count, label-sum) convergence certificate is wrap-sound only
+    while |V| * max vertex id < 2^63; past that a wrapped BIGINT sum could
+    silently fake convergence (r17 advice).  The guard must refuse loudly
+    BEFORE running any propagation round, and must not leak the edge/seed
+    checkpoints it built (the non-convergence release discipline)."""
+    import pytest
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+
+    big = 2**62  # 4 vertices * ~4.6e18 max id >= 2^63: precondition fails
+    pairs = _pairs_df(spark, [(big, big + 1), (big + 2, big + 3)])
+    with pytest.raises(ValueError, match="re-map vertex ids"):
+        connected_components(pairs, "doc_a", "doc_b")
+
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 0, (
+        f"{after - before} checkpoints retained after the precondition "
+        "refusal — the guard path is leaking"
+    )
+
+    # just UNDER the bound still runs: 2 vertices, max id < 2^62 each —
+    # 2 * (2^61 + 1) < 2^63, so the certificate is certified sound
+    ok = _pairs_df(spark, [(2**61, 2**61 + 1)])
+    labels, rounds = connected_components(ok, "doc_a", "doc_b")
+    got = {r.v: r.component for r in labels.collect()}
+    assert got == {2**61: 2**61, 2**61 + 1: 2**61}
