@@ -104,6 +104,65 @@ def release_checkpoint(df: DataFrame) -> None:
             )
 
 
+#: Conservative per-row footprint (bytes) assumed when gating a loop-state
+#: broadcast: an UnsafeRow of two bigint fields is 8 (null bitset) + 16
+#: (fields) = 24 bytes; 32 leaves headroom for the broadcast hash
+#: relation's bucket array.  Deliberately pessimistic — over-estimating
+#: only declines a profitable broadcast, never OOMs one.
+LOOP_STATE_ROW_BYTES = 32
+
+
+def _auto_broadcast_bytes(spark) -> int:
+    """The session's own ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (0 when disabled/unparseable) — the gated-broadcast helpers below size
+    against the SAME knob the planner uses, so one production setting
+    governs both the optimizer's estimates and our exact-count hints."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 2**10), ("mb", 2**20), ("gb", 2**30), ("tb", 2**40),
+        ("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            mult, raw = m, raw[: -len(suf)]
+            break
+    try:
+        n = int(float(raw))
+    except ValueError:
+        return 0
+    return max(n * mult, 0)
+
+
+def hint_broadcast_if_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint a driver-loop's per-round small side when its KNOWN
+    row count fits the session's broadcast threshold; otherwise return it
+    unchanged.
+
+    Why the hint is needed at all (guide §3.1): every loop's round state
+    (labeling / cost table / frontier / survivor set) is a localCheckpoint,
+    which scans as a LogicalRDD with UNKNOWN stats — the static planner
+    can never pick the broadcast join itself, and AQE only rewrites
+    SMJ -> BHJ after BOTH sides' exchanges have materialized, so the big
+    (edge) side pays a full shuffle write per round for a join that ends
+    up broadcast anyway (measured r18: ~0.4 s/round of the k-core peel at
+    sf0.1 was exactly this).  The loops, unlike the planner, know the
+    EXACT row count of their round state — the convergence certificate /
+    frontier count they already compute — so the decision here is made
+    from real numbers, sized against ``spark.sql.autoBroadcastJoinThreshold``
+    (the one knob a production deployment already tunes).  Above the
+    threshold — the 100 TB regime, e.g. the x1000 tier's 25.7M-vertex
+    labeling — the input is returned unchanged and the round keeps the
+    shuffle join that AQE skew-handles.  Pure strategy hint: join results
+    are identical either way."""
+    if n_rows is None:
+        return df
+    if n_rows * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(df.sparkSession):
+        return F.broadcast(df)
+    return df
+
+
 _CC_SCHEMA = T.StructType(
     [
         T.StructField("v", T.LongType(), False),
@@ -156,12 +215,21 @@ def cc_exact_lazy(
     return edges.mapInPandas(union_find, _CC_SCHEMA)
 
 
-def _cc_round(m: DataFrame, edges: DataFrame) -> DataFrame:
+def _cc_round(
+    m: DataFrame, edges: DataFrame, n_vertices: int | None = None
+) -> DataFrame:
     """One propagation round: neighbour-min then pointer jump.
 
     ``m`` is the current labeling (v, l); ``edges`` is symmetric.  Labels
     are always existing vertex ids (they start as vertex ids and only ever
     copy), so the pointer-jump join is inner.
+
+    ``n_vertices`` is the labeling's exact row count (the previous round's
+    convergence-certificate count — constant across rounds): when it fits
+    the session broadcast threshold the neighbour-min join broadcasts the
+    labeling instead of shuffling the edge set by dst every round (see
+    :func:`hint_broadcast_if_small`; r18 measurement — the edge-side
+    shuffle write dominated the round).
 
     The jump join references the post-min labeling ``m1`` on BOTH sides
     (probe + lookup).  That is NOT a double computation: Catalyst's
@@ -170,16 +238,30 @@ def _cc_round(m: DataFrame, edges: DataFrame) -> DataFrame:
     reference reads the reused shuffle/broadcast (verified in the
     captured round plans — ``ReusedExchange`` over the m1 subtree)."""
     nb = (
-        edges.join(m.select(F.col("v").alias("dst"), "l"), "dst")
+        edges.join(
+            hint_broadcast_if_small(
+                m.select(F.col("v").alias("dst"), "l"), n_vertices
+            ),
+            "dst",
+        )
         .groupBy("src")
         .agg(F.min("l").alias("nb_l"))
         .select(F.col("src").alias("v"), "nb_l")
     )
-    m1 = m.join(nb, "v", "left").select(
+    # nb and lk are both bounded by |V| (nb: one row per vertex with a
+    # labeled neighbour; lk: exactly the |V|-row m1) — the same known
+    # count gates their broadcast, collapsing the round's tail joins from
+    # the SMJ-then-AQE-rewrite dance (two tiny exchanges each) to direct
+    # broadcast hash joins.  The broadcast lk build re-reads only the
+    # in-memory m scan; nb's exchange/broadcast is reused across both
+    # m1 references (ReuseExchange, as before).
+    m1 = m.join(hint_broadcast_if_small(nb, n_vertices), "v", "left").select(
         "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
     )
     lk = m1.select(F.col("v").alias("lv"), F.col("l").alias("ll"))
-    return m1.join(lk, F.col("l") == F.col("lv")).select("v", F.col("ll").alias("l"))
+    return m1.join(
+        hint_broadcast_if_small(lk, n_vertices), F.col("l") == F.col("lv")
+    ).select("v", F.col("ll").alias("l"))
 
 
 def connected_components(
@@ -255,7 +337,7 @@ def connected_components(
             "densely re-map vertex ids before clustering at this scale"
         )
     for i in range(1, max_rounds + 1):
-        nxt_join = _cc_round(m, edges)
+        nxt_join = _cc_round(m, edges, n_vertices)
         nxt = nxt_join.localCheckpoint(eager=False)
         cert = tuple(
             nxt.agg(F.count(F.lit(1)), F.sum("l").cast("bigint")).first()

@@ -45,6 +45,7 @@ from seisdb_spark.functions.graph import (
     # functions/graph.py and mutates this list IN PLACE — clear/append,
     # never rebind — so the alias stays live)
     connected_components,
+    hint_broadcast_if_small,
     release_checkpoint,
 )
 from seisdb_spark.plancheck import final_plan, has_node
@@ -67,13 +68,20 @@ def round_plans_ok(plans: list[str]) -> bool:
     equi-join-only (no cartesian / nested-loop of real extents),
     partition-local (no global range sort), JVM-side (no Python boundary),
     and reads its predecessor through a checkpoint scan (Scan ExistingRDD)
-    instead of re-running the whole loop history's lineage."""
+    instead of re-running the whole loop history's lineage.
+
+    An ``EmptyRelation`` round is accepted in place of the checkpoint
+    scan: with the gated broadcast of the round state (r18), AQE's
+    empty-relation propagation collapses a round whose broadcast frontier
+    is empty (BFS's terminating round) into a no-op plan that scans
+    nothing — it trivially cannot re-run loop history, which is what the
+    ExistingRDD requirement certifies."""
     return bool(plans) and all(
         not has_node(p, "CartesianProduct")
         and not has_node(p, "NestedLoopJoin")
         and not has_node(p, "rangepartitioning")
         and not has_node(p, "BatchEvalPython")
-        and has_node(p, "ExistingRDD")
+        and (has_node(p, "ExistingRDD") or has_node(p, "EmptyRelation"))
         for p in plans
     )
 
@@ -537,9 +545,27 @@ def kcore_core(
         keep = deg.where(F.col("d") >= k).select("n").localCheckpoint(
             eager=False
         )
+        # exact survivor count (materializes the checkpoint the two joins
+        # below read): checkpointed round state scans with UNKNOWN stats,
+        # so without the gated hint the static planner picks SMJ and AQE
+        # only converts after the FULL edge set has shuffle-written by u
+        # and again by v — measured at ~0.4 s/round of the sf0.1 peel
+        # (r18, guide §3.1/§2.4).  Above the session broadcast threshold
+        # the hint is a no-op and the round keeps the shuffle joins.
+        n_keep = keep.count()
         e2_join = (
-            e.join(keep.select(F.col("n").alias("u")), "u")
-            .join(keep.select(F.col("n").alias("v")), "v")
+            e.join(
+                hint_broadcast_if_small(
+                    keep.select(F.col("n").alias("u")), n_keep
+                ),
+                "u",
+            )
+            .join(
+                hint_broadcast_if_small(
+                    keep.select(F.col("n").alias("v")), n_keep
+                ),
+                "v",
+            )
             .select("u", "v")
         )
         e2 = e2_join.localCheckpoint(eager=False)
@@ -697,17 +723,34 @@ def bfs_hops(
         .where(F.col("node") % seed_mod == 0)
         .localCheckpoint(eager=False)
     )
+    # exact frontier/visited row counts (the seed count materializes the
+    # seed checkpoint the first round reads anyway): checkpointed round
+    # state scans with UNKNOWN stats, so without the gated hints the edge
+    # projection shuffle-writes by src every hop for a frontier join AQE
+    # converts to broadcast after the fact (guide §3.1/§2.4; the k-core
+    # measurement).  Above the session broadcast threshold both hints are
+    # no-ops and the hop keeps its shuffle joins.
+    n_frontier = seeds.count()
+    n_visited = n_frontier
     dist = seeds.select("node", F.lit(0).cast("bigint").alias("hops"))
     frontier = seeds
     for h in range(1, max_hops + 1):
         nxt_join = (
-            sym.join(frontier, sym.src == frontier.node)
+            sym.join(
+                hint_broadcast_if_small(frontier, n_frontier),
+                sym.src == frontier.node,
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(
+                hint_broadcast_if_small(dist.select("node"), n_visited),
+                "node",
+                "left_anti",
+            )
         )
         nxt = nxt_join.localCheckpoint(eager=False)
         c = nxt.count()
+        n_frontier, n_visited = c, n_visited + c
         BFS_ROUND_PLANS.append(final_plan(nxt_join))
         if c == 0:
             _release_checkpoint(nxt)  # empty frontier: nothing to keep
@@ -830,8 +873,17 @@ def sssp_cost(
     # edges, never a checkpoint it needs back)
     dist_owned = True
     prev_cert = None
+    # exact cost-table row count (the seed count materializes the seed
+    # checkpoint round 1 reads anyway; afterwards it rides the convergence
+    # certificate): without the gated hint the weighted edge projection
+    # shuffle-writes by src every round for a dist join AQE converts to
+    # broadcast after the fact (guide §3.1/§2.4; the k-core measurement).
+    # Above the session broadcast threshold the hint is a no-op.
+    n_dist = dist.count()
     for _ in range(max_edges):
-        relax = sym.join(dist, sym.src == dist.node).select(
+        relax = sym.join(
+            hint_broadcast_if_small(dist, n_dist), sym.src == dist.node
+        ).select(
             F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
         )
         new_join = (
@@ -860,6 +912,7 @@ def sssp_cost(
         if dist_owned:
             _release_checkpoint(dist)
         dist, dist_owned = new, True
+        n_dist = int(cert[0] or 0)
         if cert == prev_cert:
             break
         prev_cert = cert

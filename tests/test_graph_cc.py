@@ -314,3 +314,79 @@ def test_cc_certificate_overflow_precondition_guard(spark):
     labels, rounds = connected_components(ok, "doc_a", "doc_b")
     got = {r.v: r.component for r in labels.collect()}
     assert got == {2**61: 2**61, 2**61 + 1: 2**61}
+
+
+def test_auto_broadcast_bytes_parses_spark_size_spellings(spark):
+    """The gated-broadcast helper sizes against the session's own
+    autoBroadcastJoinThreshold, which Spark accepts as plain bytes or with
+    k/m/g(b) suffixes — and as -1 to disable broadcasting entirely."""
+    from seisdb_spark.functions.graph import _auto_broadcast_bytes
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        for raw, expect in (
+            ("10485760", 10 * 2**20),
+            ("64MB", 64 * 2**20),
+            ("1g", 2**30),
+            ("512k", 512 * 2**10),
+            ("-1", 0),  # disabled: the gate must never hint
+        ):
+            spark.conf.set(key, raw)
+            assert _auto_broadcast_bytes(spark) == expect, raw
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_hint_broadcast_if_small_gates_on_known_row_count(spark):
+    """r18 optimization pin: loop round state scans as LogicalRDD with
+    unknown stats, so the loops hint broadcast from their EXACT known row
+    counts — below the session threshold the side is hinted, above it (the
+    100 TB regime) the input must come back unchanged so the round keeps
+    the shuffle join AQE skew-handles."""
+    from seisdb_spark.functions.graph import (
+        LOOP_STATE_ROW_BYTES,
+        _auto_broadcast_bytes,
+        hint_broadcast_if_small,
+    )
+
+    df = _pairs_df(spark, [(1, 2)])
+    limit_rows = _auto_broadcast_bytes(spark) // LOOP_STATE_ROW_BYTES
+
+    hinted = hint_broadcast_if_small(df, limit_rows)
+    assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString() or (
+        "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    ), "small side was not hinted"
+
+    too_big = hint_broadcast_if_small(df, limit_rows + 1)
+    assert too_big is df, "oversized side must pass through unchanged"
+    assert hint_broadcast_if_small(df, None) is df, "unknown count: no hint"
+
+
+def test_cc_round_is_single_exchange_under_broadcast_gate(spark):
+    """r18 optimization pin (guide §3.1/§2.4): with the labeling's exact
+    count gating a broadcast hint, every captured propagation round
+    executes as ONE shuffle exchange (the partial-aggregated neighbour-min)
+    plus broadcast hash joins — the edge set is never shuffled by dst, and
+    nb's broadcast is reused across both m1 references.  Before the gate,
+    checkpoint scans' unknown stats forced SMJ plans whose edge-side
+    exchanges AQE materialized before converting (the measured ~70% of
+    round cost at sf0.1)."""
+    from seisdb_spark.functions.graph import CC_ROUND_PLANS
+    from seisdb_spark.plancheck import count_exchanges, has_node
+
+    # a 60-node chain: multi-round cascade, tiny labeling -> gate hints
+    pairs = [(i, i + 1) for i in range(60)]
+    labels, rounds = connected_components(_pairs_df(spark, pairs), "doc_a", "doc_b")
+    got = {r.v: r.component for r in labels.collect()}
+    assert got == _truth_min_labels(pairs)
+    assert rounds >= 3
+    assert len(CC_ROUND_PLANS) == rounds
+    for p in CC_ROUND_PLANS:
+        assert count_exchanges(p) == 1, (
+            f"round plan has {count_exchanges(p)} shuffle exchanges — the "
+            f"broadcast gate regressed:\n{p[:800]}"
+        )
+        assert has_node(p, "BroadcastHashJoin")
+        assert not has_node(p, "SortMergeJoin")
+        assert has_node(p, "ReusedExchange"), "nb broadcast not reused"
