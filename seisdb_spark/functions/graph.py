@@ -248,16 +248,23 @@ def _cc_round(
         .agg(F.min("l").alias("nb_l"))
         .select(F.col("src").alias("v"), "nb_l")
     )
-    # nb and lk are both bounded by |V| (nb: one row per vertex with a
-    # labeled neighbour; lk: exactly the |V|-row m1) — the same known
-    # count gates their broadcast, collapsing the round's tail joins from
-    # the SMJ-then-AQE-rewrite dance (two tiny exchanges each) to direct
-    # broadcast hash joins.  The broadcast lk build re-reads only the
-    # in-memory m scan; nb's exchange/broadcast is reused across both
-    # m1 references (ReuseExchange, as before).
+    # nb and the jump lookups are all bounded by |V| (nb: one row per
+    # vertex with a labeled neighbour; each lookup: exactly the |V|-row
+    # current labeling) — the same known count gates their broadcast,
+    # collapsing the round's tail joins from the SMJ-then-AQE-rewrite
+    # dance (two tiny exchanges each) to direct broadcast hash joins.
+    # The broadcast lookup builds re-read only the in-memory m scan; nb's
+    # exchange/broadcast is reused across the references (ReuseExchange).
     m1 = m.join(hint_broadcast_if_small(nb, n_vertices), "v", "left").select(
         "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
     )
+
+    # ONE jump per round.  r18 tried doubling it (label <- m1.l[m1.l[l]],
+    # shared lookup, broadcast reused): round counts did NOT drop at
+    # either driver SF (9 @ sf0.01 / 11 @ sf0.1 both ways) — the cascade
+    # is bounded by the neighbour-min's 1-hop-per-round propagation, not
+    # by label-tree height, so the label tree is already shallow when the
+    # jump reads it.  Deliberately left at one jump.
     lk = m1.select(F.col("v").alias("lv"), F.col("l").alias("ll"))
     return m1.join(
         hint_broadcast_if_small(lk, n_vertices), F.col("l") == F.col("lv")
