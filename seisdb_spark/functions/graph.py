@@ -18,12 +18,19 @@ Two forms:
 * :func:`connected_components` — the unbounded-scale iterative form:
   min-label propagation with POINTER JUMPING (``label <- label(label)``
   composes the mapping with itself, doubling the propagation radius per
-  round, so O(log diameter) rounds), each round one candidate-sized
-  shuffle, ``localCheckpoint`` per round to cut lineage, one small count
-  per round as the convergence test — the only driver-side actions.  This
-  is the same alternating-contraction idea as the large-star/small-star
-  CC algorithm; use it when the dup-pair edge list itself outgrows one
-  task (billions of edges).
+  round, so O(log diameter) rounds).  The symmetric edge set is
+  checkpointed ONCE, hash-partitioned + sorted by ``src`` with the
+  partitioning preserved into the checkpoint scan (r18,
+  :func:`partitioned_edge_checkpoint`), so per round only the |V|-row
+  labeling ever shuffles — broadcast when its exact count fits the
+  session threshold (then the round plan carries ZERO shuffle
+  exchanges and runs TWO propagation hops, halving the round count),
+  sort-merge against the pre-clustered edge side otherwise.
+  ``localCheckpoint`` per round cuts lineage; ONE aggregate action per
+  round materializes the checkpoint and doubles as the convergence
+  certificate.  This is the same alternating-contraction idea as the
+  large-star/small-star CC algorithm; use it when the dup-pair edge
+  list itself outgrows one task (billions of edges).
 * :func:`cc_auto` — the ACTION-path dispatcher: materializes the pair
   list once, counts it, and picks the single-task form below
   :data:`CC_SINGLE_TASK_MAX_EDGES` edges and the distributed form above.
@@ -34,7 +41,10 @@ Two forms:
 from __future__ import annotations
 
 import logging
+import math
+import os
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -163,6 +173,111 @@ def hint_broadcast_if_small(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df
 
 
+#: Target bytes per partition of a loop's persisted edge checkpoint —
+#: guide §2.2/§6: partitions in the 100 MB - 1 GB band, derived from the
+#: ACTUAL row count rather than a constant tuned for one scale.  Env-
+#: overridable for deployments with different executor memory budgets.
+EDGE_PARTITION_TARGET_BYTES = int(
+    os.environ.get("SEISDB_EDGE_PARTITION_BYTES", str(128 * 1024 * 1024))
+)
+#: Conservative serialized footprint of one symmetric edge row (2-3 bigint
+#: fields as an UnsafeRow) used only for partition-count sizing.
+EDGE_ROW_BYTES = 24
+#: Parallelism floor granularity: one partition per this many edge rows,
+#: capped at the session's core count — a 51k-row graph gets ONE task per
+#: round (32 would pay 32x the scheduling for microsecond task bodies,
+#: measured r18), a 2.4M-row graph ~10, and byte sizing takes over long
+#: before the x1000 tier.
+EDGE_ROWS_PER_TASK = 250_000
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Temporarily disable AQE while BUILDING a localCheckpoint.
+
+    Why (guide §2.4, measured r18): ``Dataset.localCheckpoint`` preserves
+    the physical plan's outputPartitioning into the checkpoint's
+    LogicalRDD — but only when the plan is NOT wrapped in an
+    AdaptiveSparkPlan (whose outputPartitioning is unknown before
+    execution, so under AQE every checkpoint scans as
+    UnknownPartitioning and every downstream keyed operator re-shuffles
+    it).  Probed on this Spark: an AQE-off ``repartition(N, key)`` +
+    localCheckpoint scans back as hashpartitioning(key, N) and a
+    downstream (AQE-ON) groupBy/distinct/join on the key plans with ZERO
+    Exchange.  The toggle covers only the checkpoint-build statement —
+    the plans built inside are exchange-light by construction
+    (repartition/explode/broadcast-hinted joins), so no AQE feature
+    (skew split, SMJ->BHJ rewrite, coalescing) is lost where this is
+    used."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def edge_partitions(spark, n_rows: int, row_bytes: int = EDGE_ROW_BYTES) -> int:
+    """Scale-adaptive partition count for a persisted edge checkpoint
+    (guide §2.2) — the AQE-off build below cannot rely on AQE coalescing,
+    so the count is derived from the MEASURED row count:
+
+    * bytes ceiling: at least ``n_rows * row_bytes /
+      EDGE_PARTITION_TARGET_BYTES`` partitions, so x1000-tier corpora get
+      memory-sized sort runs (~450 at 2.4B rows);
+    * parallelism floor: ~one partition per :data:`EDGE_ROWS_PER_TASK`
+      rows, capped at the session's core count — enough tasks to use the
+      machine on CPU-bound rounds without paying per-task scheduling for
+      microsecond task bodies on small graphs (a flat shuffle.partitions
+      floor made sf0.1 WCC rounds ~3x slower: 32 tasks x 5 stages x 7
+      rounds of almost-empty work)."""
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 8
+    by_bytes = math.ceil(n_rows * row_bytes / EDGE_PARTITION_TARGET_BYTES)
+    by_rows = min(cores, math.ceil(n_rows / EDGE_ROWS_PER_TASK))
+    return max(by_bytes, by_rows, 1)
+
+
+def symmetrize(edges: DataFrame, src: str, dst: str, *extra: str) -> DataFrame:
+    """(u, v) -> both-direction (src, dst, *extra) rows via ONE explode —
+    the union form scans its input twice per consumer; the explode form
+    reads each checkpoint block once and generates both directions
+    in-stage (guide §2.3: fewer bytes read per pass)."""
+    both = F.array(
+        F.struct(F.col(src).alias("src"), F.col(dst).alias("dst"), *extra),
+        F.struct(F.col(dst).alias("src"), F.col(src).alias("dst"), *extra),
+    )
+    cols = ["e.src", "e.dst", *[f"e.{c}" for c in extra]]
+    return edges.select(F.explode(both).alias("e")).select(*cols)
+
+
+def partitioned_edge_checkpoint(
+    df: DataFrame, key: str, n_rows: int, eager: bool = True
+) -> DataFrame:
+    """Materialize a loop's edge table hash-partitioned (and sorted) by its
+    per-round JOIN key, with the partitioning PRESERVED into the
+    checkpoint's LogicalRDD (see :func:`_aqe_off`).
+
+    This is the 'persist the edges, shuffle only the state' superstep
+    shape made literal: every round's edge-side join input is already
+    clustered+sorted by the join key, so the per-round plan re-shuffles
+    (and re-sorts, for sort-merge rounds at scale) only the loop STATE —
+    at the x1000 tier that is 25.7M labels instead of 2.4B edge rows per
+    round.  ``n_rows`` (the measured edge count) sizes the layout
+    scale-adaptively via :func:`edge_partitions`."""
+    spark = df.sparkSession
+    n_part = edge_partitions(spark, n_rows)
+    with _aqe_off(spark):
+        return (
+            df.repartition(n_part, key)
+            .sortWithinPartitions(key)
+            .localCheckpoint(eager=eager)
+        )
+
+
 _CC_SCHEMA = T.StructType(
     [
         T.StructField("v", T.LongType(), False),
@@ -215,10 +330,44 @@ def cc_exact_lazy(
     return edges.mapInPandas(union_find, _CC_SCHEMA)
 
 
+def _nb_min(m: DataFrame, edges: DataFrame, broadcast_state: bool) -> DataFrame:
+    """Neighbour-min over one hop: (v, nb_l) = min label among v's
+    neighbours.  ``edges`` is SYMMETRIC, so the join may key on either
+    endpoint — both give identical values — and the choice is made by
+    PHYSICAL regime (r18, guide §2.4):
+
+    * ``broadcast_state``: the labeling is broadcast (gated on its exact
+      count), so the join costs nothing either way — key on ``dst`` and
+      aggregate by ``src``, the edge checkpoint's preserved partitioning
+      key, making the aggregate EXCHANGE-FREE (the round plan carries
+      zero shuffle exchanges).
+    * otherwise (the 100 TB regime): key on ``src`` — the edge side of
+      the sort-merge join is already clustered AND sorted by src (see
+      :func:`partitioned_edge_checkpoint`), so only the |V|-row labeling
+      shuffles per round; the aggregate (by dst) then moves map-side
+      partial minima, bounded by |V| per partition, never edge rows."""
+    if broadcast_state:
+        return (
+            edges.join(
+                F.broadcast(m.select(F.col("v").alias("dst"), "l")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("l").alias("nb_l"))
+            .select(F.col("src").alias("v"), "nb_l")
+        )
+    return (
+        edges.join(m.select(F.col("v").alias("src"), "l"), "src")
+        .groupBy("dst")
+        .agg(F.min("l").alias("nb_l"))
+        .select(F.col("dst").alias("v"), "nb_l")
+    )
+
+
 def _cc_round(
     m: DataFrame, edges: DataFrame, n_vertices: int | None = None
 ) -> DataFrame:
-    """One propagation round: neighbour-min then pointer jump.
+    """One propagation round: neighbour-min (twice in the broadcast
+    regime) then pointer jump.
 
     ``m`` is the current labeling (v, l); ``edges`` is symmetric.  Labels
     are always existing vertex ids (they start as vertex ids and only ever
@@ -226,10 +375,19 @@ def _cc_round(
 
     ``n_vertices`` is the labeling's exact row count (the previous round's
     convergence-certificate count — constant across rounds): when it fits
-    the session broadcast threshold the neighbour-min join broadcasts the
-    labeling instead of shuffling the edge set by dst every round (see
-    :func:`hint_broadcast_if_small`; r18 measurement — the edge-side
-    shuffle write dominated the round).
+    the session broadcast threshold, every state-side join in the round is
+    broadcast (see :func:`hint_broadcast_if_small`) and the round runs
+    TWO neighbour-min hops instead of one (r18): with the state broadcast
+    the extra hop is one more map pass over the in-memory edge checkpoint
+    plus an exchange-free aggregate — nearly free — and it cuts the round
+    count 11 -> 7 at sf0.1 (driver-side planning + stage scheduling is
+    the round cost floor there, so fewer rounds beat cheaper rounds).
+    Above the threshold (the 100 TB regime) a second hop would double the
+    per-round shuffle bytes to save ~1/3 of the rounds — a net loss — so
+    scale rounds keep ONE hop; both regimes converge to the identical
+    labeling (each hop is a value no-op at the fixpoint, and the
+    certificate only reports convergence when a whole round changed
+    nothing).
 
     The jump join references the post-min labeling ``m1`` on BOTH sides
     (probe + lookup).  That is NOT a double computation: Catalyst's
@@ -237,34 +395,25 @@ def _cc_round(
     the neighbour-min aggregate executes once per round and the second
     reference reads the reused shuffle/broadcast (verified in the
     captured round plans — ``ReusedExchange`` over the m1 subtree)."""
-    nb = (
-        edges.join(
-            hint_broadcast_if_small(
-                m.select(F.col("v").alias("dst"), "l"), n_vertices
-            ),
-            "dst",
+    broadcast_state = (
+        n_vertices is not None
+        and n_vertices * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(m.sparkSession)
+    )
+    hops = 2 if broadcast_state else 1
+    m1 = m
+    for _ in range(hops):
+        nb = _nb_min(m1, edges, broadcast_state)
+        m1 = m1.join(hint_broadcast_if_small(nb, n_vertices), "v", "left").select(
+            "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
         )
-        .groupBy("src")
-        .agg(F.min("l").alias("nb_l"))
-        .select(F.col("src").alias("v"), "nb_l")
-    )
-    # nb and the jump lookups are all bounded by |V| (nb: one row per
-    # vertex with a labeled neighbour; each lookup: exactly the |V|-row
-    # current labeling) — the same known count gates their broadcast,
-    # collapsing the round's tail joins from the SMJ-then-AQE-rewrite
-    # dance (two tiny exchanges each) to direct broadcast hash joins.
-    # The broadcast lookup builds re-read only the in-memory m scan; nb's
-    # exchange/broadcast is reused across the references (ReuseExchange).
-    m1 = m.join(hint_broadcast_if_small(nb, n_vertices), "v", "left").select(
-        "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
-    )
-
     # ONE jump per round.  r18 tried doubling it (label <- m1.l[m1.l[l]],
     # shared lookup, broadcast reused): round counts did NOT drop at
     # either driver SF (9 @ sf0.01 / 11 @ sf0.1 both ways) — the cascade
-    # is bounded by the neighbour-min's 1-hop-per-round propagation, not
+    # is bounded by the neighbour-min's per-round propagation radius, not
     # by label-tree height, so the label tree is already shallow when the
-    # jump reads it.  Deliberately left at one jump.
+    # jump reads it.  Deliberately left at one jump.  (The second
+    # NEIGHBOUR-MIN hop above is different: it extends the propagation
+    # radius itself, which is exactly what the round count is bounded by.)
     lk = m1.select(F.col("v").alias("lv"), F.col("l").alias("ll"))
     return m1.join(
         hint_broadcast_if_small(lk, n_vertices), F.col("l") == F.col("lv")
@@ -318,12 +467,25 @@ def connected_components(
     one (count, sum) pair + the CURRENT labeling; a 50-round cascade
     must not hold 50 rounds of blocks)."""
     CC_ROUND_PLANS.clear()
-    edges = undirect(pairs, src, dst).localCheckpoint(eager=True)
+    # count the pair list first (cheap: materializes the caller's lazy
+    # checkpoint, which the symmetrize below reads anyway) so the
+    # symmetric edge checkpoint's partition count is sized from the REAL
+    # row count (guide §2.2) — and lay it out hash-partitioned + sorted
+    # by src with the partitioning preserved into the checkpoint scan,
+    # so scale-regime rounds never re-shuffle or re-sort the edge side
+    # and broadcast-regime rounds get exchange-free neighbour-min
+    # aggregates (see partitioned_edge_checkpoint).
+    n_pairs = pairs.count()
+    edges = partitioned_edge_checkpoint(
+        symmetrize(pairs, src, dst), "src", 2 * n_pairs
+    )
     m = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("v"), F.col("src").alias("l"))
-        .localCheckpoint(eager=True)
+        # lazy: the seed aggregate below is the materializing action —
+        # an eager build here would pay one extra job for the same pass
+        .localCheckpoint(eager=False)
     )
     seed = m.agg(
         F.count(F.lit(1)),
