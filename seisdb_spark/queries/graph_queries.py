@@ -509,69 +509,93 @@ def kcore_core(
     """Fixpoint k-core peeling over a canonical (u < v) edge set: drop
     every node with degree < k, re-derive degrees, repeat until the edge
     set stops changing; return the core membership (part_id,
-    core_degree).  Each peel is ONE degree aggregate + two node-keyed
-    semi-filter equi-joins — the same join+aggregate superstep shape the
-    tier-certified PageRank stages use — and each round's survivor edge
-    set is localCheckpointed so iteration i+1 reads a materialized table
-    instead of re-running the whole peel history (the pagerank_edges
-    discipline).  The loop is driver-side but its state is two scalars
-    (edge counts); all data stays executor-side.
+    core_degree).
+
+    Representation (r18, guide §2.4): the survivor set is held SYMMETRIC
+    ((src, dst) both directions, one explode — so degree(n) = count of
+    rows with src = n, no per-round two-scan union) and checkpointed
+    hash-partitioned by ``src`` with the partitioning preserved into the
+    checkpoint scan (functions/graph.partitioned_edge_checkpoint), so
+    the per-round degree aggregate needs NO exchange and the src-keyed
+    survivor semi-join needs no edge-side shuffle.
+
+    Each peel is ONE driver action (the survivor-set count, which also
+    materializes the round's checkpoint and is the convergence test —
+    the keep set is folded INTO the survivor plan: its two broadcast-
+    hinted references share one computation via ReuseExchange, replacing
+    the r17 shape's separate keep checkpoint + count, i.e. two actions
+    per round became one).  The broadcast gate uses the initial node
+    count — a valid bound every round, since peeling only removes nodes;
+    above the session threshold the hints are no-ops and the round keeps
+    shuffle joins that AQE skew-handles (survivor checkpoints are then
+    built under AQE, trading the preserved partitioning for runtime
+    skew handling — at that scale the dst-keyed semi-join shuffles
+    anyway).
 
     Each round's executed plan is appended to ``KCORE_ROUND_PLANS`` (the
     scale harness asserts its predicate over them — the final membership
     plan cannot show the peel joins), and superseded rounds' checkpointed
-    blocks are released once the next round has materialized (the r14
-    advice: a long cascade otherwise holds up to 2 cached RDDs per round
-    for the query lifetime; the driver's only live state is two scalar
-    edge counts plus the CURRENT survivor set).
+    blocks are released once the next round has materialized; the
+    driver's only live state is two scalar edge counts plus the CURRENT
+    survivor set.
 
     Raises RuntimeError if the fixpoint is not reached within
     ``max_peels``: the DuckDB oracle unrolls exactly that many peels, so
     an unconverged engine result would be compared against a
     mid-cascade oracle state — fail loudly instead (observed rounds at
     driver SFs: <= 5)."""
+    from seisdb_spark.functions.graph import (
+        LOOP_STATE_ROW_BYTES,
+        _aqe_off,
+        _auto_broadcast_bytes,
+        partitioned_edge_checkpoint,
+        symmetrize,
+    )
+
     KCORE_ROUND_PLANS.clear()
-    e, e_owned = edges, False  # never release the caller's input
-    m = e.count()
+    spark = edges.sparkSession
+    n_canonical = edges.count()  # sizes the symmetric layout
+    e = partitioned_edge_checkpoint(
+        symmetrize(edges, "u", "v"), "src", 2 * n_canonical, eager=False
+    )
+    # one aggregate action: materializes the symmetric checkpoint AND
+    # yields the node count that gates every round's broadcast hints
+    # (count_distinct over the preserved src partitioning is itself
+    # exchange-free in its partial phase)
+    first = e.agg(
+        F.count(F.lit(1)).alias("m"), F.countDistinct("src").alias("nv")
+    ).first()
+    m, n_nodes = int(first[0] or 0), int(first[1] or 0)
+    broadcast_keep = (
+        n_nodes * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(spark)
+    )
+    e_owned = True  # the symmetric checkpoint is loop-built, never the input
     for _ in range(max_peels):
         if m == 0:
             break
-        deg = (
-            e.select(F.col("u").alias("n"))
-            .unionByName(e.select(F.col("v").alias("n")))
-            .groupBy("n")
+        keep = (
+            e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("src")
         )
-        keep = deg.where(F.col("d") >= k).select("n").localCheckpoint(
-            eager=False
+        keep_u = hint_broadcast_if_small(keep, n_nodes if broadcast_keep else None)
+        keep_v = hint_broadcast_if_small(
+            keep.withColumnRenamed("src", "dst"),
+            n_nodes if broadcast_keep else None,
         )
-        # exact survivor count (materializes the checkpoint the two joins
-        # below read): checkpointed round state scans with UNKNOWN stats,
-        # so without the gated hint the static planner picks SMJ and AQE
-        # only converts after the FULL edge set has shuffle-written by u
-        # and again by v — measured at ~0.4 s/round of the sf0.1 peel
-        # (r18, guide §3.1/§2.4).  Above the session broadcast threshold
-        # the hint is a no-op and the round keeps the shuffle joins.
-        n_keep = keep.count()
-        e2_join = (
-            e.join(
-                hint_broadcast_if_small(
-                    keep.select(F.col("n").alias("u")), n_keep
-                ),
-                "u",
-            )
-            .join(
-                hint_broadcast_if_small(
-                    keep.select(F.col("n").alias("v")), n_keep
-                ),
-                "v",
-            )
-            .select("u", "v")
-        )
-        e2 = e2_join.localCheckpoint(eager=False)
-        m2 = e2.count()
+        e2_join = e.join(keep_u, "src").join(keep_v, "dst").select("src", "dst")
+        if broadcast_keep:
+            # exchange-free plan (broadcast semi-filters over the
+            # src-partitioned scan): build the checkpoint AQE-off so the
+            # scan's partitioning survives into the next round — nothing
+            # for AQE to do in a plan with no exchanges
+            with _aqe_off(spark):
+                e2 = e2_join.localCheckpoint(eager=False)
+        else:
+            e2 = e2_join.localCheckpoint(eager=False)
+        m2 = e2.count()  # the round's ONE action: materialize + converge-test
         KCORE_ROUND_PLANS.append(final_plan(e2_join))
-        _release_checkpoint(keep)  # consumed: e2 is materialized
         if m2 == m:
             _release_checkpoint(e2)  # same edge set — keep reporting on e
             break
@@ -584,13 +608,13 @@ def kcore_core(
             "the unrolled oracle would compare a mid-cascade state; raise "
             "KCORE_MAX_PEELS (and regenerate the oracle) deliberately"
         )
-    # at the fixpoint every endpoint has degree >= k by construction
+    # at the fixpoint every endpoint has degree >= k by construction;
+    # degrees read straight off the symmetric survivor set, exchange-free
+    # when its partitioning survived (broadcast regime)
     return (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
-        .groupBy("n")
+        e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .select(F.col("n").cast("bigint").alias("part_id"), "core_degree")
+        .select(F.col("src").cast("bigint").alias("part_id"), "core_degree")
     )
 
 
@@ -666,7 +690,17 @@ def _kcore_oracle() -> str:
 )
 def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return kcore_core(copurchase_edges(li))
+    e = copurchase_edges(li)
+    # the returned membership reads only the loop's own (materialized)
+    # symmetric survivor checkpoints, so the canonical co-purchase
+    # checkpoint is dead once the peel exits — before r18 every fixpoint
+    # bench pass leaked one edge-set RDD for the session (the sssp/bfs/wcc
+    # wrappers already released theirs); finally so a mid-loop failure
+    # cannot skip it.
+    try:
+        return kcore_core(e)
+    finally:
+        _release_checkpoint(e)
 
 
 # ---------------------------------------------------------------------------
