@@ -747,52 +747,88 @@ def bfs_hops(
     BFS levels are set-unique (level h = nodes reachable in h hops and
     not fewer — independent of visit order), so the hop table value-hashes
     across engines."""
+    from seisdb_spark.functions.graph import (
+        LOOP_STATE_ROW_BYTES,
+        _auto_broadcast_bytes,
+        partitioned_edge_checkpoint,
+        symmetrize,
+    )
+
     BFS_ROUND_PLANS.clear()
-    sym = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    spark = edges.sparkSession
+    # symmetric view as ONE explode (r18): the union form scanned the
+    # canonical checkpoint twice per consumer.  Still a stateless
+    # projection - broadcast-regime hops are map-only over it, so
+    # materializing a second 2m-row copy up front would COST more than it
+    # saves at driver SFs (measured: +0.2 s/pass); the partitioned copy
+    # below is built lazily, only when a hop actually leaves the
+    # broadcast regime.
+    sym = symmetrize(edges, "u", "v")
+    sym_part: DataFrame | None = None  # scale-regime representation
     seeds = (
+        # filter BEFORE the distinct (guide 2.3): the mod filter keeps
+        # ~1/seed_mod of the rows, so the distinct aggregates a sliver of
+        # the edge endpoints instead of all of them
         sym.select(F.col("src").alias("node"))
-        .distinct()
         .where(F.col("node") % seed_mod == 0)
+        .distinct()
         .localCheckpoint(eager=False)
     )
     # exact frontier/visited row counts (the seed count materializes the
-    # seed checkpoint the first round reads anyway): checkpointed round
-    # state scans with UNKNOWN stats, so without the gated hints the edge
-    # projection shuffle-writes by src every hop for a frontier join AQE
-    # converts to broadcast after the fact (guide §3.1/§2.4; the k-core
-    # measurement).  Above the session broadcast threshold both hints are
-    # no-ops and the hop keeps its shuffle joins.
-    n_frontier = seeds.count()
-    n_visited = n_frontier
-    dist = seeds.select("node", F.lit(0).cast("bigint").alias("hops"))
-    frontier = seeds
-    for h in range(1, max_hops + 1):
-        nxt_join = (
-            sym.join(
-                hint_broadcast_if_small(frontier, n_frontier),
-                sym.src == frontier.node,
-            )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(
+    # seed checkpoint the first round reads anyway) gate the round hints;
+    # above the session broadcast threshold the hints are no-ops and the
+    # hop keeps its shuffle joins (guide 3.1/2.4).
+    try:
+        n_frontier = seeds.count()
+        n_visited = n_frontier
+        bcast_limit = _auto_broadcast_bytes(spark)
+        dist = seeds.select("node", F.lit(0).cast("bigint").alias("hops"))
+        frontier = seeds
+        for h in range(1, max_hops + 1):
+            if n_frontier * LOOP_STATE_ROW_BYTES <= bcast_limit:
+                # broadcast regime: the frontier is broadcast; the edge
+                # side is the in-stage projection - the hop never
+                # shuffles edge rows
+                expand = sym.join(
+                    F.broadcast(frontier), sym.src == frontier.node
+                ).select(F.col("dst").alias("node"))
+            else:
+                # scale regime (frontier over the threshold): sort-merge
+                # against a symmetric copy checkpointed hash-partitioned
+                # + sorted by src with the partitioning preserved into
+                # the scan - built ONCE, on the first scale hop; the
+                # edge side then never re-shuffles or re-sorts, only the
+                # frontier moves per hop
+                if sym_part is None:
+                    sym_part = partitioned_edge_checkpoint(
+                        sym, "src", 2 * edges.count(), eager=False
+                    )
+                expand = sym_part.join(
+                    frontier, sym_part.src == frontier.node
+                ).select(F.col("dst").alias("node"))
+            nxt_join = expand.distinct().join(
                 hint_broadcast_if_small(dist.select("node"), n_visited),
                 "node",
                 "left_anti",
             )
-        )
-        nxt = nxt_join.localCheckpoint(eager=False)
-        c = nxt.count()
-        n_frontier, n_visited = c, n_visited + c
-        BFS_ROUND_PLANS.append(final_plan(nxt_join))
-        if c == 0:
-            _release_checkpoint(nxt)  # empty frontier: nothing to keep
-            break
-        dist = dist.unionByName(
-            nxt.select("node", F.lit(h).cast("bigint").alias("hops"))
-        )
-        frontier = nxt
+            nxt = nxt_join.localCheckpoint(eager=False)
+            c = nxt.count()
+            n_frontier, n_visited = c, n_visited + c
+            BFS_ROUND_PLANS.append(final_plan(nxt_join))
+            if c == 0:
+                _release_checkpoint(nxt)  # empty frontier: nothing to keep
+                break
+            dist = dist.unionByName(
+                nxt.select("node", F.lit(h).cast("bigint").alias("hops"))
+            )
+            frontier = nxt
+    finally:
+        # the hop table reads only the (materialized) seed/frontier
+        # checkpoints - the scale-regime edge checkpoint (if any hop
+        # built it) is dead once the expansion exits; finally so a
+        # mid-loop failure cannot strand it
+        if sym_part is not None:
+            _release_checkpoint(sym_part)
     return dist.select(
         F.col("node").cast("bigint").alias("part_id"), F.col("hops").alias("hops")
     )
@@ -885,23 +921,34 @@ def sssp_cost(
     AFTER a completed, value-identical round).  Exact BIGINT min-plus
     arithmetic (costs <= max_edges * 8), so the table value-hashes
     across engines."""
+    from seisdb_spark.functions.graph import (
+        LOOP_STATE_ROW_BYTES,
+        _auto_broadcast_bytes,
+        partitioned_edge_checkpoint,
+        symmetrize,
+    )
+
     SSSP_ROUND_PLANS.clear()
     w = (F.lit(1) + (F.col("u") + F.col("v")) % SSSP_WEIGHT_MOD).cast("bigint")
-    sym = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("w")
-    ).unionByName(
-        edges.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), w.alias("w")
-        )
-    )
+    # symmetric weighted view as ONE explode (r18): the union form scanned
+    # the canonical checkpoint twice per consumer.  Broadcast-regime
+    # rounds are map-only over this stateless projection; the partitioned
+    # checkpoint below is built lazily, only when a round actually leaves
+    # the broadcast regime (materializing it up front costs more than it
+    # saves at driver SFs - measured +0.3 s/pass).
+    sym = symmetrize(edges.select("u", "v", w.alias("w")), "u", "v", "w")
+    sym_part: DataFrame | None = None  # scale-regime representation
+    bcast_limit = _auto_broadcast_bytes(edges.sparkSession)
     dist = (
+        # filter BEFORE the distinct (guide 2.3): the mod filter keeps
+        # ~1/seed_mod of the rows entering the aggregate
         sym.select(F.col("src").alias("node"))
-        .distinct()
         .where(F.col("node") % seed_mod == 0)
+        .distinct()
         .select("node", F.lit(0).cast("bigint").alias("cost"))
         .localCheckpoint(eager=False)
     )
-    # the seed table is a checkpoint THIS function created — owned, so it
+    # the seed table is a checkpoint THIS function created - owned, so it
     # is released as soon as round 1 materializes (r15 advice: the owned
     # flag protects only the CALLER's input, and sssp's caller passes raw
     # edges, never a checkpoint it needs back)
@@ -911,45 +958,70 @@ def sssp_cost(
     # checkpoint round 1 reads anyway; afterwards it rides the convergence
     # certificate): without the gated hint the weighted edge projection
     # shuffle-writes by src every round for a dist join AQE converts to
-    # broadcast after the fact (guide §3.1/§2.4; the k-core measurement).
+    # broadcast after the fact (guide 3.1/2.4; the k-core measurement).
     # Above the session broadcast threshold the hint is a no-op.
     n_dist = dist.count()
-    for _ in range(max_edges):
-        relax = sym.join(
-            hint_broadcast_if_small(dist, n_dist), sym.src == dist.node
-        ).select(
-            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
-        )
-        new_join = (
-            dist.select("node", "cost")
-            .unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-        )
-        new = new_join.localCheckpoint(eager=False)
-        # one aggregate action materializes the checkpoint AND yields the
-        # convergence certificate: `new` is a node-superset of dist by
-        # construction (dist rows pass through the min-combiner) and
-        # min-plus costs only ever DECREASE, so (row count, exact-BIGINT
-        # cost sum) is unchanged iff the table is unchanged — no compare
-        # join needed, and the early exit is a PURE optimization (every
-        # skipped round is a value no-op; the result still equals the
-        # oracle's full unrolled ladder — the BFS empty-frontier
-        # discipline; observed: fixpoint at round ~4 of 8 at driver SFs,
-        # halving the honest loop price)
-        cert = tuple(
-            new.agg(
-                F.count(F.lit(1)), F.sum("cost").cast("bigint")
-            ).first()
-        )
-        SSSP_ROUND_PLANS.append(final_plan(new_join))
-        if dist_owned:
-            _release_checkpoint(dist)
-        dist, dist_owned = new, True
-        n_dist = int(cert[0] or 0)
-        if cert == prev_cert:
-            break
-        prev_cert = cert
+    try:
+        for _ in range(max_edges):
+            if n_dist * LOOP_STATE_ROW_BYTES <= bcast_limit:
+                edge_side = sym  # broadcast dist: edges never shuffle
+                dist_side = F.broadcast(dist)
+            else:
+                # scale regime: sort-merge against a symmetric copy
+                # checkpointed hash-partitioned + sorted by src with the
+                # partitioning preserved into the scan - built ONCE, on
+                # the first scale round; the edge side then never
+                # re-shuffles or re-sorts, only the cost table moves
+                if sym_part is None:
+                    sym_part = partitioned_edge_checkpoint(
+                        sym, "src", 2 * edges.count(), eager=False
+                    )
+                edge_side = sym_part
+                dist_side = dist
+            relax = edge_side.join(
+                dist_side, edge_side.src == dist.node
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            new_join = (
+                dist.select("node", "cost")
+                .unionByName(relax)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+            )
+            new = new_join.localCheckpoint(eager=False)
+            # one aggregate action materializes the checkpoint AND yields
+            # the convergence certificate: `new` is a node-superset of
+            # dist by construction (dist rows pass through the
+            # min-combiner) and min-plus costs only ever DECREASE, so
+            # (row count, exact-BIGINT cost sum) is unchanged iff the
+            # table is unchanged - no compare join needed, and the early
+            # exit is a PURE optimization (every skipped round is a value
+            # no-op; the result still equals the oracle's full unrolled
+            # ladder - the BFS empty-frontier discipline; observed:
+            # fixpoint at round ~4 of 8 at driver SFs, halving the honest
+            # loop price)
+            cert = tuple(
+                new.agg(
+                    F.count(F.lit(1)), F.sum("cost").cast("bigint")
+                ).first()
+            )
+            SSSP_ROUND_PLANS.append(final_plan(new_join))
+            if dist_owned:
+                _release_checkpoint(dist)
+            dist, dist_owned = new, True
+            n_dist = int(cert[0] or 0)
+            if cert == prev_cert:
+                break
+            prev_cert = cert
+    finally:
+        # the returned cost table is the final round's own (materialized)
+        # checkpoint - the scale-regime edge checkpoint (if any round
+        # built it) is dead once the loop exits; finally so a mid-loop
+        # failure cannot strand it
+        if sym_part is not None:
+            _release_checkpoint(sym_part)
     return dist.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("cost").alias("min_cost"),
