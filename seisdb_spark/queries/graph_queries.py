@@ -429,6 +429,26 @@ def triangle_census(edges: DataFrame, topk: int | None = TRI_TOPK) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
+    # Parallelism floor for the compute-bound intersection stage (r18,
+    # guide §2.5/§1): the adjacency-intersection work is CPU-heavy per
+    # row (a hash-set build + probe per edge over O(sqrt m) arrays), but
+    # the stage inherits the edge checkpoint's BYTE-sized partitioning —
+    # AQE coalesces the ~20 MB sf0.1 edge set to ~5 partitions, so the
+    # intersect ran on 5 of 32 cores (measured: census 3.9 s -> 2.1 s
+    # with this exchange).  Repartition the skinny pre-join rows (16
+    # B/row — the cheap side to move) by the first join key, to
+    # max(default parallelism, the input's own partition count): small
+    # inputs get full cores, while an already byte-partitioned x100-scale
+    # checkpoint keeps its larger count (reading getNumPartitions off a
+    # checkpoint is metadata, not a job).
+    try:
+        n_in = edges.rdd.getNumPartitions()
+    except Exception:
+        n_in = 0
+    probe_parts = max(
+        edges.sparkSession.sparkContext.defaultParallelism, n_in
+    )
+    oe = oe.repartition(probe_parts, "dst")
     # per-apex sorted out-neighbor arrays (bounded at O(sqrt(m)) by the
     # orientation), attached to each edge's two endpoints by m-row
     # equi-joins; the intersection enumerates wedge candidates in-stage.
