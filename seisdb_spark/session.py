@@ -39,6 +39,20 @@ def get_spark(app_name: str = "seisdb-spark", shuffle_partitions: int | None = N
         # corpora get memory-sized sort runs — on a real 1000-executor
         # cluster this would be set to a few x total cores.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        # AQE coalescing's floor (r18, guide §2.5/§1): with the default
+        # minPartitionSize=1m, any exchange carrying under ~cores MB of
+        # COMPRESSED data coalesces below the core count — post-shuffle
+        # stages that are CPU-heavy per row (shingle explode + md5 +
+        # minhash lanes over a deduped doc set, regex gates) then run on
+        # 1-5 of 32 cores (measured: curation_keep_set's two 1-task
+        # broadcast-build stages at ~1.2 s each; bm25_multiquery 1.35 ->
+        # 0.95 s, repeated_passage_spans 1.44 -> 0.76 s with the floor).
+        # 64k keeps parallelismFirst's cap semantics intact: partitions ~
+        # min(defaultParallelism, compressed_bytes/64k), so sub-64k
+        # exchanges still collapse to one task and LARGE corpora are
+        # untouched (advisoryPartitionSizeInBytes governs long before
+        # this floor matters at 100 TB).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
