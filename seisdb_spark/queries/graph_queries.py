@@ -175,9 +175,20 @@ def pagerank_edges(pairs: DataFrame) -> DataFrame:
     )
     # out-degree via a src-partitioned window: the per-iteration rank join
     # then lands on already-co-located keys instead of adding a deg join.
-    cp = edges.withColumn(
+    # The checkpoint is built AQE-off (r18, functions/graph._aqe_off) so
+    # the window's hashpartitioning(src) + sort survive into the
+    # checkpoint scan: the rank seed's distinct(src) plans with no
+    # exchange, and a scale-regime (non-broadcast) rank join sort-merges
+    # against the edge side without re-shuffling or re-sorting it — the
+    # documented 'persist the edges, shuffle only ranks' shape, now
+    # literal in the plan.
+    from seisdb_spark.functions.graph import _aqe_off
+
+    win = edges.withColumn(
         "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).localCheckpoint(eager=False)
+    ).sortWithinPartitions("src")
+    with _aqe_off(pairs.sparkSession):
+        cp = win.localCheckpoint(eager=False)
     register_session_checkpoint(cp)
     return cp
 
