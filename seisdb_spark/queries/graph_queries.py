@@ -701,8 +701,11 @@ def _kcore_oracle() -> str:
     "core degree >= k, return the membership with exact core degrees.  "
     "Engine shape: a driver-side fixpoint loop whose state is two edge "
     "COUNTS; each peel is one degree aggregate + two node-keyed "
-    "semi-filter equi-joins over the localCheckpointed survivor set "
-    "(the superstep shape the graphscale tiers certify for PageRank), "
+    "semi-filter equi-joins over the symmetric, src-partitioned "
+    "localCheckpointed survivor set (r18: the preserved partitioning "
+    "makes the degree aggregate exchange-free and the round costs ONE "
+    "driver action - the keep set is folded into the survivor plan and "
+    "deduplicated by ReuseExchange), "
     "so per-round cost shrinks with the cascade and nothing corpus-"
     "sized ever reaches the driver.  Peeling is anti-monotone — NOT "
     "expressible as one Catalyst plan or a recursive CTE with a "
@@ -1280,10 +1283,13 @@ def _wcc_oracle() -> str:
     "the full graph is one diameter-2 component, a structureless row).  "
     "Engine shape: min-label propagation with POINTER JUMPING (label <- "
     "label(label) doubles the propagation radius per round, O(log "
-    "diameter) rounds); each round is one dst-keyed neighbour-min "
-    "equi-join + aggregate and one label-keyed jump equi-join over the "
+    "diameter) rounds); each round is one or two neighbour-min "
+    "equi-join + aggregate hops (two when the labeling is broadcast-"
+    "small - r18: the extra hop is nearly free there and halves the "
+    "round count) and one label-keyed jump equi-join over the "
     "checkpointed previous labeling, captured in CC_ROUND_PLANS for the "
-    "scale harness; superseded labelings are released (the k-core "
+    "scale harness (broadcast-regime rounds plan with ZERO shuffle "
+    "exchanges over the src-partitioned symmetric edge checkpoint); superseded labelings are released (the k-core "
     "discipline); driver state is one (count, label-sum) certificate "
     "pair read off the SAME aggregate that materializes the round's "
     "checkpoint — labels are monotone non-increasing over a constant "
