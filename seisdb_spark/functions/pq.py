@@ -76,17 +76,38 @@ def pq_encode(
     """(vec_id, *keep, codes array<int>, qerr double): map-only argmin per
     subspace against literal codebooks + the summed quantization error.
     ``keep`` carries extra columns (e.g. the IVF list id) through the
-    projection so callers don't need a rejoin on vec_id afterwards."""
+    projection so callers don't need a rejoin on vec_id afterwards.
+
+    TWO stacked projections, not one (r18 opt, guide §1.2 "per-task
+    work"): each subspace's 16-fold distance array is materialized ONCE
+    as a ``_d{s}`` column and the argmin/argval/qerr expressions read the
+    column.  The single-projection form repeated the array literal 3x per
+    subspace, and higher-order functions are CodegenFallback (evaluated
+    interpreted, no codegen subexpression elimination) — so every row
+    paid the k folds three times.  CollapseProject cannot undo the
+    hoist: a produced attribute referenced more than once is only
+    inlined when cheap, and the fold array is not.  Measured
+    (tools/ab_pq_encode.py, interleaved, identical signatures): 1.62 ->
+    0.84 s warm on the sf0.1 encode, cold 1.53 -> 0.84 s.  The UNROLLED
+    subscript-chain alternative (full codegen, no HOF) measured 3.5 s
+    warm + 4.5 s cold — the fold loop beats 1024 inlined terms even
+    after JIT, so the HOF stays (same conclusion as functions/vectors.py
+    reached for the dot chain)."""
     sublen = len(books[0][0])
-    code_exprs, err_exprs = [], []
+    d_cols = []
     for s, cents in enumerate(books):
         sub = f"slice(embedding, {s * sublen + 1}, {sublen})"
         dists = "array(" + ", ".join(_dist2_expr(sub, c) for c in cents) + ")"
-        code_exprs.append(f"(array_position({dists}, array_min({dists})) - 1)")
-        err_exprs.append(f"array_min({dists})")
-    codes = "array(" + ", ".join(code_exprs) + ")"
-    err = "(" + ") + (".join(err_exprs) + ")"
-    return emb.select(
+        d_cols.append(F.expr(dists).alias(f"_d{s}"))
+    mid = emb.select("vec_id", *keep, *d_cols)
+    codes = "array(" + ", ".join(
+        f"(array_position(_d{s}, array_min(_d{s})) - 1)"
+        for s in range(len(books))
+    ) + ")"
+    err = "(" + ") + (".join(
+        f"array_min(_d{s})" for s in range(len(books))
+    ) + ")"
+    return mid.select(
         "vec_id",
         *keep,
         F.expr(codes).cast("array<int>").alias("codes"),

@@ -105,12 +105,12 @@ PASSAGE_MIN_DOCS = 2  # a gram is "repeated" when >= this many docs carry it
     "of LLM corpus curation (document-granular dedup misses boilerplate "
     "and licence blocks recurring INSIDE otherwise-distinct docs). Every "
     f"word {PASSAGE_GRAM_WORDS}-gram is md5-fingerprinted at every "
-    f"position; grams carried by >= {PASSAGE_MIN_DOCS} distinct docs are "
-    "flagged (one shuffle on the gram hash — map-side distinct first, so "
-    "the corpus never ships raw text); flagged positions rejoin via a "
-    "pinned SHUFFLE-hash join (the flagged set is corpus-fraction-sized "
-    "on boilerplate-heavy corpora — broadcasting it OOMs, as the 100x "
-    "stress run proved) and merge per-doc into "
+    f"position ONCE and exchanged ONCE (hash by the 60-bit gram key); "
+    f"grams carried by >= {PASSAGE_MIN_DOCS} distinct docs are flagged "
+    "IN the exchanged partitions (min(doc_id) != max(doc_id) over the "
+    "gram window — two constant-state frames, one sort; no second gram "
+    "scan, no rejoin, and nothing corpus-sized is ever broadcast) "
+    "and the surviving positions merge per-doc into "
     "MAXIMAL spans via gaps-and-islands (adjacent grams closer than one "
     "gram length coalesce; one shuffle on doc_id). Output is the (doc_id, "
     "word-span) removal list a training pipeline subtracts before "
@@ -123,9 +123,9 @@ PASSAGE_MIN_DOCS = 2  # a gram is "repeated" when >= this many docs carry it
 )
 def repeated_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = passage_grams(docs)
-    hits = passage_hits(grams, passage_rep(grams))
-    return passage_spans_from_hits(hits)
+    return passage_spans_from_hits(
+        passage_flagged_positions(passage_grams(docs))
+    )
 
 
 # The pipeline's stages as named builders (the query composes them verbatim)
@@ -164,9 +164,58 @@ def passage_grams(docs: DataFrame) -> DataFrame:
     )
 
 
+def passage_flagged_positions(grams: DataFrame) -> DataFrame:
+    """Flagged positions (doc_id, i): gram rows whose gram is carried by
+    >= PASSAGE_MIN_DOCS distinct docs — the r18-opt replacement for the
+    :func:`passage_rep` + :func:`passage_hits` pair.
+
+    The old pair consumed the gram table TWICE (once under the rep
+    aggregate's distinct, once as the join's probe side) with no shared
+    exchange between the subtrees — the tokenize + explode + md5 scan,
+    the pipeline's dominant map work, ran twice per execution, and the
+    gram rows crossed TWO corpus-sized exchanges (the (g, doc_id)
+    distinct + the join side; the decade profile had already shown those
+    exchanges to be the x1000 superlinear term).  This form computes the
+    grams ONCE and exchanges them ONCE (hash by g): with
+    PASSAGE_MIN_DOCS == 2, "carried by >= 2 distinct docs" is exactly
+    min(doc_id) != max(doc_id) over the g partition — ONE Window pass
+    with two unordered aggregate frames sharing one sort-by-g, then the
+    flag filter projects straight into the islands stage.  A generic
+    threshold falls back to max(dense_rank) over the same partitioning
+    (an extra doc_id sort key, still one exchange).
+
+    Skew note (guide §2.5): a hot boilerplate gram lands its rows in ONE
+    window task — but the per-row window work is two constant-state
+    accumulators, and the OLD shape shipped the same hot-gram rows
+    through its g-keyed join partition anyway (plus a second exchange
+    and a second md5 pass); measured interleaved at sf0.1
+    (tools/ab_passage.py, identical span sets): 1.14 -> 0.68 s median.
+    """
+    over_g = Window.partitionBy("g")
+    if PASSAGE_MIN_DOCS == 2:
+        flagged = grams.select(
+            "doc_id",
+            "i",
+            F.min("doc_id").over(over_g).alias("_mn"),
+            F.max("doc_id").over(over_g).alias("_mx"),
+        ).filter(F.col("_mn") != F.col("_mx"))
+    else:  # pragma: no cover — PASSAGE_MIN_DOCS is 2 today
+        byg = over_g.orderBy("doc_id")
+        flagged = grams.withColumn(
+            "_nd", F.max(F.dense_rank().over(byg)).over(over_g)
+        ).filter(F.col("_nd") >= PASSAGE_MIN_DOCS)
+    return flagged.select("doc_id", "i")
+
+
 def passage_rep(grams: DataFrame) -> DataFrame:
     """Grams carried by >= PASSAGE_MIN_DOCS distinct docs (the flagged set).
-    One shuffle on the gram hash — map-side distinct first."""
+    One shuffle on the gram hash — map-side distinct first.
+
+    NOTE (r18 opt): the query itself now routes through
+    :func:`passage_flagged_positions` (one gram scan, one exchange); this
+    builder and :func:`passage_hits` remain as the independently-shaped
+    A-side of tools/ab_passage.py and the stage decomposition of
+    tools/profile_decades.py."""
     return (
         grams.select("g", "doc_id")
         .distinct()

@@ -518,6 +518,54 @@ def test_repeated_passage_spans_planted(spark, tmp_path):
     assert (out.n_grams == 5).all()
 
 
+def test_passage_flagged_positions_matches_rep_join_and_scans_once(spark):
+    """The r18-opt window flag stage must (a) return exactly the rows of
+    the rep-aggregate + join pair it replaced — including the edge case a
+    naive min!=max rewrite could get wrong: a gram repeated at several
+    positions of ONE doc only is NOT flagged (the threshold counts
+    DISTINCT docs) — and (b) consume its gram input ONCE (the old pair
+    ran the tokenize+explode+md5 scan twice per execution)."""
+    from seisdb_spark.queries.ext_dedup import (
+        passage_flagged_positions,
+        passage_grams,
+        passage_hits,
+        passage_rep,
+    )
+
+    ten = " ".join(f"w{i}" for i in range(10))  # one exact 10-gram
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # the gram twice in ONE doc (>10 words apart): repeated
+                    # positions but a single distinct doc -> must NOT flag
+                    ten + " " + " ".join(f"x{i}" for i in range(11)) + " " + ten,
+                    # a DIFFERENT gram shared by docs 2 and 3 -> must flag
+                    "shared " + ten.replace("w", "s"),
+                    ten.replace("w", "s") + " shared",
+                ],
+            }
+        )
+    )
+    grams = passage_grams(docs)
+    new = passage_flagged_positions(grams)
+    old = passage_hits(grams, passage_rep(grams))
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    got = rows(new)
+    assert got == rows(old)
+    assert {r[0] for r in got} == {2, 3}  # doc 1's intra-doc repeat unflagged
+
+    # single consumption: exactly ONE Generate (gram explode) in the
+    # executed plan — the old pair's plan carries two
+    from seisdb_spark.plancheck import final_plan
+
+    new.write.format("noop").mode("overwrite").save()
+    assert final_plan(new).count("Generate") == 1
+    old.write.format("noop").mode("overwrite").save()
+    assert final_plan(old).count("Generate") == 2
+
+
 def test_semantic_dedup_planted_and_shrinkage(spark, tmp_path):
     """A near-identical embedding pair must land in one cluster with the
     later vector dropped (kept=0); every drop must be justified by a real

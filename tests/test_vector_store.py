@@ -53,6 +53,31 @@ def test_pq_encode_is_map_only(spark):
     assert not has_node(plan, "NestedLoopJoin")
 
 
+def test_pq_encode_evaluates_each_subspace_fold_once(spark):
+    """The r18-opt hoist: each subspace's k-fold distance array must
+    appear in the OPTIMIZED plan exactly once per (subspace, centroid) —
+    n_sub * k zip_with folds total.  The pre-r18 single-projection form
+    repeated each array 3x (argmin position, argmin value, qerr term),
+    and HOFs are CodegenFallback (no codegen subexpression elimination),
+    so every row paid the folds three times; this also pins that
+    CollapseProject does not undo the two-level select (it would only
+    inline a multiply-referenced produced attribute when cheap)."""
+    from seisdb_spark.functions import pq as pq_lib
+    from seisdb_spark.queries.vector_store import (
+        PQ_N_SUB,
+        PQ_SEED_K,
+        _books_from_seeds,
+        _seed_vectors,
+    )
+    from seisdb_spark.sources.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_DIR, "embeddings"))
+    books = _books_from_seeds(_seed_vectors(spark, SF_DIR, PQ_SEED_K), PQ_N_SUB)
+    df = pq_lib.pq_encode(emb, books)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") == PQ_N_SUB * PQ_SEED_K
+
+
 def test_pq_adc_plans_takeordered(spark):
     df = REGISTRY["pq_adc_topk"].spark(spark, SF_DIR)
     plan = final_plan(df)
