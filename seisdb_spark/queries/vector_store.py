@@ -549,7 +549,14 @@ def _ivfpq_ctes() -> str:
 )
 def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    coarse = _seed_vectors(spark, sf_dir, IVF_N_COARSE)
+    # ONE seed collect serves both quantizers (r18 opt): _seed_vectors
+    # orders by the same (md5-id-hash, vec_id) key for any k, so the
+    # IVF_N_COARSE coarse seeds are exactly the first rows of the
+    # PQ_SEED_K book seeds — the second TakeOrdered corpus scan the old
+    # two-call form paid at every plan build (~0.5 s at sf0.1, a full
+    # extra corpus pass at 100 TB) carried no new information.
+    seeds = _seed_vectors(spark, sf_dir, max(PQ_SEED_K, IVF_N_COARSE))
+    coarse = seeds[:IVF_N_COARSE]
     cents = (
         "array("
         + ", ".join(
@@ -568,7 +575,7 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # book seeds = the 16 md5-smallest rows' RESIDUALS, computed driver-
     # side with the same exact IEEE ops the oracle's bseed/bsasg CTEs use
-    seeds = _seed_vectors(spark, sf_dir, PQ_SEED_K)
+    seeds = seeds[:PQ_SEED_K]
     resid_seeds = []
     for v in seeds:
         d2 = []
