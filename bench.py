@@ -242,6 +242,48 @@ def main() -> None:
             }
         )
     )
+    # Compact per-query lines for the DRIVER (r18 verdict item #2): the
+    # full detail line above is ~2.3 KB and the driver keeps only the
+    # LAST ~2000 chars of output, so its head — and with it the driver's
+    # per-query regression view — was truncated off every round since
+    # r11.  A single line can never fit either: the 75 full query names
+    # alone minify past 2 KB, and renaming them is forbidden by the
+    # driver contract.  So the map is re-emitted as SEVERAL short
+    # self-contained {"queries": {...}} JSON lines (disjoint subsets,
+    # full names, values rounded to 10 ms), ordered CHEAPEST-FIRST so
+    # that when the tail capture clips the stream mid-line it loses the
+    # cheapest queries, never the expensive ones the regression view is
+    # for.  A parser that merges every parseable {"queries"} line in the
+    # tail reconstructs ~60 of 75; one that keeps only the last such
+    # line still gets the most expensive chunk.  The scalar contract
+    # line stays LAST and unchanged.
+    CHUNK_MAX = 430  # 4 full chunks + contract line < the ~2000-char tail
+    by_cost = sorted(per_query.items(), key=lambda kv: (kv[1], kv[0]))
+    chunk: dict[str, float] = {}
+    chunk_lines: list[str] = []
+
+    def flush_chunk() -> None:
+        if chunk:
+            chunk_lines.append(
+                json.dumps({"queries": dict(chunk)}, separators=(",", ":"))
+            )
+            chunk.clear()
+
+    for n, v in by_cost:
+        entry_len = len(n) + len(f"{round(v, 2)}") + 4  # quotes+colon+comma
+        if chunk and sum(
+            len(k) + len(f"{x}") + 4 for k, x in chunk.items()
+        ) + entry_len > CHUNK_MAX:
+            flush_chunk()
+        chunk[n] = round(v, 2)
+    flush_chunk()
+    for line in chunk_lines:
+        if len(line) >= 500:  # loud, like the contract-line guard
+            raise RuntimeError(
+                f"compact per-query line is {len(line)} chars — a query "
+                "name grew past the chunking budget; lower CHUNK_MAX"
+            )
+        print(line)
     contract = json.dumps(
         {
             "metric": "headline_query_wall_clock",

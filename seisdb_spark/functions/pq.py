@@ -241,7 +241,19 @@ def ivfpq_topk(
             s += (a - float(b)) * (a - float(b))
         d2.append(s)
     probed = sorted(range(len(coarse)), key=lambda i: (d2[i], i))[:nprobe]
-    parts = []
+    # ONE scan with a per-list CASE distance, not a union of per-list
+    # filtered branches (r19, guide §2.4/§1.2): ``codes_df`` is usually a
+    # LAZY map-only plan (scan -> coarse assign -> residual -> encode
+    # folds), and a union of nprobe filtered references re-plans and
+    # RE-EXECUTES that whole chain once per probed list — there is no
+    # exchange in it for ReuseExchange to dedup (measured at sf0.1: the
+    # ivfpq ADC stage ran as 2x32 tasks, one full encode per branch).
+    # The single IN filter keeps partition pruning on ``list`` intact at
+    # 100 TB, and each surviving row evaluates exactly its own list's
+    # branch of the CASE — the same literal table, the same rounding, so
+    # per-row distances are bit-identical to the union form's and the
+    # final (adc_dist2, vec_id) TakeOrdered is unchanged.
+    branches = []
     for li in probed:
         table = adc_table(books, q - np.asarray(coarse[li]))
         terms = []
@@ -252,13 +264,15 @@ def ivfpq_topk(
                 + ")"
             )
             terms.append(f"element_at({lit}, codes[{s}] + 1)")
-        dist = "(" + ") + (".join(terms) + ")"
-        parts.append(
-            codes_df.filter(F.col("list") == li).select(
-                "vec_id", F.round(F.expr(dist), 6).alias("adc_dist2")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("adc_dist2", "vec_id").limit(topk)
+        branches.append((li, "(" + ") + (".join(terms) + ")"))
+    dist = (
+        "CASE "
+        + " ".join(f"WHEN list = {li} THEN ({d})" for li, d in branches)
+        + " END"
+    )
+    return (
+        codes_df.filter(F.col("list").isin([li for li, _ in branches]))
+        .select("vec_id", F.round(F.expr(dist), 6).alias("adc_dist2"))
+        .orderBy("adc_dist2", "vec_id")
+        .limit(topk)
+    )

@@ -96,6 +96,18 @@ def test_ivfpq_plans_takeordered_no_cartesian(spark):
     assert not has_node(plan, "CartesianProduct")
 
 
+def test_ivfpq_probe_is_single_scan(spark):
+    """r19 opt pin: the probe must be ONE corpus scan with a per-list CASE
+    distance, not a union of per-list filtered branches — codes_df is a
+    lazy map-only plan, so a union re-executes the whole encode chain
+    (scan + coarse assign + residual + 8x16 folds) once per probed list
+    with no exchange for ReuseExchange to dedup."""
+    df = REGISTRY["ivfpq_adc_topk"].spark(spark, SF_DIR)
+    plan = final_plan(df)
+    assert not has_node(plan, "Union")
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_ivfpq_codes_partition_pruning(spark, tmp_path):
     """The docstring's 100 TB claim, proven end-to-end: write the codes
     table ``partitionBy("list")``, probe one list, and the scan must show
