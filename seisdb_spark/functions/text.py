@@ -58,27 +58,34 @@ def word_tokens(docs: DataFrame, *extra_cols: str) -> DataFrame:
 def shingle_tokens(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
     """(doc_id, sh) word k-shingle rows per document.
 
-    ``slice``+``concat_ws`` over a ``sequence`` of start positions — one
-    narrow projection, no joins. Documents shorter than k words yield no
-    shingles (guarded: Spark's ``sequence(1, 0)`` would count *down*).
+    One narrow projection, no joins. Documents shorter than k words yield
+    no shingles (``sequence(1, 0)`` would count *down*; ``greatest(.., 0)``
+    guards it to an empty array).
 
     ``distinct=True`` (a shuffle) is required wherever set semantics matter
     (Jaccard counts); MinHash signatures pass ``distinct=False`` because
     ``min()`` is insensitive to duplicates — partial aggregation absorbs
     them map-side and the extra shuffle disappears.
 
-    Built as ``explode(sequence)`` + array subscripts rather than
-    ``transform(..., slice(...))``: higher-order functions are evaluated
-    interpreted (outside whole-stage codegen), and the subscript form
-    measured 2x faster on generation with identical output.
+    Built as ``explode(transform(sequence(...), i -> concat_ws(...)))``:
+    the shingle STRINGS are assembled per document inside the (interpreted)
+    HOF and only they cross the Generate — the earlier ``explode(sequence)``
+    + post-explode subscript form carried the whole word array ``w`` as a
+    Generate child output, copying the ~doc-sized array into every one of
+    the ~50x-more-numerous shingle rows (r19 A/B at sf0.1, identical
+    (doc_id, sh) multiset crc: raw generation 0.185 -> 0.142 s, distinct
+    0.439 -> 0.393 s, k=8 distinct 0.358 -> 0.314 s).  An earlier r12 A/B
+    rejected ``transform(..., slice(...))`` — the slice allocates a k-array
+    per shingle inside the interpreter; the subscript lambda does not.
     """
-    w = F.split(F.col("text"), " ")
-    starts = F.when(
-        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    exploded = docs.select("doc_id", w.alias("w"), F.explode(starts).alias("i"))
-    sh = F.concat_ws(" ", *[F.expr(f"w[i + {j - 1}]") for j in range(k)])
-    out = exploded.select("doc_id", sh.alias("sh"))
+    parts = ", ".join(f"w[i + {j - 1}]" for j in range(k))
+    shingles = (
+        f"transform(sequence(1, greatest(size(w) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    out = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).select(
+        "doc_id", F.explode(F.expr(shingles)).alias("sh")
+    )
     return out.distinct() if distinct else out
 
 
