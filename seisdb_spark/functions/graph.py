@@ -24,8 +24,8 @@ Two forms:
   :func:`partitioned_edge_checkpoint`), so per round only the |V|-row
   labeling ever shuffles — broadcast when its exact count fits the
   session threshold (then the round plan carries ZERO shuffle
-  exchanges and runs TWO propagation hops, halving the round count),
-  sort-merge against the pre-clustered edge side otherwise.
+  exchanges and runs THREE propagation hops, cutting the round count
+  ~3x), sort-merge against the pre-clustered edge side otherwise.
   ``localCheckpoint`` per round cuts lineage; ONE aggregate action per
   round materializes the checkpoint and doubles as the convergence
   certificate.  This is the same alternating-contraction idea as the
@@ -377,17 +377,20 @@ def _cc_round(
     convergence-certificate count — constant across rounds): when it fits
     the session broadcast threshold, every state-side join in the round is
     broadcast (see :func:`hint_broadcast_if_small`) and the round runs
-    TWO neighbour-min hops instead of one (r18): with the state broadcast
-    the extra hop is one more map pass over the in-memory edge checkpoint
-    plus an exchange-free aggregate — nearly free — and it cuts the round
-    count 11 -> 7 at sf0.1 (driver-side planning + stage scheduling is
-    the round cost floor there, so fewer rounds beat cheaper rounds).
-    Above the threshold (the 100 TB regime) a second hop would double the
-    per-round shuffle bytes to save ~1/3 of the rounds — a net loss — so
-    scale rounds keep ONE hop; both regimes converge to the identical
-    labeling (each hop is a value no-op at the fixpoint, and the
-    certificate only reports convergence when a whole round changed
-    nothing).
+    THREE neighbour-min hops instead of one (r18 introduced two, r19
+    measured three): with the state broadcast each extra hop is one more
+    map pass over the in-memory edge checkpoint plus an exchange-free
+    aggregate — nearly free — and fewer rounds beat cheaper rounds while
+    driver-side planning + stage scheduling is the round cost floor
+    (sf0.1 interleaved A/B: 2 hops = 7 rounds / 5.65 s, 3 hops = 5
+    rounds / 5.02 s, 4 hops = 4 rounds / 6.14 s — per-round plan growth
+    overtakes the saved actions at 4, so 3 is the measured optimum).
+    Above the threshold (the 100 TB regime) every extra hop would
+    multiply the per-round shuffle bytes to save a fraction of the
+    rounds — a net loss — so scale rounds keep ONE hop; both regimes
+    converge to the identical labeling (each hop is a value no-op at the
+    fixpoint, and the certificate only reports convergence when a whole
+    round changed nothing).
 
     The jump join references the post-min labeling ``m1`` on BOTH sides
     (probe + lookup).  That is NOT a double computation: Catalyst's
@@ -399,7 +402,7 @@ def _cc_round(
         n_vertices is not None
         and n_vertices * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(m.sparkSession)
     )
-    hops = 2 if broadcast_state else 1
+    hops = 3 if broadcast_state else 1
     m1 = m
     for _ in range(hops):
         nb = _nb_min(m1, edges, broadcast_state)

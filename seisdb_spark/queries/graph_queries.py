@@ -1283,10 +1283,10 @@ def _wcc_oracle() -> str:
     "the full graph is one diameter-2 component, a structureless row).  "
     "Engine shape: min-label propagation with POINTER JUMPING (label <- "
     "label(label) doubles the propagation radius per round, O(log "
-    "diameter) rounds); each round is one or two neighbour-min "
-    "equi-join + aggregate hops (two when the labeling is broadcast-"
-    "small - r18: the extra hop is nearly free there and halves the "
-    "round count) and one label-keyed jump equi-join over the "
+    "diameter) rounds); each round is one to three neighbour-min "
+    "equi-join + aggregate hops (three when the labeling is broadcast-"
+    "small - r19-measured optimum: extra hops are nearly free there "
+    "and cut the round count) and one label-keyed jump equi-join over the "
     "checkpointed previous labeling, captured in CC_ROUND_PLANS for the "
     "scale harness (broadcast-regime rounds plan with ZERO shuffle "
     "exchanges over the src-partitioned symmetric edge checkpoint); superseded labelings are released (the k-core "
