@@ -217,8 +217,19 @@ def pagerank_topk(edges_deg: DataFrame) -> DataFrame:
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
     )
     for _ in range(PR_ITERS):
+        # SHUFFLE_HASH on the rank side (r19, guide §3.1): the rank table
+        # is |V| rows partitioned by the join key, so the per-partition
+        # hash build is |V|/N rows at ANY scale — the textbook build side
+        # for this join.  Without the hint AQE converted iterations 2-3 to
+        # a broadcast of the EDGE side (its LogicalRDD size is known
+        # before the rank exchange materializes, so the eager SMJ->BHJ
+        # rewrite fires on the wrong side): two ~30 MB hash-relation
+        # builds per execution at sf0.1.  Interleaved A/B, identical
+        # top-20: auto 0.761 s -> merge-hint 0.659 -> shuffle_hash 0.611.
+        # Join results are strategy-independent (exact integer ranks).
+        r = ranks.hint("shuffle_hash")
         contribs = edges_deg.join(
-            ranks, edges_deg.src == ranks.node
+            r, edges_deg.src == r.node
         ).select("dst", F.expr("pr div d").alias("c"))
         ranks = contribs.groupBy("dst").agg(
             (
