@@ -333,7 +333,15 @@ DRIVER_WINDOW: list[str] = [
     # NORMALIZATION CONTROL — the bench pre-flight enforces bench
     # membership independent of window membership — plus pytest-oracle-
     # checked every round).
-    "rollup_revenue",
+    # round-19 rotation (fewest-career-greens cohort, r18 verdict item
+    # #10): heavy_hitters_gate — the Misra-Gries/space-saving heavy-
+    # hitters sketch gate (career greens r10+r11 only — a BENCH query
+    # with no hard row since r11) — back in
+    # for its third green, in for rollup_revenue (green r1+r2+r18,
+    # thrice-green rotation-eligible; the grouping family keeps
+    # grouping_sets_orders in-window and ROLLUP stays pytest-oracle-
+    # checked every round).
+    "heavy_hitters_gate",
     # round-15 rotation (late — governance-forced: new oracle-bearing
     # entries start in-window): graph_sssp_cost — bounded Bellman-Ford
     # weighted shortest-path cost, the graph family's SIXTH algorithm
@@ -420,7 +428,14 @@ DRIVER_WINDOW: list[str] = [
     # trained-LM pair in-window, and the token counter stays a bench
     # NORMALIZATION CONTROL — pre-flight-enforced — and pytest-oracle-
     # checked every round).
-    "json_props_extract",
+    # round-19 rotation (fewest-career-greens cohort, cont.):
+    # doc_repetition_stats — within-doc n-gram repetition profiling
+    # (career greens r4+r5 only) — back in for its third green, in for
+    # json_props_extract (green r1+r2+r18, thrice-green rotation-
+    # eligible; the JSON scalar surface stays pytest-oracle-checked
+    # every round and the props parsing stays exercised inside the
+    # event-surface rows).
+    "doc_repetition_stats",
     # --- round-8 rotation: the vector-store codec surface (r7 verdict item
     # --- #1) gets its driver rows — PCA projection, PQ encode, flat ADC
     # --- top-k, and the composed IVF-PQ probe — plus the streaming novelty
@@ -555,7 +570,14 @@ DRIVER_WINDOW: list[str] = [
     # thrice-green rotation-eligible; the event-time window family keeps
     # sliding_window_counts AND streaming_ohlc_bars in-window, and the
     # tumbling aggregate stays pytest-oracle-checked every round).
-    "date_monthly_revenue",
+    # round-19 rotation (fewest-career-greens cohort, cont.):
+    # multimodal_header_fields — binary header-field decoding over the
+    # multimodal payloads (career greens r4+r5 only) — back in for its
+    # third green, in for date_monthly_revenue (green r1+r2+r18,
+    # thrice-green rotation-eligible; the date/timestamp scalar surface
+    # stays pytest-oracle-checked every round and timestamp semantics
+    # stay exercised by the in-window temporal rows).
+    "multimodal_header_fields",
     # round-10 rotation: bloom_decontamination — the Bloom-prefiltered
     # decontamination (functions/bloom.py: declarative bit_or-built
     # filter, broadcast 1-row dense word array, exact verify of bloom
@@ -641,7 +663,14 @@ DRIVER_WINDOW: list[str] = [
     # two career greens are 0-row==0-row matches (the synthetic corpus
     # gives every customer an order), so its driver row is vacuous at
     # every tested SF; it stays pytest-oracle-checked out-of-window.
-    "lang_id_ngram",
+    # round-19 rotation (fewest-career-greens cohort, cont.):
+    # pii_scan_counts — regex PII-class scanning over the corpus
+    # (career greens r4+r5 only) — back in for its third green, in for
+    # lang_id_ngram (green r3+r4+r18, thrice-green rotation-eligible;
+    # the text family keeps lateral_explode_words, the trained-LM pair
+    # and the incoming doc_repetition_stats in-window, and the n-gram
+    # language-ID heuristic stays pytest-oracle-checked every round).
+    "pii_scan_counts",
     # --- round-6 rotation: first driver rows for the two new ops, plus the
     # --- batch sessionize twin (no row since r3, r4-crash-family insurance)
     # --- in place of tfidf/approx-quantile/doc-repetition (green r4+r5) -----
@@ -894,7 +923,14 @@ DRIVER_WINDOW: list[str] = [
     # build's version/lead windows, the TakeOrderedAndProject plan shape
     # stays pytest-asserted, and the per-group top-k stays pytest-
     # oracle-checked every round).
-    "e1_quantize_codes",
+    # round-19 rotation (fewest-career-greens cohort, cont.):
+    # bpe_token_estimate — the BPE-merge token-count estimator (career
+    # greens r3+r4 only) — back in for its third green, in for
+    # e1_quantize_codes (green r2+r3+r18, thrice-green rotation-
+    # eligible; the E family keeps sgt_flagship_encode in-window — the
+    # flagship composes the same quantize stage — and the E1 array form
+    # stays pytest-oracle-checked every round).
+    "bpe_token_estimate",
 ]
 
 
