@@ -125,6 +125,39 @@ def r2_canonical_flatten_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E1_EXPR = "floor(((l_extendedprice - off) / scl) * 255)"
 
 
+def _quantize_codes(li: DataFrame) -> DataFrame:
+    """(l_partkey, l_orderkey, l_linenumber, code): the A1/A2 truncating
+    8-bit quantize shared by e1_quantize_codes and e2_zlib_blob.
+
+    The per-group min/max are evaluated as TWO named window columns and the
+    code expression references the resulting attributes (r19, guide §1.2 —
+    the PQ-fold-hoist discipline): inlining ``off``/``raw_scl`` into the
+    quantize expression made Catalyst's ExtractWindowExpressions emit one
+    window function PER REFERENCE — seven min/max accumulators per row
+    where two suffice (window functions are not common-subexpression-
+    eliminated).  Window attributes are never re-inlined by
+    CollapseProject, so each row now pays exactly one min and one max
+    update.  min/max are exact selections (no accumulation-order
+    sensitivity), so per-row codes are bit-identical either way."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    base = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.min("l_extendedprice").over(w).alias("_mn"),
+        F.max("l_extendedprice").over(w).alias("_mx"),
+    )
+    raw_scl = F.col("_mx") - F.col("_mn")
+    scl = F.when(raw_scl == 0, F.lit(1.0)).otherwise(raw_scl)
+    code = F.when(raw_scl == 0, F.lit(0)).otherwise(
+        F.floor(((F.col("l_extendedprice") - F.col("_mn")) / scl) * 255)
+    ).cast("int")
+    return base.select("l_partkey", "l_orderkey", "l_linenumber", code.alias("code"))
+
+
 @query(
     "e1_quantize_codes",
     oracle=f"""
@@ -158,19 +191,8 @@ _E1_EXPR = "floor(((l_extendedprice - off) / scl) * 255)"
     "collect; the float math is double on both sides, same operation order.",
 )
 def e1_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey")
-    off = F.min("l_extendedprice").over(w)
-    raw_scl = F.max("l_extendedprice").over(w) - off
-    scl = F.when(raw_scl == 0, F.lit(1.0)).otherwise(raw_scl)
-    code = F.when(raw_scl == 0, F.lit(0)).otherwise(
-        F.floor(((F.col("l_extendedprice") - off) / scl) * 255)
-    ).cast("int")
-    coded = li.select(
-        "l_partkey", "l_orderkey", "l_linenumber", code.alias("code")
-    )
+    coded = _quantize_codes(li)
     arr = F.transform(
         F.sort_array(F.collect_list(F.struct("l_orderkey", "l_linenumber", "code"))),
         lambda x: x["code"],
@@ -242,17 +264,8 @@ def l2_element_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def e2_zlib_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey")
-    off = F.min("l_extendedprice").over(w)
-    raw_scl = F.max("l_extendedprice").over(w) - off
-    scl = F.when(raw_scl == 0, F.lit(1.0)).otherwise(raw_scl)
-    code = F.when(raw_scl == 0, F.lit(0)).otherwise(
-        F.floor(((F.col("l_extendedprice") - off) / scl) * 255)
-    ).cast("int")
-    coded = li.select("l_partkey", "l_orderkey", "l_linenumber", code.alias("code"))
+    coded = _quantize_codes(li)
     arr = F.transform(
         F.sort_array(F.collect_list(F.struct("l_orderkey", "l_linenumber", "code"))),
         lambda x: x["code"],
