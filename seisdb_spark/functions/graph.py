@@ -65,6 +65,11 @@ _RELEASE_FAILED_ONCE = False
 #: that dominate the cost (the KCORE_ROUND_PLANS discipline).
 CC_ROUND_PLANS: list[str] = []
 
+#: Monotone suffix for the per-round temp-view names (:func:`_cc_round`):
+#: unique per call so concurrent loops in one session (driver-thread
+#: overlap, guide §2.6) can never read each other's bindings.
+_CC_VIEW_SEQ = 0
+
 
 def release_checkpoint(df: DataFrame) -> None:
     """Unpersist the checkpointed RDD behind a localCheckpoint DataFrame.
@@ -330,11 +335,26 @@ def cc_exact_lazy(
     return edges.mapInPandas(union_find, _CC_SCHEMA)
 
 
-def _nb_min(m: DataFrame, edges: DataFrame, broadcast_state: bool) -> DataFrame:
-    """Neighbour-min over one hop: (v, nb_l) = min label among v's
-    neighbours.  ``edges`` is SYMMETRIC, so the join may key on either
-    endpoint — both give identical values — and the choice is made by
-    PHYSICAL regime (r18, guide §2.4):
+def _cc_round_sql(e_view: str, m_view: str, broadcast_state: bool, hops: int) -> str:
+    """The FULL propagation round (``hops`` neighbour-min hops + one
+    pointer jump) as ONE SQL statement over two temp views.
+
+    Why SQL and not the former per-hop DataFrame composition (r19, guide
+    §7.3 — planning time itself as the bottleneck): every PySpark
+    DataFrame transformation eagerly runs the analyzer over the whole
+    accumulated tree, so a 3-hop round paid ~17 incremental analyses plus
+    as many py4j round trips — measured 0.55 s of pure driver-side plan
+    construction per WARM round at sf0.1, ~2x the round's entire
+    distributed execution.  One ``spark.sql`` statement parses and
+    analyzes the identical tree ONCE (probe: build 8.1 -> 3.6 s over a
+    5-round loop, same session, results hash-identical and the executed
+    round plan node-for-node the same — zero shuffle exchanges, same
+    BroadcastHashJoin count, ReusedExchange still deduplicating the nb
+    broadcast).  Per-round driver work is what bounds the loop at ANY
+    data scale, so this is a 100 TB optimization, not an sf0.1 trick.
+
+    Neighbour-min keying is by PHYSICAL regime, exactly as before (r18,
+    guide §2.4):
 
     * ``broadcast_state``: the labeling is broadcast (gated on its exact
       count), so the join costs nothing either way — key on ``dst`` and
@@ -345,21 +365,40 @@ def _nb_min(m: DataFrame, edges: DataFrame, broadcast_state: bool) -> DataFrame:
       the sort-merge join is already clustered AND sorted by src (see
       :func:`partitioned_edge_checkpoint`), so only the |V|-row labeling
       shuffles per round; the aggregate (by dst) then moves map-side
-      partial minima, bounded by |V| per partition, never edge rows."""
-    if broadcast_state:
-        return (
-            edges.join(
-                F.broadcast(m.select(F.col("v").alias("dst"), "l")), "dst"
+      partial minima, bounded by |V| per partition, never edge rows.
+      Scale rounds carry NO broadcast hints — the joins stay shuffle
+      joins that AQE skew-handles."""
+    cte: list[str] = []
+    prev = m_view
+    for h in range(1, hops + 1):
+        if broadcast_state:
+            nb = (
+                f"nb{h} AS (SELECT /*+ BROADCAST({prev}) */ e.src AS v, "
+                f"min({prev}.l) AS nb_l FROM {e_view} e "
+                f"JOIN {prev} ON e.dst = {prev}.v GROUP BY e.src)"
             )
-            .groupBy("src")
-            .agg(F.min("l").alias("nb_l"))
-            .select(F.col("src").alias("v"), "nb_l")
+            m_hint = f"/*+ BROADCAST(nb{h}) */ "
+        else:
+            nb = (
+                f"nb{h} AS (SELECT e.dst AS v, "
+                f"min({prev}.l) AS nb_l FROM {e_view} e "
+                f"JOIN {prev} ON e.src = {prev}.v GROUP BY e.dst)"
+            )
+            m_hint = ""
+        cte.append(nb)
+        cte.append(
+            f"m{h} AS (SELECT {m_hint}{prev}.v, "
+            f"least({prev}.l, coalesce(nb{h}.nb_l, {prev}.l)) AS l "
+            f"FROM {prev} LEFT JOIN nb{h} ON {prev}.v = nb{h}.v)"
         )
+        prev = f"m{h}"
+    lk_hint = "/*+ BROADCAST(lk) */ " if broadcast_state else ""
     return (
-        edges.join(m.select(F.col("v").alias("src"), "l"), "src")
-        .groupBy("dst")
-        .agg(F.min("l").alias("nb_l"))
-        .select(F.col("dst").alias("v"), "nb_l")
+        "WITH "
+        + ",\n".join(cte)
+        + f",\nlk AS (SELECT v AS lv, l AS ll FROM {prev})\n"
+        + f"SELECT {lk_hint}{prev}.v, lk.ll AS l "
+        + f"FROM {prev} JOIN lk ON {prev}.l = lk.lv"
     )
 
 
@@ -392,35 +431,39 @@ def _cc_round(
     fixpoint, and the certificate only reports convergence when a whole
     round changed nothing).
 
-    The jump join references the post-min labeling ``m1`` on BOTH sides
+    The jump join references the post-min labeling ``m3`` on BOTH sides
     (probe + lookup).  That is NOT a double computation: Catalyst's
     ReuseExchange rule deduplicates the identical exchange subtrees, so
     the neighbour-min aggregate executes once per round and the second
     reference reads the reused shuffle/broadcast (verified in the
-    captured round plans — ``ReusedExchange`` over the m1 subtree)."""
+    captured round plans — ``ReusedExchange`` over the m3 subtree).
+    One jump per round: r18 tried doubling it (label <- m1.l[m1.l[l]],
+    shared lookup, broadcast reused) and round counts did NOT drop at
+    either driver SF — the cascade is bounded by the neighbour-min's
+    propagation radius, not label-tree height.
+
+    The round is issued as ONE ``spark.sql`` statement over two
+    uniquely-named temp views (r19; see :func:`_cc_round_sql` for the
+    measured driver-planning rationale).  The views are dropped before
+    returning — ``spark.sql`` analyzes eagerly, so the returned
+    DataFrame no longer needs them."""
+    spark = m.sparkSession
     broadcast_state = (
         n_vertices is not None
-        and n_vertices * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(m.sparkSession)
+        and n_vertices * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(spark)
     )
     hops = 3 if broadcast_state else 1
-    m1 = m
-    for _ in range(hops):
-        nb = _nb_min(m1, edges, broadcast_state)
-        m1 = m1.join(hint_broadcast_if_small(nb, n_vertices), "v", "left").select(
-            "v", F.least("l", F.coalesce("nb_l", F.col("l"))).alias("l")
-        )
-    # ONE jump per round.  r18 tried doubling it (label <- m1.l[m1.l[l]],
-    # shared lookup, broadcast reused): round counts did NOT drop at
-    # either driver SF (9 @ sf0.01 / 11 @ sf0.1 both ways) — the cascade
-    # is bounded by the neighbour-min's per-round propagation radius, not
-    # by label-tree height, so the label tree is already shallow when the
-    # jump reads it.  Deliberately left at one jump.  (The second
-    # NEIGHBOUR-MIN hop above is different: it extends the propagation
-    # radius itself, which is exactly what the round count is bounded by.)
-    lk = m1.select(F.col("v").alias("lv"), F.col("l").alias("ll"))
-    return m1.join(
-        hint_broadcast_if_small(lk, n_vertices), F.col("l") == F.col("lv")
-    ).select("v", F.col("ll").alias("l"))
+    global _CC_VIEW_SEQ
+    _CC_VIEW_SEQ += 1
+    e_view = f"seisdb_cc_e_{_CC_VIEW_SEQ}"
+    m_view = f"seisdb_cc_m_{_CC_VIEW_SEQ}"
+    edges.createOrReplaceTempView(e_view)
+    m.createOrReplaceTempView(m_view)
+    try:
+        return spark.sql(_cc_round_sql(e_view, m_view, broadcast_state, hops))
+    finally:
+        spark.catalog.dropTempView(e_view)
+        spark.catalog.dropTempView(m_view)
 
 
 def connected_components(
