@@ -90,6 +90,27 @@ def round_plans_ok(plans: list[str]) -> bool:
 # implementation, one loud-on-drift signal, one persistent-RDD-shrink test
 _release_checkpoint = release_checkpoint
 
+#: Monotone suffix for per-loop temp-view names (the CC discipline —
+#: functions/graph._CC_VIEW_SEQ): unique per loop invocation so concurrent
+#: driver-thread loops in one session can never read each other's
+#: bindings.  One suffix per INVOCATION; within a loop the same name is
+#: re-bound per round via createOrReplaceTempView.
+_LOOP_VIEW_SEQ = 0
+
+
+def _loop_view_names(*roles: str) -> tuple[str, ...]:
+    global _LOOP_VIEW_SEQ
+    _LOOP_VIEW_SEQ += 1
+    return tuple(f"seisdb_loop_{r}_{_LOOP_VIEW_SEQ}" for r in roles)
+
+
+def _drop_views(spark, *names: str) -> None:
+    for n in names:
+        try:
+            spark.catalog.dropTempView(n)
+        except Exception:
+            pass  # best-effort cleanup; views die with the session anyway
+
 #: nano-rank scale: initial mass per node.
 PR_SCALE = 1_000_000_000
 #: damping 0.85 split into the exact-integer base + factor.
@@ -612,44 +633,52 @@ def kcore_core(
         n_nodes * LOOP_STATE_ROW_BYTES <= _auto_broadcast_bytes(spark)
     )
     e_owned = True  # the symmetric checkpoint is loop-built, never the input
-    for _ in range(max_peels):
-        if m == 0:
-            break
-        keep = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= k)
-            .select("src")
-        )
-        keep_u = hint_broadcast_if_small(keep, n_nodes if broadcast_keep else None)
-        keep_v = hint_broadcast_if_small(
-            keep.withColumnRenamed("src", "dst"),
-            n_nodes if broadcast_keep else None,
-        )
-        e2_join = e.join(keep_u, "src").join(keep_v, "dst").select("src", "dst")
-        if broadcast_keep:
-            # exchange-free plan (broadcast semi-filters over the
-            # src-partitioned scan): build the checkpoint AQE-off so the
-            # scan's partitioning survives into the next round — nothing
-            # for AQE to do in a plan with no exchanges
-            with _aqe_off(spark):
+    # The whole peel (degree filter + both semi-joins) is ONE spark.sql
+    # statement over a per-round re-bound temp view (r19, guide §7.3 —
+    # the CC-round discipline, see functions/graph._cc_round_sql): the
+    # former per-op DataFrame composition paid ~8 eager analyzer passes
+    # of driver time per round; one SQL statement analyzes the identical
+    # tree once.  The keep CTE's two references still deduplicate via
+    # ReuseExchange, exactly as the two hinted DataFrame refs did.
+    (e_view,) = _loop_view_names("kcore_e")
+    hint = "/*+ BROADCAST(ku), BROADCAST(kv) */ " if broadcast_keep else ""
+    peel_sql = (
+        f"WITH keep AS (SELECT src FROM {e_view} "
+        f"GROUP BY src HAVING count(*) >= {int(k)})\n"
+        f"SELECT {hint}e.src, e.dst FROM {e_view} e "
+        f"JOIN keep ku ON e.src = ku.src JOIN keep kv ON e.dst = kv.src"
+    )
+    try:
+        for _ in range(max_peels):
+            if m == 0:
+                break
+            e.createOrReplaceTempView(e_view)
+            e2_join = spark.sql(peel_sql)
+            if broadcast_keep:
+                # exchange-free plan (broadcast semi-filters over the
+                # src-partitioned scan): build the checkpoint AQE-off so the
+                # scan's partitioning survives into the next round — nothing
+                # for AQE to do in a plan with no exchanges
+                with _aqe_off(spark):
+                    e2 = e2_join.localCheckpoint(eager=False)
+            else:
                 e2 = e2_join.localCheckpoint(eager=False)
+            m2 = e2.count()  # the round's ONE action: materialize + converge-test
+            KCORE_ROUND_PLANS.append(final_plan(e2_join))
+            if m2 == m:
+                _release_checkpoint(e2)  # same edge set — keep reporting on e
+                break
+            if e_owned:
+                _release_checkpoint(e)  # superseded survivor set
+            e, m, e_owned = e2, m2, True
         else:
-            e2 = e2_join.localCheckpoint(eager=False)
-        m2 = e2.count()  # the round's ONE action: materialize + converge-test
-        KCORE_ROUND_PLANS.append(final_plan(e2_join))
-        if m2 == m:
-            _release_checkpoint(e2)  # same edge set — keep reporting on e
-            break
-        if e_owned:
-            _release_checkpoint(e)  # superseded survivor set
-        e, m, e_owned = e2, m2, True
-    else:
-        raise RuntimeError(
-            f"k-core peeling did not converge within {max_peels} rounds — "
-            "the unrolled oracle would compare a mid-cascade state; raise "
-            "KCORE_MAX_PEELS (and regenerate the oracle) deliberately"
-        )
+            raise RuntimeError(
+                f"k-core peeling did not converge within {max_peels} rounds — "
+                "the unrolled oracle would compare a mid-cascade state; raise "
+                "KCORE_MAX_PEELS (and regenerate the oracle) deliberately"
+            )
+    finally:
+        _drop_views(spark, e_view)
     # at the fixpoint every endpoint has degree >= k by construction;
     # degrees read straight off the symmetric survivor set, exchange-free
     # when its partitioning survived (broadcast regime)
@@ -823,6 +852,17 @@ def bfs_hops(
     # seed checkpoint the first round reads anyway) gate the round hints;
     # above the session broadcast threshold the hints are no-ops and the
     # hop keeps its shuffle joins (guide 3.1/2.4).
+    # Each hop (frontier expansion + dst distinct + visited anti-join) is
+    # ONE spark.sql statement over per-round re-bound temp views (r19,
+    # guide §7.3 — the CC-round discipline, see functions/graph.
+    # _cc_round_sql): the former per-op DataFrame composition paid ~6
+    # eager analyzer passes of driver time per hop; one SQL statement
+    # analyzes the identical tree once.  Join keying, regime gating, and
+    # hint gating are unchanged.
+    e_sym_view, e_part_view, f_view, d_view = _loop_view_names(
+        "bfs_esym", "bfs_epart", "bfs_f", "bfs_d"
+    )
+    sym.createOrReplaceTempView(e_sym_view)
     try:
         n_frontier = seeds.count()
         n_visited = n_frontier
@@ -834,9 +874,7 @@ def bfs_hops(
                 # broadcast regime: the frontier is broadcast; the edge
                 # side is the in-stage projection - the hop never
                 # shuffles edge rows
-                expand = sym.join(
-                    F.broadcast(frontier), sym.src == frontier.node
-                ).select(F.col("dst").alias("node"))
+                e_view, h_frontier = e_sym_view, "/*+ BROADCAST(f) */ "
             else:
                 # scale regime (frontier over the threshold): sort-merge
                 # against a symmetric copy checkpointed hash-partitioned
@@ -848,13 +886,20 @@ def bfs_hops(
                     sym_part = partitioned_edge_checkpoint(
                         sym, "src", 2 * edges.count(), eager=False
                     )
-                expand = sym_part.join(
-                    frontier, sym_part.src == frontier.node
-                ).select(F.col("dst").alias("node"))
-            nxt_join = expand.distinct().join(
-                hint_broadcast_if_small(dist.select("node"), n_visited),
-                "node",
-                "left_anti",
+                    sym_part.createOrReplaceTempView(e_part_view)
+                e_view, h_frontier = e_part_view, ""
+            h_dist = (
+                "/*+ BROADCAST(d) */ "
+                if n_visited * LOOP_STATE_ROW_BYTES <= bcast_limit
+                else ""
+            )
+            frontier.createOrReplaceTempView(f_view)
+            dist.createOrReplaceTempView(d_view)
+            nxt_join = spark.sql(
+                f"WITH ex AS (SELECT {h_frontier}DISTINCT e.dst AS node "
+                f"FROM {e_view} e JOIN {f_view} f ON e.src = f.node)\n"
+                f"SELECT {h_dist}ex.node FROM ex "
+                f"LEFT ANTI JOIN {d_view} d ON ex.node = d.node"
             )
             nxt = nxt_join.localCheckpoint(eager=False)
             c = nxt.count()
@@ -874,6 +919,7 @@ def bfs_hops(
         # mid-loop failure cannot strand it
         if sym_part is not None:
             _release_checkpoint(sym_part)
+        _drop_views(spark, e_sym_view, e_part_view, f_view, d_view)
     return dist.select(
         F.col("node").cast("bigint").alias("part_id"), F.col("hops").alias("hops")
     )
@@ -974,6 +1020,7 @@ def sssp_cost(
     )
 
     SSSP_ROUND_PLANS.clear()
+    spark = edges.sparkSession
     w = (F.lit(1) + (F.col("u") + F.col("v")) % SSSP_WEIGHT_MOD).cast("bigint")
     # symmetric weighted view as ONE explode (r18): the union form scanned
     # the canonical checkpoint twice per consumer.  Broadcast-regime
@@ -1006,11 +1053,22 @@ def sssp_cost(
     # broadcast after the fact (guide 3.1/2.4; the k-core measurement).
     # Above the session broadcast threshold the hint is a no-op.
     n_dist = dist.count()
+    # Each relaxation round (weighted expand + union + min-combiner) is
+    # ONE spark.sql statement over per-round re-bound temp views (r19,
+    # guide §7.3 — the CC-round discipline, see functions/graph.
+    # _cc_round_sql): the former per-op DataFrame composition paid ~6
+    # eager analyzer passes of driver time per round; one SQL statement
+    # analyzes the identical tree once.  Join keying, regime gating, and
+    # the union+min-combiner shape are unchanged.
+    e_sym_view, e_part_view, d_view = _loop_view_names(
+        "sssp_esym", "sssp_epart", "sssp_d"
+    )
+    sym.createOrReplaceTempView(e_sym_view)
     try:
         for _ in range(max_edges):
             if n_dist * LOOP_STATE_ROW_BYTES <= bcast_limit:
-                edge_side = sym  # broadcast dist: edges never shuffle
-                dist_side = F.broadcast(dist)
+                # broadcast dist: edges never shuffle
+                e_view, h_dist = e_sym_view, "/*+ BROADCAST(d) */ "
             else:
                 # scale regime: sort-merge against a symmetric copy
                 # checkpointed hash-partitioned + sorted by src with the
@@ -1021,19 +1079,22 @@ def sssp_cost(
                     sym_part = partitioned_edge_checkpoint(
                         sym, "src", 2 * edges.count(), eager=False
                     )
-                edge_side = sym_part
-                dist_side = dist
-            relax = edge_side.join(
-                dist_side, edge_side.src == dist.node
-            ).select(
-                F.col("dst").alias("node"),
-                (F.col("cost") + F.col("w")).alias("cost"),
-            )
-            new_join = (
-                dist.select("node", "cost")
-                .unionByName(relax)
-                .groupBy("node")
-                .agg(F.min("cost").alias("cost"))
+                    sym_part.createOrReplaceTempView(e_part_view)
+                e_view, h_dist = e_part_view, ""
+            dist.createOrReplaceTempView(d_view)
+            # the relax join is INLINED as the second union child rather
+            # than bound through a CTE: Union's constraint propagation
+            # (UnionBase.rewriteConstraints) crashes on a CTE-shaped
+            # child whose constraints reference the pre-alias attribute
+            # ("key not found: node#NNL" on this Spark) — the inline
+            # form rewrites cleanly and plans identically
+            new_join = spark.sql(
+                f"SELECT node, min(cost) AS cost FROM (\n"
+                f"  SELECT d.node, d.cost FROM {d_view} d\n"
+                f"  UNION ALL\n"
+                f"  SELECT {h_dist}e.dst AS node, d.cost + e.w AS cost "
+                f"FROM {e_view} e JOIN {d_view} d ON e.src = d.node\n"
+                f") GROUP BY node"
             )
             new = new_join.localCheckpoint(eager=False)
             # one aggregate action materializes the checkpoint AND yields
@@ -1067,6 +1128,7 @@ def sssp_cost(
         # failure cannot strand it
         if sym_part is not None:
             _release_checkpoint(sym_part)
+        _drop_views(spark, e_sym_view, e_part_view, d_view)
     return dist.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("cost").alias("min_cost"),
